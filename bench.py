@@ -1,0 +1,57 @@
+"""Benchmark runner: every catalog query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Protocol (BASELINE.md): per query, 1 discarded warm-up run then N=3 timed
+runs; the recorded value is the median. ``value`` is the sum of per-query
+medians (total wall-clock for the whole workload).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    from gridiron_spark.queries import catalog
+    from gridiron_spark.session import get_spark
+
+    spark = get_spark("gridiron-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cat = catalog()
+    timings: dict[str, float] = {}
+    for name, entry in sorted(cat.items()):
+        samples = []
+        for i in range(runs + 1):
+            t0 = time.perf_counter()
+            df = entry.spark_fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            if i > 0:  # discard cold run
+                samples.append(dt)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "catalog_total_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

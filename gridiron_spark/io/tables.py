@@ -1,0 +1,55 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Mirrors the reference's lazy "pool scan" pattern (reference src/query.py:18-24
+builds a LazyFrame over a parquet glob; here ``spark.read.parquet`` gives the
+same deferred semantics). All reads are plain columnar parquet scans so
+Catalyst's filter pushdown / column pruning apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The events table is written with TIMESTAMP(NANOS, isAdjustedToUTC=false),
+# which Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). The
+# supported escape hatch reads nano timestamps as epoch-nanos LongType. It is a
+# runtime-settable SQLConf, so we can flip it on the session the driver hands
+# us without controlling session construction.
+_NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes the events timestamp.
+
+    ``events`` comes back with its raw nano clock plus two derived columns:
+    ``ts_us`` (epoch microseconds, bigint — the canonical cross-engine form;
+    DuckDB timestamps are µs so nanos are not oracle-representable) and
+    ``ts_ts`` (TimestampType, µs precision) for window/streaming operators.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set(_NANOS_AS_LONG, "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes)["ts"] == "bigint":
+            # integer div, not `/1000`: double division rounds at int64 scale
+            ts_us = F.expr("ts div 1000")
+        else:  # future-proof: a driver session that already reads nanos natively
+            ts_us = (F.unix_timestamp("ts") * F.lit(1_000_000)).cast("long")
+        return df.withColumn("ts_us", ts_us).withColumn(
+            "ts_ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    return spark.read.parquet(path)

@@ -1,0 +1,146 @@
+"""Batch analogs of the streaming operator surface (SURVEY.md §2.10).
+
+The real Structured Streaming pipelines (readStream → watermark → window →
+writeStream) live in gridiron_spark.streaming and are exercised by pytest with
+file sources + availableNow triggers. The *semantics* — tumbling windows,
+session windows, keyed dedup — are registered here as batch queries so the
+DuckDB oracle can hash-check them; the streaming module reuses the identical
+column expressions.
+
+Time buckets are computed over epoch microseconds (bigint) so results are
+timezone-independent: Spark's F.window aligns to the epoch, which equals the
+explicit arithmetic bucket used in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dsum
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+
+_FIVE_MIN_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "tumbling_window_agg",
+    survey="ST1(tumbling window),A3-A6",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_FIVE_MIN_US}) * 300 AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # F.window on the µs-precision timestamp: epoch-aligned tumbling buckets,
+    # the same expression a readStream pipeline uses (streaming-compatible).
+    return (
+        ev.groupBy(F.window("ts_ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "session_window_agg",
+    survey="ST2(session window) via gaps-and-islands",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id,
+           epoch_us(ts) AS ts_us,
+           value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > {_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts_us, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def session_window_agg(spark, sf_dir):
+    """Sessionization as gaps-and-islands: one shuffle on user_id, then two
+    sorted window passes and a hash agg — the batch-equivalent of
+    F.session_window(ts, '30 minutes') (which gridiron_spark.streaming uses on
+    the live stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts_us",
+        "value",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "keyed_dedup_earliest",
+    survey="ST3(stateful dedup) batch analog,W2",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def keyed_dedup_earliest(spark, sf_dir):
+    """Keep the earliest event per (user_id, event_type) — the deterministic
+    form of dropDuplicates (whose kept row is arbitrary) and the batch analog
+    of dropDuplicatesWithinWatermark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts_us", "value")
+    )

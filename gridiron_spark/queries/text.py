@@ -1,0 +1,155 @@
+"""Text-analysis operators over the ``documents`` table — the training-data
+pipeline surface (language-ID, quality scoring, token counting, document
+fingerprinting). Everything is built-in Column expressions (split/filter/
+transform/aggregate on arrays) — JVM-side, whole-stage-codegen, no Python UDFs
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+# Marker-word tables for the n-gram/stopword language-ID heuristic. The
+# synthetic corpus is English-ish word soup, so this demonstrates the
+# *mechanics* (per-language marker hit counting + argmax) deterministically.
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_token_count",
+    survey="NS-text(token counting)",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return doc.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    survey="NS-text(quality scoring)",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS unique_ratio,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_token_len
+FROM documents
+""",
+)
+def text_quality_score(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return doc.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
+            "unique_ratio"
+        ),
+        (sum_len.cast("double") / n_tokens).alias("mean_token_len"),
+    )
+
+
+def _marker_hits_spark(toks, markers):
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def _marker_hits_sql(markers):
+    mk = "(" + ", ".join(f"'{w}'" for w in markers) + ")"
+    return f"len(list_filter(string_split(text, ' '), x -> x IN {mk}))"
+
+
+@register(
+    "text_lang_id",
+    survey="NS-text(language-ID heuristic)",
+    oracle=f"""
+SELECT doc_id,
+       lang AS lang_tagged,
+       CASE
+           WHEN {_marker_hits_sql(_LANG_MARKERS["en"])} >= {_marker_hits_sql(_LANG_MARKERS["es"])}
+            AND {_marker_hits_sql(_LANG_MARKERS["en"])} >= {_marker_hits_sql(_LANG_MARKERS["fr"])}
+            AND {_marker_hits_sql(_LANG_MARKERS["en"])} > 0 THEN 'en'
+           WHEN {_marker_hits_sql(_LANG_MARKERS["es"])} >= {_marker_hits_sql(_LANG_MARKERS["fr"])}
+            AND {_marker_hits_sql(_LANG_MARKERS["es"])} > 0 THEN 'es'
+           WHEN {_marker_hits_sql(_LANG_MARKERS["fr"])} > 0 THEN 'fr'
+           ELSE 'und'
+       END AS lang_pred
+FROM documents
+""",
+)
+def text_lang_id(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    en = _marker_hits_spark(toks, _LANG_MARKERS["en"])
+    es = _marker_hits_spark(toks, _LANG_MARKERS["es"])
+    fr = _marker_hits_spark(toks, _LANG_MARKERS["fr"])
+    return doc.select(
+        "doc_id",
+        F.col("lang").alias("lang_tagged"),
+        F.when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    survey="NS-text(document fingerprinting)",
+    oracle="""
+SELECT doc_id,
+       md5(lower(text)) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bow_fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content hash + order-insensitive bag-of-words fingerprint (the
+    canonicalized-token-set hash used for fuzzy-exact dedup)."""
+    doc = load_table(spark, sf_dir, "documents")
+    low_toks = F.split(F.lower(F.col("text")), " ")
+    return doc.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_md5"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")
+        ).alias("bow_fingerprint"),
+    )
