@@ -1,0 +1,90 @@
+"""Query layer: pool scan, listings, play fetch, the seeded sampler, export —
+the reference's core #2 (SURVEY.md §3.2-3.3)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridiron_spark.fixtures import write_tracking_csvs
+from gridiron_spark.ingest import LakeIngestor
+from gridiron_spark.pool import Pool
+
+SCHEMA_PATH = Path(__file__).parent.parent / "gridiron_spark/configs/tracking.yaml"
+
+
+@pytest.fixture(scope="module")
+def pool(spark, tmp_path_factory):
+    csvs = tmp_path_factory.mktemp("csvs")
+    write_tracking_csvs(csvs)
+    lake = tmp_path_factory.mktemp("lake")
+    LakeIngestor(spark, SCHEMA_PATH, lake).ingest(f"{csvs}/*.csv")
+    return Pool(spark, lake)
+
+
+def test_probe_and_listings(pool):
+    assert pool.probe()
+    games = pool.games()
+    assert len(games) == 4 and games == sorted(games)
+    plays = pool.plays(games[0])
+    assert plays == [50, 100, 150, 200, 250]
+
+
+def test_fetch_play_ordered(pool):
+    df = pool.fetch_play(2023090000, 50)
+    rows = df.select("frameId").collect()
+    frames = [r.frameId for r in rows]
+    assert frames == sorted(frames)
+    assert len(rows) == 50 * 23
+
+
+def test_partition_pruning(pool):
+    """A gameId filter must prune to one partition directory — the physical
+    plan's read should mention a single partition, not the whole lake."""
+    df = pool.scan().filter(F.col("gameId") == 2023090000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 5 * 50 * 23
+
+
+def test_sample_plays_exact_n_and_seed_stable(pool):
+    s1 = pool.sample_plays(3, seed=7)
+    s2 = pool.sample_plays(3, seed=7)
+    k1 = sorted((r.gameId, r.playId) for r in s1.select("gameId", "playId").distinct().collect())
+    k2 = sorted((r.gameId, r.playId) for r in s2.select("gameId", "playId").distinct().collect())
+    assert len(k1) == 3
+    assert k1 == k2  # seed-stable
+    s3 = pool.sample_plays(3, seed=8)
+    k3 = sorted((r.gameId, r.playId) for r in s3.select("gameId", "playId").distinct().collect())
+    assert k1 != k3  # different seed → different plays (20 choose 3 space)
+    # complete plays: every sampled play has all 50 frames × 23 entities
+    per_play = s1.groupBy("gameId", "playId").count().collect()
+    assert all(r["count"] == 50 * 23 for r in per_play)
+
+
+def test_sample_plays_filters_and_fallback(pool):
+    # filter to one game → only that game's plays sampled
+    flt = [F.col("gameId") == 2023090000]
+    s = pool.sample_plays(2, filters=flt, seed=1)
+    games = {r.gameId for r in s.select("gameId").distinct().collect()}
+    assert games == {2023090000}
+    # ask for more plays than exist → return-all fallback (5 plays in game)
+    s_all = pool.sample_plays(99, filters=flt, seed=1)
+    assert s_all.select("gameId", "playId").distinct().count() == 5
+
+
+def test_sample_join_is_broadcast(pool):
+    """The join-back must broadcast the sampled key set — no shuffle of the lake."""
+    plan = pool.sample_plays(3, seed=7)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_export_csv(pool, tmp_path, spark):
+    out = tmp_path / "export"
+    pool.export_csv(pool.sample_plays(2, seed=3), out, single_file=True)
+    files = list(out.glob("*.csv"))
+    assert len(files) == 1
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() == 2 * 50 * 23
