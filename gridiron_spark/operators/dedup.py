@@ -1,0 +1,192 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, n-gram Jaccard.
+
+All engine logic is built-in Column expressions over token arrays — JVM-side,
+codegen-friendly, zero Python UDFs. Two design choices make these operators
+*deterministic and oracle-checkable*, which approximate dedup usually is not:
+
+1. **Hash family = md5 strings under lexicographic min.** A MinHash family
+   needs k independent uniform hashes; ``md5(shingle || '|' || i)`` compared
+   lexicographically is exactly that (uniform over hex strings), and it
+   evaluates identically in any engine with md5 — no engine-private hash
+   (xxhash64, Murmur) whose output could never cross-check.
+2. **LSH is a *candidate generator*, Jaccard is the *truth*.** Band-bucket
+   collisions only propose pairs; every pair is verified with exact Jaccard
+   over distinct shingle sets, so the emitted (pair, score) rows are exact
+   values regardless of banding.
+
+Scale shape (100 TB): shingle/signature computation is map-only; banding
+explodes ×n_bands; the candidate self-join shuffles on (band_idx, band_key) —
+bounded by bucket sizes, and hot buckets (boilerplate shingles) are the skew
+risk: AQE skew-join handles moderate cases, `max_bucket` hard-caps
+pathological ones (trades recall for runtime, disclosed in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of lower(text); documents shorter than k words
+    contribute their whole text as a single shingle."""
+    toks = F.split(F.lower(text), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """k-element MinHash signature: per hash i, the lexicographic min of
+    md5(shingle || '|i') over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"|{i}"))))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each contiguous ``rows``-slice of the signature."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(signature, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over (already-distinct) arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for every candidate pair sharing at least
+    one LSH band whose true shingle-set Jaccard ≥ threshold, doc_a < doc_b.
+    """
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking.
+
+    Inverted-index join: only pairs sharing ≥1 shingle are scored (a pair with
+    no shared shingle has Jaccard 0, so blocking loses nothing). The exploded
+    join shuffles on the shingle value — the exact-recall counterpart to the
+    MinHash candidate generator.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    inv = base.select("doc_id", "shingles", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash of the token set, as an int.
+
+    Per token, a 16-bit hash is carved from md5; each bit votes ±1; the sign
+    of each bit-position total forms the fingerprint. Near-duplicate texts
+    differ in few bit positions (small Hamming distance). Pure expression
+    algebra: aggregate over the token array with an array accumulator.
+    """
+    toks = F.array_distinct(F.split(F.lower(text), " "))
+    # per-token 16-bit hash from the first 4 md5 hex chars (cross-engine: any
+    # SQL engine can reproduce hex→int; an engine-private hash could not)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    # per-bit ±1 vote totals over all tokens
+    totals = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.when(F.element_at(totals, b + 1) > 0, F.shiftleft(F.lit(1), b)).otherwise(0),
+    )
+    return F.aggregate(bit_vals, F.lit(0), lambda acc, x: acc + x)
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit fingerprints (popcount via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
