@@ -156,37 +156,106 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash of the token set, as an int.
+def simhash32(text: Column, shingle_k: int = 3) -> Column:
+    """32-bit SimHash over the word-shingle set, as a bigint.
 
-    Per token, a 16-bit hash is carved from md5; each bit votes ±1; the sign
-    of each bit-position total forms the fingerprint. Near-duplicate texts
-    differ in few bit positions (small Hamming distance). Pure expression
-    algebra: aggregate over the token array with an array accumulator.
+    Per shingle, a 32-bit hash is carved from the first 8 md5 hex chars
+    (cross-engine: any SQL engine reproduces hex→int; an engine-private hash
+    like xxhash64 could never cross-check); each bit votes ±1; the sign of
+    each bit-position total forms the fingerprint. Near-duplicate texts
+    differ in few bit positions (small Hamming distance).
+
+    Shingles, not raw tokens: over a small shared vocabulary the distinct
+    *token sets* of unrelated documents collide heavily (measured on the
+    test corpus: 271 distinct token-level fingerprints across 500 docs vs
+    497 shingle-level), so k-gram features are required for the fingerprint
+    to discriminate. Pure expression algebra — JVM-side, no UDFs.
     """
-    toks = F.array_distinct(F.split(F.lower(text), " "))
-    # per-token 16-bit hash from the first 4 md5 hex chars (cross-engine: any
-    # SQL engine can reproduce hex→int; an engine-private hash could not)
+    shingles = word_shingles(text, shingle_k)
     hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+        shingles, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
-    # per-bit ±1 vote totals over all tokens
-    totals = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    bit_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda b: F.when(F.element_at(totals, b + 1) > 0, F.shiftleft(F.lit(1), b)).otherwise(0),
-    )
-    return F.aggregate(bit_vals, F.lit(0), lambda acc, x: acc + x)
+    # per-bit ±1 vote totals over all shingles; bit index is a plan-time
+    # constant (Python loop), letting shiftright take its int fast path.
+    # NB: the closure must stay 2-argument — pyspark binds one lambda
+    # variable per parameter, so a `b=b` default would become a third
+    # lambda variable, not a captured constant.
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fingerprint = F.lit(0).cast("bigint")
+    for b in range(32):
+        total_b = F.aggregate(hashes, F.lit(0), _vote(b))
+        fingerprint = fingerprint + F.when(total_b > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return fingerprint
 
 
-def hamming16(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit fingerprints (popcount via bit_count)."""
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two fingerprints (popcount via bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash band-blocking + exact Hamming verify.
+
+    The 32-bit fingerprint is split into ``bands`` contiguous bit-slices; only
+    pairs sharing at least one identical slice are compared. With 4 bands of
+    8 bits, any pair at Hamming distance ≤ 3 damages at most 3 slices, so at
+    least one slice survives intact — **recall is exactly 1.0 for
+    max_hamming ≤ bands - 1**, making the blocked result identical to the
+    quadratic scan (and oracle-checkable). The self-join shuffles on
+    (band_idx, band_val): bounded bucket sizes, no O(n²) pass.
+    """
+    width = 32 // bands
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col), shingle_k).alias("fp")
+    )
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_idx", "band.band_val")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming(F.col("fp_a"), F.col("fp_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

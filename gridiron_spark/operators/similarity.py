@@ -1,0 +1,112 @@
+"""Embedding similarity at scale: sign-random-projection (SRP) LSH bucketing.
+
+Brute-force cosine (queries/similarity.py) is one map-only pass for a single
+query vector, but *all-pairs* similarity (embedding near-dup) is O(n²) — at
+100 TB that is never an option. The scale path is Charikar SRP-LSH: project
+each vector onto ``planes`` fixed hyperplanes, take the sign bit of each
+projection, and only compare pairs whose sign-signatures collide. The
+candidate self-join shuffles on the bucket id; exact cosine verifies every
+candidate, so emitted (pair, score) rows are exact values — LSH only governs
+recall, which rises with fewer planes (bigger buckets) and with multiple
+independent tables.
+
+**Determinism / oracle-checkability:** hyperplanes are ±1 vectors derived
+from md5 parity at *plan-construction time* (plain Python, hashlib) and
+inlined as literals into both the Spark plan and the DuckDB oracle SQL — no
+engine RNG, no stored side-state. Dot products accumulate left-to-right
+(F.aggregate ≡ DuckDB list_sum over list_transform), so bucket signs and
+cosine values are bit-identical across engines (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.vectors import cosine
+
+
+def srp_signs(planes: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign p,d = parity of md5("{p}|{d}")."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) % 2 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def srp_bucket(vec: Column, signs: list[list[float]]) -> Column:
+    """LSH bucket id: bit p is set iff ⟨vec, Hₚ⟩ > 0.
+
+    Mirror SQL per plane: ``CASE WHEN list_sum(list_transform(list_zip(v,
+    [±1,...]), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN 2^p ELSE 0 END``.
+    """
+    bucket = F.lit(0)
+    for p, plane in enumerate(signs):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        dot_p = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """All-pairs embedding near-dup: SRP-bucketed candidates, exact-cosine
+    verified. Returns (vec_a, vec_b, cos_sim), vec_a < vec_b.
+
+    ``planes`` trades recall for bucket size: 2^planes buckets; expected
+    bucket population n/2^planes bounds the per-bucket quadratic cost. At
+    cluster scale raise planes (and/or add independent tables and union) so
+    buckets stay O(thousands); AQE skew-join covers hot buckets.
+    """
+    signs = srp_signs(planes, dims)
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), signs).alias("bucket"),
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def srp_bucket_sql(vec_expr: str, signs: list[list[float]]) -> str:
+    """The DuckDB mirror of :func:`srp_bucket`, with hyperplanes inlined."""
+    terms = []
+    for p, plane in enumerate(signs):
+        lit = "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip({vec_expr}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"

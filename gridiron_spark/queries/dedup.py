@@ -12,7 +12,63 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_pairs,
+)
 from gridiron_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle fragments. These mirror gridiron_spark.operators.dedup
+# expression-for-expression: split→lower→k-gram→distinct shingles, md5 hash
+# families under lexicographic min, banding by array slice. Every numeric
+# output is either an integer or an int/int division — bit-exact across
+# engines, so even the *approximate* operators hash-match the oracle.
+# ---------------------------------------------------------------------------
+
+# word_shingles(text, k=3): distinct word 3-grams; <3-word docs contribute
+# their whole text. range(0, n-2) (exclusive) == Spark sequence(0, n-3)
+# (inclusive): both emit n-2 shingles.
+_SHINGLES_CTE = """
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+)
+""".strip()
+
+_JACCARD_SQL = (
+    "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)"
+    " / (len(x.shingles) + len(y.shingles)"
+    " - len(list_intersect(x.shingles, y.shingles)))"
+)
+
+# simhash32: per-shingle 32-bit hash from the first 8 md5 hex chars; ±1 vote
+# per bit position; sign of each total forms the fingerprint.
+_SIMHASH_CTE = f"""
+{_SHINGLES_CTE},
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles,
+               t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS hashes
+    FROM sh
+),
+fp AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN CAST(list_sum(list_transform(hashes,
+                         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))
+                         AS INTEGER) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+    FROM hs
+)
+""".strip()
 
 
 @register(
@@ -66,3 +122,114 @@ def dedup_exact_keep_rows(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey="NS-dedup(MinHash+LSH),J1,A2",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, ub.b AS band_idx,
+           md5(array_to_string(sig[ub.b*4+1 : ub.b*4+4], '|')) AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+    SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands) candidate pairs, exact-Jaccard verified at
+    threshold 0.5. Deterministic md5 hash family → the *approximate* operator
+    is still oracle-checkable (operators/dedup.py design note)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        doc, threshold=0.5, num_hashes=16, bands=4, shingle_k=3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey="NS-dedup(n-gram Jaccard, exact),J1",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inv a JOIN inv b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+    SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard pairs (threshold 0.5) via inverted-index blocking
+    — the full-recall counterpart to the MinHash candidate generator."""
+    doc = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(doc, threshold=0.5, shingle_k=3)
+
+
+@register(
+    "simhash_fingerprint",
+    survey="NS-dedup(SimHash fingerprint),F-scalar",
+    oracle=f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM fp
+""",
+)
+def simhash_fingerprint(spark, sf_dir):
+    """32-bit shingle-SimHash per document (map-only: the scale path for
+    streaming fingerprint-at-ingest)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+@register(
+    "simhash_near_pairs",
+    survey="NS-dedup(SimHash near-dup),J1",
+    oracle=f"""
+WITH {_SIMHASH_CTE},
+banded AS (
+    SELECT doc_id, simhash, ub.b AS band_idx,
+           (simhash >> (ub.b * 8)) & 255 AS band_val
+    FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS fp_a, b.simhash AS fp_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+)
+def simhash_near_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 via 4×8-bit band blocking —
+    recall is exactly 1.0 (≤3 flipped bits leave ≥1 band intact), so the
+    blocked plan equals the quadratic scan and hash-matches the oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(doc, max_hamming=3, bands=4)

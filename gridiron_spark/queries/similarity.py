@@ -56,3 +56,45 @@ def ann_cosine_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(_TOP_K)
+
+
+_NEAR_THRESHOLD = 0.4
+_NEAR_PLANES = 4  # 16 buckets — sized so the sf-scale demo emits rows; at
+# cluster scale raise planes to keep per-bucket population bounded.
+
+_PAIR_COS_SQL = """
+list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+""".strip()
+
+
+def _near_pairs_oracle() -> str:
+    from gridiron_spark.operators.similarity import srp_bucket_sql, srp_signs
+
+    bucket = srp_bucket_sql("embedding", srp_signs(_NEAR_PLANES, 64))
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT * FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_COS_SQL} AS cos_sim
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_sim >= {_NEAR_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    survey="NS-dedup(embedding-cosine near-dup, SRP-LSH),J1",
+    oracle=_near_pairs_oracle(),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: deterministic SRP-LSH buckets (md5-derived
+    ±1 hyperplanes inlined into both engines), exact-cosine verification at
+    threshold 0.4 — the all-pairs-similarity scale path."""
+    from gridiron_spark.operators.similarity import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(
+        emb, threshold=_NEAR_THRESHOLD, planes=_NEAR_PLANES, dims=64
+    )

@@ -1,0 +1,114 @@
+"""Near-duplicate operator properties on the planted-dup documents corpus.
+
+The sf0.01 corpus has 25 planted near-dup pairs (Jaccard ≈ 0.99) against a
+background of ≈ 0.02 — threshold 0.5 separates them exactly. Value-level
+cross-engine equality is covered by test_oracle_parity; here we assert the
+*semantic* properties: recall/precision of each blocking scheme and the
+internal consistency between exact and approximate variants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.dedup import (
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_shingles,
+)
+from gridiron_spark.operators.similarity import embedding_near_pairs, srp_signs
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents").cache()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_ngram_jaccard_is_exact(spark, docs):
+    """Inverted-index blocking loses nothing: equals the quadratic scan."""
+    blocked = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    brute = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.s"), F.col("b.s")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    assert blocked == _pairs(brute)
+    assert len(blocked) == 25  # the planted pairs
+
+
+def test_minhash_lsh_recall_on_planted_pairs(spark, docs):
+    """At J≈0.99 every band collides — LSH recall on planted dups is 1.0,
+    and exact-Jaccard verification keeps precision at 1.0."""
+    lsh = _pairs(minhash_lsh_pairs(docs, threshold=0.5))
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert lsh == exact
+
+
+def test_simhash_banding_equals_quadratic_scan(spark, docs):
+    """Hamming ≤ 3 with 4 bands: ≥1 band intact ⇒ blocked == brute force."""
+    from gridiron_spark.operators.dedup import hamming, simhash32
+
+    blocked = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(docs).collect()}
+    fp = docs.select("doc_id", simhash32(F.col("text")).alias("fp"))
+    brute = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming(F.col("a.fp"), F.col("b.fp")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    assert blocked == {(r.doc_a, r.doc_b): r.hamming for r in brute.collect()}
+    # simhash finds (most of) the planted dups, none at distance > threshold
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert len(set(blocked) & exact) >= 15
+
+
+def test_srp_signs_deterministic():
+    a, b = srp_signs(4, 8), srp_signs(4, 8)
+    assert a == b
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+
+
+def test_embedding_near_pairs_subset_of_brute(spark):
+    """Bucketed pairs are a subset of the quadratic scan at the same
+    threshold (LSH drops candidates, never invents them), scores exact."""
+    from gridiron_spark.functions.vectors import cosine
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_pairs(emb, threshold=0.35, planes=4).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in (
+            emb.alias("a")
+            .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.35)
+        ).collect()
+    }
+    assert set(bucketed) <= set(brute)
+    assert all(bucketed[k] == brute[k] for k in bucketed)
