@@ -144,3 +144,48 @@ def keyed_dedup_earliest(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts_us", "value")
     )
+
+
+@register(
+    "streaming_tumbling_e2e",
+    survey="ST1 as real readStream->writeStream (availableNow), watermarked",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_FIVE_MIN_US}) * 300 AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_e2e(spark, sf_dir):
+    """REAL Structured Streaming, end to end: the lake's events table staged
+    as a file-source stream, watermarked tumbling aggregation, drained with
+    the availableNow trigger, result returned as a batch DataFrame — and
+    hash-checked against the same DuckDB oracle as the batch analog. This is
+    the proof that batch backfill and streaming tail produce identical rows
+    (the expressions are shared via gridiron_spark.streaming.pipelines).
+    """
+    import os
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        tumbling_agg,
+    )
+
+    stage = f"/tmp/gridiron_stream_stage/{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.isdir(stage) or not any(
+        f.endswith(".parquet") for f in os.listdir(stage)
+    ):
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_ts",
+            F.col("value").cast("double").alias("value"),
+        ).write.mode("overwrite").parquet(stage)
+    stream = stream_events(spark, stage)
+    result = run_available_now(tumbling_agg(stream), f"tumble_{uuid.uuid4().hex[:8]}")
+    return result.select("window_start", "event_type", "n", "sum_value")

@@ -1,0 +1,183 @@
+"""Streaming pipelines over events-shaped data.
+
+Design rules for 100 TB stream backfill + live tail:
+- Every aggregation carries a watermark so state is bounded; the watermark
+  delay is the late-data SLA, not a tuning knob.
+- Aggregation expressions are the *same Column objects* the batch analogs use
+  (queries/streaming_batch.py): batch backfill and streaming tail produce
+  byte-identical rows, which is what makes the lambda-architecture merge safe.
+- Stateful custom logic uses applyInPandasWithState (Arrow-batched, grouped
+  state) — never collect-and-loop.
+- No distinct aggregates in streams (unsupported by design — unbounded
+  state); approx_count_distinct is the scale substitute.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from gridiron_spark.functions.decimal_safe import dsum
+
+# canonical micro-batch event schema (events-shaped; ts as a proper timestamp
+# — the lake's nano longs are converted at the stream source boundary)
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event rows (parquet files appended to a dir).
+
+    File sources are the scale-safe default for backfill-style streams: each
+    micro-batch is a bounded file list, exactly-once via checkpoint file log.
+    """
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts + decimal-safe value sums.
+
+    Same bucket expression as the batch analog (F.window aligns to the epoch),
+    so the streaming output unions cleanly with batch backfill output.
+    """
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (each row lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.end").cast("long").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the streaming form
+    of the batch gaps-and-islands query (queries/streaming_batch.py)."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.session_window("ts_ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exactly-once dedup on event_id, state bounded by watermark."""
+    return events.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum) across micro-batches — custom stateful
+    operator exemplar (the applyInPandasWithState escape hatch for semantics
+    window/agg built-ins can't express)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals via applyInPandasWithState (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a streaming aggregation to a memory sink (complete mode) with
+    the availableNow trigger; returns the result as a batch DataFrame.
+
+    Complete mode is deliberate: append mode withholds windows the final
+    watermark hasn't passed, so an end-of-stream drain would silently drop
+    the tail. Memory sink bounds: aggregated output only (never raw rows).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,124 @@
+"""Structured Streaming pipelines: micro-batch file-source streams driven
+with availableNow, validated against the equivalent batch computation on the
+same rows (the core lambda-architecture invariant: stream == batch)."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridiron_spark.streaming.pipelines import (
+    EVENT_SCHEMA,
+    dedup_within_watermark,
+    run_available_now,
+    session_agg,
+    sliding_counts,
+    stateful_running_totals,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _ts(minute: float) -> datetime:
+    return datetime.fromtimestamp(1_700_000_000 + minute * 60, tz=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Two parquet files (= two micro-batches with maxFilesPerTrigger=1)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    batch1 = [
+        (1, 10, "click", _ts(0), 1.0),
+        (2, 10, "click", _ts(1), 2.0),
+        (3, 20, "view", _ts(2), 3.0),
+        (3, 20, "view", _ts(2), 3.0),  # duplicate event_id
+        (4, 20, "click", _ts(6), 4.0),
+    ]
+    batch2 = [
+        (5, 10, "view", _ts(7), 5.0),
+        (6, 20, "click", _ts(11), 6.0),
+        (7, 30, "view", _ts(50), 7.0),  # far later: new session for u30
+        (8, 10, "click", _ts(95), 8.0),  # >30 min after u10's last event
+    ]
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(d / f"b{i}"), mode="overwrite"
+        )
+    # file source wants a flat dir of files: point at the glob instead
+    return str(d / "b*")
+
+
+def _drain(df, mode="complete"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_agg_stream_equals_batch(spark, source_dir):
+    stream_res = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in _drain(tumbling_agg(stream_events(spark, source_dir))).collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(source_dir)
+    batch_res = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_agg(batch).collect()
+    }
+    assert stream_res == batch_res
+    assert len(stream_res) > 2
+
+
+def test_sliding_windows_double_count(spark, source_dir):
+    res = _drain(sliding_counts(stream_events(spark, source_dir))).collect()
+    total_events = spark.read.schema(EVENT_SCHEMA).parquet(source_dir).count()
+    # 10-min window sliding by 5: every event lands in exactly 2 windows
+    assert sum(r.n for r in res) == 2 * total_events
+
+
+def test_session_agg_gap_semantics(spark, source_dir):
+    res = _drain(session_agg(stream_events(spark, source_dir))).collect()
+    by_user = {}
+    for r in res:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 10: events at minutes 0,1,7,95 → the 95' event opens session 2
+    assert len(by_user[10]) == 2
+    # user 20: 2,2,6,11 all within 30-min gaps → one session
+    assert len(by_user[20]) == 1
+    assert by_user[20][0].n_events == 4
+
+
+def test_dedup_within_watermark(spark, source_dir):
+    res = _drain(
+        dedup_within_watermark(stream_events(spark, source_dir)), mode="append"
+    ).collect()
+    ids = [r.event_id for r in res]
+    assert len(ids) == len(set(ids)) == 8  # 9 rows, one duplicated event_id
+
+
+def test_stateful_running_totals_across_batches(spark, source_dir):
+    """applyInPandasWithState carries state between micro-batches: with
+    maxFilesPerTrigger=1 the final update per user equals the batch total."""
+    stream = stream_events(spark, source_dir, max_files_per_trigger=1)
+    updates = _drain(stateful_running_totals(stream), mode="update").collect()
+    final = {}
+    for r in updates:  # update-mode memory sink appends every update row
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(source_dir)
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == expected
