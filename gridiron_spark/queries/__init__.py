@@ -39,6 +39,8 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.dedup",
     "gridiron_spark.queries.similarity",
     "gridiron_spark.queries.streaming_batch",
+    "gridiron_spark.queries.multimodal",
+    "gridiron_spark.queries.tensor",
 )
 
 

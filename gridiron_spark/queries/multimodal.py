@@ -1,0 +1,69 @@
+"""Multimodal pipeline queries: binary payload columns over the documents
+corpus (operators/multimodal.py). The decode stage is a real mapInPandas pass
+whose stand-in decode is deterministic (md5 + byte stats), so even the
+UDF-backed pipeline hash-matches a DuckDB oracle — the codec boundary is the
+only stubbed piece (no media libs in this container)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.multimodal import (
+    decode_media,
+    extract_media_embedding,
+    media_from_documents,
+    sample_frames,
+)
+from gridiron_spark.queries import register
+
+
+@register(
+    "multimodal_decode",
+    survey="NS-multimodal(decode via mapInPandas, binary payload)",
+    oracle="""
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5,
+       TRUE AS decoded_ok
+FROM documents
+""",
+)
+def multimodal_decode(spark, sf_dir):
+    """Binary payload → Arrow-batched decode (mapInPandas). The fake decode
+    is content-deterministic, so the whole UDF stage is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    survey="NS-multimodal(video frame sampling, metadata-only)",
+    oracle="""
+SELECT doc_id AS media_id, f.frame_idx
+FROM documents
+CROSS JOIN LATERAL (
+    SELECT unnest(range(0, CAST(n_chars % 60 + 1 AS BIGINT), 10)) AS frame_idx
+) f
+WHERE doc_id % 3 = 2
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-index manifest for video rows — pure Column algebra over the
+    metadata struct; payload bytes never touched (the 100 TB-safe shape:
+    sampling decisions cost metadata reads only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(media_from_documents(docs), every_n=10)
+
+
+@register(
+    "multimodal_embed",
+    survey="NS-multimodal(feature extraction via pandas_udf) — rows-only",
+    oracle=None,  # array<float> output; the embedding body is the swappable
+    # model boundary, so only the plumbing contract is graded here
+)
+def multimodal_embed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = extract_media_embedding(media_from_documents(docs), dims=16)
+    return emb.select("media_id", "kind", "embedding")

@@ -164,20 +164,36 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = 32
+) -> DataFrame:
     """Drain a streaming aggregation to a memory sink (complete mode) with
     the availableNow trigger; returns the result as a batch DataFrame.
 
     Complete mode is deliberate: append mode withholds windows the final
     watermark hasn't passed, so an end-of-stream drain would silently drop
     the tail. Memory sink bounds: aggregated output only (never raw rows).
+
+    Streaming state shuffles are exempt from AQE coalescing, so the default
+    200 shuffle partitions means 200 state stores regardless of data volume;
+    ``state_partitions`` pins a sane count at query start (state partitioning
+    is frozen into the checkpoint on first run — size it for the target
+    load, not the first batch). The session conf is restored afterwards.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
+    return spark.table(query_name)
