@@ -69,6 +69,149 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
 
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exploded distinct (doc_id, shingle) rows — the shared base for every
+    shingle aggregate. Two deliberate plan choices, both measured:
+
+    1. Exploding once and aggregating beats per-row array expressions: the
+       shuffle materializes each md5 exactly once, where nested array
+       expressions get re-evaluated per reference (projection collapsing
+       inlines the fingerprint expression into every band and join side).
+    2. Shingles are assembled token-row-wise (posexplode + lead window), not
+       with F.transform over the token array: codegen does no common-
+       subexpression elimination inside lambda bodies, so the transform form
+       re-runs split(lower(text)) for every shingle (~50× per doc — 6.1s vs
+       1.5s on the sf0.1 corpus). The window shuffles token rows by doc_id —
+       linear, partial-agg-friendly, and skew-free (docs are bounded).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+    exploded = toks.filter(F.size("toks") >= k).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        exploded.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+            ).alias("shingle"),
+            F.lead("tok", k - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    short = toks.filter(F.size("toks") < k).select(
+        "doc_id", F.concat_ws(" ", "toks").alias("shingle")
+    )
+    return grams.unionByName(short).dropDuplicates(["doc_id", "shingle"])
+
+
+def minhash_signature_df(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig array<string>) via grouped min — partial (map-side)
+    aggregation makes this one bounded shuffle on doc_id."""
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingles.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def simhash_df(shingles: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash bigint) via grouped per-bit vote sums — identical
+    values to :func:`simhash32`, linear plan shape (one md5 per shingle, one
+    shuffle), vs the scalar form's per-reference re-evaluation."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"t{b}")
+        for b in range(bits)
+    ]
+    agg = shingles.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def pair_intersection_counts(
+    shingles: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle.
+
+    Count-based: |A∩B| is the row count of the inverted-index self-join per
+    pair, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes — shingle sets never
+    travel through the pair shuffle (carrying the arrays and deduplicating
+    wide rows was the measured bottleneck). At 100 TB add prefix filtering
+    (sort shingles by global frequency, index only each doc's rarest few)
+    to cap hot-shingle fan-out; here hot buckets are AQE skew-join territory.
+
+    With ``candidates`` (doc_a, doc_b), only those pairs are scored: the
+    candidate list drives the join, so verification cost follows the (small)
+    candidate count, not the all-sharing-pairs count — this is what makes an
+    LSH candidate generator actually pay off downstream.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        pair_counts = (
+            candidates.select("doc_a", "doc_b")
+            .join(shingles.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(
+                shingles.alias("b"),
+                (F.col("doc_b") == F.col("b.doc_id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        pair_counts = (
+            shingles.alias("a")
+            .join(
+                shingles.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    return (
+        pair_counts.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -84,19 +227,16 @@ def minhash_lsh_pairs(
     one LSH band whose true shingle-set Jaccard ≥ threshold, doc_a < doc_b.
     """
     rows = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = base.select(
+    sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    sig = minhash_signature_df(sh, num_hashes)
+    banded = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band_idx", "band_key"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -104,13 +244,14 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact verification restricted to the candidate pairs (a band collision
+    # with zero shared shingles has jaccard 0 — the inner count-join drops
+    # it, as the threshold would anyway)
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pair_intersection_counts(sh, candidates=cand)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -130,30 +271,8 @@ def ngram_jaccard_pairs(
     join shuffles on the shingle value — the exact-recall counterpart to the
     MinHash candidate generator.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    )
-    inv = base.select("doc_id", "shingles", F.explode("shingles").alias("shingle"))
-    pairs = (
-        inv.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    return pair_intersection_counts(sh).filter(F.col("jaccard") >= threshold)
 
 
 def simhash32(text: Column, shingle_k: int = 3) -> Column:
@@ -218,8 +337,8 @@ def simhash_near_pairs(
     (band_idx, band_val): bounded bucket sizes, no O(n²) pass.
     """
     width = 32 // bands
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"), simhash32(F.col(text_col), shingle_k).alias("fp")
+    fp = simhash_df(shingle_rows(docs, id_col, text_col, shingle_k)).withColumnRenamed(
+        "simhash", "fp"
     )
     banded = fp.select(
         "doc_id",

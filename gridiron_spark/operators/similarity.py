@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gridiron_spark.functions.vectors import cosine
+from gridiron_spark.functions.vectors import cosine, dot, norm2
 
 
 def srp_signs(planes: int, dims: int) -> list[list[float]]:
@@ -74,10 +74,13 @@ def embedding_near_pairs(
     buckets stay O(thousands); AQE skew-join covers hot buckets.
     """
     signs = srp_signs(planes, dims)
+    # norms precomputed per vector (not per pair): same float expression as
+    # cosine()'s denominator, evaluated n times instead of n²/buckets times
     bucketed = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         srp_bucket(F.col(vec_col), signs).alias("bucket"),
+        norm2(F.col(vec_col)).alias("nrm"),
     )
     cand = (
         bucketed.alias("a")
@@ -89,15 +92,12 @@ def embedding_near_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            (
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
         )
     )
-    return (
-        cand.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+    return cand.filter(F.col("cos_sim") >= threshold)
 
 
 def srp_bucket_sql(vec_expr: str, signs: list[list[float]]) -> str:

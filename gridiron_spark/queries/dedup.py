@@ -15,7 +15,8 @@ from gridiron_spark.io.tables import load_table
 from gridiron_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash32,
+    shingle_rows,
+    simhash_df,
     simhash_near_pairs,
 )
 from gridiron_spark.queries import register
@@ -199,10 +200,11 @@ SELECT doc_id, simhash FROM fp
 """,
 )
 def simhash_fingerprint(spark, sf_dir):
-    """32-bit shingle-SimHash per document (map-only: the scale path for
-    streaming fingerprint-at-ingest)."""
+    """32-bit shingle-SimHash per document, in the exploded-aggregation plan
+    shape (one md5 per shingle, partial-agg vote sums, one shuffle on
+    doc_id) — value-identical to the scalar operators.dedup.simhash32."""
     doc = load_table(spark, sf_dir, "documents")
-    return doc.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+    return simhash_df(shingle_rows(doc))
 
 
 @register(

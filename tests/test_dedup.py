@@ -81,6 +81,20 @@ def test_simhash_banding_equals_quadratic_scan(spark, docs):
     assert len(set(blocked) & exact) >= 15
 
 
+def test_simhash_agg_form_equals_scalar_form(spark, docs):
+    """The exploded-aggregation plan (simhash_df) and the scalar Column
+    expression (simhash32) are the same function — values must agree."""
+    from gridiron_spark.operators.dedup import shingle_rows, simhash32, simhash_df
+
+    sample = docs.limit(50)
+    agg_form = {r.doc_id: r.simhash for r in simhash_df(shingle_rows(sample)).collect()}
+    scalar_form = {
+        r.doc_id: r.simhash
+        for r in sample.select("doc_id", simhash32(F.col("text")).alias("simhash")).collect()
+    }
+    assert agg_form == scalar_form
+
+
 def test_srp_signs_deterministic():
     a, b = srp_signs(4, 8), srp_signs(4, 8)
     assert a == b
