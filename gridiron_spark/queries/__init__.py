@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.streaming_batch",
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
+    "gridiron_spark.queries.advanced",
 )
 
 

@@ -1,0 +1,197 @@
+"""Advanced relational operators beyond the reference's direct surface:
+as-of join, range join, grouped top-k, rollup, batch sliding windows.
+
+The reference has "no theta/range/as-of/anti joins" (SURVEY.md §2.3) but its
+event-tag-propagation use case calls for as-of semantics (§2.3 note, §7);
+these close that gap Spark-first. Each query pairs with an ANSI-SQL oracle
+using the *same algorithmic formulation* (e.g. the as-of join is the
+last-non-null-over-ordered-window form in both engines), so results
+hash-match bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dsum
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+
+
+@register(
+    "asof_join_events",
+    survey="J-asof(event-tag propagation): last-non-null over ordered window",
+    oracle="""
+SELECT event_id, user_id, ts_us, ref_ts_us, ref_value
+FROM (
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS ref_ts_us,
+           last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER w AS ref_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+WHERE event_type = 'click'
+""",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join, composition form: for each click, the user's most recent
+    view at-or-before it. One shuffle on user_id + one sorted window pass —
+    the scalable shape (a naive range self-join is quadratic per user; the
+    sort-based form is how kdb/Flink implement as-of). Ties broken by
+    event_id, identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(F.when(is_view, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("ref_ts_us"),
+        F.last(F.when(is_view, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("ref_value"),
+    )
+    return enriched.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "ref_ts_us", "ref_value"
+    )
+
+
+_BANDS = [("q0_10", 0.0, 10.0), ("q10_20", 10.0, 20.0), ("q20_30", 20.0, 30.0),
+          ("q30_40", 30.0, 40.0), ("q40_up", 40.0, 1e9)]
+
+
+@register(
+    "range_join_bands",
+    survey="J-range(banded dimension, broadcast nested-loop)",
+    oracle=f"""
+SELECT b.band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+     AS b(band, lo, hi)
+  ON l_quantity >= b.lo AND l_quantity < b.hi
+GROUP BY b.band
+""",
+)
+def range_join_bands(spark, sf_dir):
+    """Range (theta) join against a tiny banding dimension: broadcast
+    nested-loop on an interval predicate, then hash agg. The broadcast makes
+    the inequality join a map-side pass at any fact-table scale; bands with
+    wide intervals are the skew knob (disjoint bands → no fan-out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+@register(
+    "topk_per_group",
+    survey="W2+O5(grouped top-k via row_number)",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer: row_number + filter — one shuffle, sort
+    bounded per group; Spark pushes the rank filter into the sort via
+    WindowGroupLimit (verify in explain: no full per-group materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "rollup_revenue",
+    survey="A-rollup(hierarchical grouping sets)",
+    oracle="""
+SELECT year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       GROUPING(year(o_orderdate), month(o_orderdate)) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+""",
+)
+def rollup_revenue(spark, sf_dir):
+    """Year→month rollup with grand total: Catalyst expands grouping sets
+    into one Expand + hash agg (single shuffle, partial-agg friendly)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+    )
+    return o.rollup("o_year", "o_month").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+_SLIDE_S = 300
+_SLIDE_US = _SLIDE_S * 1_000_000
+
+
+@register(
+    "sliding_window_agg",
+    survey="ST1(sliding window, batch form)",
+    oracle=f"""
+SELECT ws AS window_start, event_type, COUNT(*) AS n
+FROM (
+    SELECT event_type,
+           (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_S} - u.k * {_SLIDE_S} AS ws
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+)
+GROUP BY 1, 2
+""",
+)
+def sliding_window_agg(spark, sf_dir):
+    """10-minute windows sliding by 5: each event lands in exactly 2 buckets
+    (F.window expands rows window/slide-fold before the agg — same plan in
+    batch and streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts_ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"), "event_type", "n"
+        )
+    )
