@@ -100,6 +100,65 @@ def embedding_near_pairs(
     return cand.filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, probe the nearest lists.
+
+    The IVF recipe at scale: (1) pick coarse centroids — here a deterministic
+    1-in-``centroid_stride`` subset of the vectors themselves (a real build
+    uses k-means; the *search* structure is identical and determinism keeps
+    the whole operator oracle-checkable); (2) assign every vector to its
+    nearest centroid (linear pass, one window shuffle on vec_id — at 100 TB
+    this is the index build, amortized across queries); (3) at query time
+    score only the ``n_probe`` nearest centroid lists — search cost drops by
+    ~centroids/n_probe vs brute force, recall governed by n_probe.
+
+    Ties broken by (cos DESC, id ASC) everywhere; all cosine math is the
+    left-fold double form (functions/vectors.py) so scores hash-match.
+    """
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(cents)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            cosine(F.col("v"), F.col("cvec")).desc(), "cid"
+        )
+    )
+    assigned = (
+        pairs.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select("cid", cosine(F.col("cvec"), F.col("qvec")).alias("qc"))
+        .orderBy(F.col("qc").desc(), "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qvec")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def srp_bucket_sql(vec_expr: str, signs: list[list[float]]) -> str:
     """The DuckDB mirror of :func:`srp_bucket`, with hyperplanes inlined."""
     terms = []

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
     "gridiron_spark.queries.advanced",
+    "gridiron_spark.queries.scale",
 )
 
 

@@ -1,0 +1,120 @@
+"""Scale-technique queries: skew-salted aggregation, anti join, exact
+quantiles, regex (BPE-ish) tokenization. Each demonstrates a 100 TB pattern
+whose *result* is ordinary SQL — so the oracle checks the technique costs
+nothing in correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dec
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.skew import salted_agg
+from gridiron_spark.queries import register
+
+
+@register(
+    "salted_hot_key_agg",
+    survey="A-skew(two-stage salted aggregation over hot keys)",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_hot_key_agg(spark, sf_dir):
+    """events grouped by event_type — a handful of distinct values, i.e. the
+    canonical hot-key aggregation. Salting on pmod(event_id, 16) splits each
+    key's merge across 16 tasks; the decimal sum keeps the two-stage result
+    bit-equal to the direct aggregation (associativity), which the oracle
+    verifies against plain GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_source=F.col("event_id"),
+        partial_aggs=[
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(dec("value")).alias("sum_part"),
+        ],
+        merge_aggs=[
+            F.sum("n_part").alias("n"),
+            F.sum("sum_part").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "anti_join_customers",
+    survey="J-anti(left anti join)",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_customers(spark, sf_dir):
+    """Customers with no orders: left anti join (broadcast of the distinct
+    key set when it fits; shuffle-hash otherwise — Catalyst's choice)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "quantile_stats",
+    survey="A-quantile(exact percentiles per group)",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+""",
+)
+def quantile_stats(spark, sf_dir):
+    """Exact per-group percentiles (linear interpolation — the ANSI
+    PERCENTILE_CONT definition both engines implement). Exact quantiles sort
+    within group; at 100 TB swap to approx_percentile with a documented
+    error bound — kept exact here so the oracle can hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+
+
+# RE2-safe (no lookahead) GPT-2-style pre-tokenizer classes: space-prefixed
+# letter runs, digit runs, punctuation runs. Identical match semantics in
+# Java regex (Spark) and RE2 (DuckDB) because only character classes are used.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "text_regex_tokens",
+    survey="NS-text(BPE-ish regex tokenization)",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents
+""",
+)
+def text_regex_tokens(spark, sf_dir):
+    """Token counting, BPE-pre-tokenizer flavor: count regex segment matches
+    (letter/digit/punct runs with space prefixes) next to the whitespace
+    count — the standard cheap proxy pair for LLM token budgeting."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )

@@ -58,6 +58,55 @@ def ann_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(_TOP_K)
 
 
+_COS_AB = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+""".strip()
+
+
+@register(
+    "ann_ivf_topk",
+    survey="NS-sim(IVF coarse-quantized top-k — the scale path)",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding AS v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_AB.format(a="e.embedding", b="c.cvec")} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, {_COS_AB.format(a="c.cvec", b="q.qvec")} AS qc
+        FROM cents c CROSS JOIN q
+    ) ORDER BY qc DESC, cid LIMIT 3
+)
+SELECT a.vec_id, {_COS_AB.format(a="a.v", b="q.qvec")} AS cos_sim
+FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q
+WHERE a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {_TOP_K}
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (centroid stride 50, 3 probes) — deterministic
+    coarse quantization makes even the *approximate* index oracle-checkable;
+    ann_cosine_topk remains the exact-recall baseline to compare against."""
+    from gridiron_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QUERY_VEC_ID, k=_TOP_K, centroid_stride=50, n_probe=3)
+
+
 _NEAR_THRESHOLD = 0.4
 _NEAR_PLANES = 4  # 16 buckets — sized so the sf-scale demo emits rows; at
 # cluster scale raise planes to keep per-bucket population bounded.

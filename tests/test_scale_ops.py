@@ -1,0 +1,74 @@
+"""Scale-technique operator properties: salting changes the plan, never the
+result; IVF trades recall for probe count in the documented direction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dec
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.similarity import ivf_topk
+from gridiron_spark.operators.skew import salted_agg
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_agg_equals_direct(spark):
+    ev = load_table(spark, SF_ORACLE, "events")
+    salted = {
+        r.event_type: (r.n, r.sum_value)
+        for r in salted_agg(
+            ev,
+            keys=["event_type"],
+            salt_source=F.col("event_id"),
+            partial_aggs=[
+                F.count(F.lit(1)).alias("n_part"),
+                F.sum(dec("value")).alias("sum_part"),
+            ],
+            merge_aggs=[
+                F.sum("n_part").alias("n"),
+                F.sum("sum_part").cast("double").alias("sum_value"),
+            ],
+        ).collect()
+    }
+    direct = {
+        r.event_type: (r.n, r.sum_value)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert salted == direct  # bit-exact: decimal merge is associative
+
+
+def test_ivf_results_are_true_cosines_and_recall_monotone(spark):
+    """IVF scores are exact for returned ids (only *membership* is
+    approximate), and recall against brute force grows with n_probe."""
+    from gridiron_spark.functions.vectors import cosine
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+    exact = {r.vec_id: r.cos_sim for r in brute.collect()}
+
+    recalls = []
+    for n_probe in (1, 3, 10):
+        got = {
+            r.vec_id: r.cos_sim
+            for r in ivf_topk(emb, 0, k=10, centroid_stride=50, n_probe=n_probe).collect()
+        }
+        for vid, cs in got.items():
+            if vid in exact:
+                assert cs == exact[vid]  # scores never approximated
+        recalls.append(len(set(got) & set(exact)) / len(exact))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= 0.9  # probing all 10 lists ≈ exhaustive
