@@ -1,0 +1,124 @@
+"""Command-line entry points mirroring the reference's user surface:
+``ingest`` (reference src/ingest.py:117-124 + Makefile ingest/ingest-dry),
+``export`` (src/export.py), ``diagnose`` (scripts/diagnose_pool.py),
+``sample`` (the README.md:53-68 query API as a one-shot command).
+
+Each subcommand is a thin adapter over the library — all real behavior
+(normalization, partitioned writes, seeded sampling) is the tested package
+code. ``python -m gridiron_spark <cmd> --help`` for usage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from gridiron_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_ingest(args, spark: SparkSession) -> int:
+    from gridiron_spark.ingest import LakeIngestor
+
+    ing = LakeIngestor(spark, schema=args.schema, pool=args.output)
+    summary = ing.ingest(args.input, dry_run=args.dry_run)
+    print(
+        f"{'DRY RUN: ' if args.dry_run else ''}rows={summary.n_rows} "
+        f"games={summary.n_games} plays={summary.n_plays} max_frame={summary.max_frame}"
+    )
+    return 0
+
+
+def cmd_export(args, spark: SparkSession) -> int:
+    from gridiron_spark.pool import Pool
+
+    pool = Pool(spark, args.pool)
+    df = pool.scan() if args.n is None else pool.sample_plays(args.n, seed=args.seed)
+    pool.export_csv(df, args.output)
+    print(f"exported {df.count()} rows -> {args.output}")
+    return 0
+
+
+def cmd_diagnose(args, spark: SparkSession) -> int:
+    """Pool health check (scripts/diagnose_pool.py semantics): path exists,
+    scannable, schema printable, one row readable — via limit(1), never a
+    full collect."""
+    from gridiron_spark.pool import Pool
+
+    try:
+        pool = Pool(spark, args.pool)
+    except FileNotFoundError as e:
+        print(f"FAIL: {e}")
+        return 1
+    df = pool.scan()
+    print("schema:")
+    for f in df.schema.fields:
+        print(f"  {f.name}: {f.dataType.simpleString()}")
+    ok = pool.probe()
+    print("probe: OK (1 row readable)" if ok else "FAIL: no rows readable")
+    return 0 if ok else 1
+
+
+def cmd_sample(args, spark: SparkSession) -> int:
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.pool import Pool
+
+    pool = Pool(spark, args.pool)
+    filters = [F.expr(f) for f in args.filter or []]
+    df = pool.sample_plays(args.n, filters=filters, seed=args.seed)
+    n_plays = df.select("gameId", "playId").distinct().count()
+    print(f"sampled {n_plays} plays / {df.count()} rows (seed={args.seed})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gridiron_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="normalize CSVs into the partitioned lake")
+    pi.add_argument("--input", required=True, help="CSV file or glob")
+    pi.add_argument("--schema", required=True, help="YAML schema path")
+    pi.add_argument("--output", required=True, help="lake root directory")
+    pi.add_argument("--dry-run", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pe = sub.add_parser("export", help="dump (sampled) pool to CSV")
+    pe.add_argument("--pool", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--n", type=int, default=None, help="sample n plays (default: all)")
+    pe.add_argument("--seed", type=int, default=42)
+    pe.set_defaults(fn=cmd_export)
+
+    pd = sub.add_parser("diagnose", help="pool health check")
+    pd.add_argument("--pool", required=True)
+    pd.set_defaults(fn=cmd_diagnose)
+
+    ps = sub.add_parser("sample", help="seeded exact-n play sample")
+    ps.add_argument("--pool", required=True)
+    ps.add_argument("--n", type=int, required=True)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument(
+        "--filter", action="append", help="SQL predicate, repeatable (conjunctive)"
+    )
+    ps.set_defaults(fn=cmd_sample)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    s = spark or _spark(f"gridiron-{args.cmd}")
+    try:
+        return args.fn(args, s)
+    finally:
+        if spark is None:
+            s.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

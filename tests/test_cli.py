@@ -1,0 +1,83 @@
+"""CLI subcommands driven in-process (shared test session; each command is a
+thin adapter over tested library code — these tests pin the wiring and exit
+codes, plus a full ingest→diagnose→sample→export round trip on fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gridiron_spark.cli import main
+from gridiron_spark.fixtures import write_tracking_csvs
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_lake")
+    csv_dir = root / "csv"
+    write_tracking_csvs(csv_dir, n_games=2, plays_per_game=3, frames_per_play=5, seed=7)
+    schema = "gridiron_spark/configs/tracking.yaml"
+    pool = root / "pool"
+    rc = main(
+        [
+            "ingest",
+            "--input",
+            f"{csv_dir}/*.csv",
+            "--schema",
+            schema,
+            "--output",
+            str(pool),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    return pool
+
+
+def test_ingest_dry_run(spark, lake, tmp_path, capsys):
+    csv_dir = tmp_path / "csv2"
+    write_tracking_csvs(csv_dir, n_games=1, plays_per_game=2, frames_per_play=4, seed=9)
+    rc = main(
+        [
+            "ingest",
+            "--input",
+            f"{csv_dir}/*.csv",
+            "--schema",
+            "gridiron_spark/configs/tracking.yaml",
+            "--output",
+            str(tmp_path / "nope"),
+            "--dry-run",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "DRY RUN" in capsys.readouterr().out
+    assert not (tmp_path / "nope").exists()  # dry run writes nothing
+
+
+def test_diagnose_ok_and_missing(spark, lake, tmp_path, capsys):
+    assert main(["diagnose", "--pool", str(lake)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "schema:" in out and "probe: OK" in out
+    assert main(["diagnose", "--pool", str(tmp_path / "missing")], spark=spark) == 1
+
+
+def test_sample_with_filter(spark, lake, capsys):
+    rc = main(
+        ["sample", "--pool", str(lake), "--n", "2", "--seed", "1",
+         "--filter", "frameId >= 1"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sampled 2 plays" in capsys.readouterr().out
+
+
+def test_export_roundtrip(spark, lake, tmp_path):
+    out = tmp_path / "dump"
+    rc = main(
+        ["export", "--pool", str(lake), "--output", str(out), "--n", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.option("header", True).csv(str(out))
+    assert back.count() > 0
+    assert {"gameId", "playId", "frameId"} <= set(back.columns)
