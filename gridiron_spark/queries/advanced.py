@@ -165,6 +165,36 @@ def rollup_revenue(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    survey="A-pivot(long→wide with explicit value list)",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark, sf_dir):
+    """Per-user event-type pivot. The value list is explicit — at scale a
+    dynamic pivot needs a driver-side distinct first (an extra job) and an
+    unbounded column count; pinning the values keeps the plan a single
+    hash agg. Absent combinations coalesce to 0 (pivot yields null)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
 _SLIDE_S = 300
 _SLIDE_US = _SLIDE_S * 1_000_000
 
