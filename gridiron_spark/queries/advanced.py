@@ -165,6 +165,101 @@ def rollup_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "multi_join_topk_revenue",
+    survey="J1×2+A+O(3-way join, agg, top-k — TPC-H Q3 shape)",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, year(o_orderdate)
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def multi_join_topk_revenue(spark, sf_dir):
+    """Customer→orders→lineitem revenue top-10 (Q3 shape): the segment
+    filter prunes customer before the join (Catalyst pushes it to the scan);
+    customer and the filtered orders broadcast under AQE, so lineitem — the
+    100 TB side — is never shuffled; TakeOrderedAndProject caps the sort at
+    k rows per partition."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "string_functions",
+    survey="F-strings(regexp_replace/pad/translate/repeat/reverse)",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       reverse(c_mktsegment) AS seg_rev,
+       repeat(substring(c_mktsegment, 1, 2), 3) AS seg_echo,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel
+FROM customer
+""",
+)
+def string_functions(spark, sf_dir):
+    """String-function parity beyond the reference's lower/slice (SURVEY
+    §2.8): regex masking, padding, translate — all JVM builtins, shared
+    semantics with ANSI SQL (regex kept to character classes: Java and RE2
+    agree)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_echo"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lowvowel"),
+    )
+
+
+@register(
+    "array_functions",
+    survey="F-arrays(size/slice/min/max/contains/sort over array<float>)",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dims,
+       embedding[1:4] AS head4,
+       list_min(embedding) AS vmin,
+       list_max(embedding) AS vmax,
+       list_sort(embedding[1:4]) AS head4_sorted
+FROM embeddings
+""",
+)
+def array_functions(spark, sf_dir):
+    """Array-function parity over the embedding column — the slice/min/max/
+    sort primitives the vector and tensor operators compose; float32
+    elements widen identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_min("embedding").alias("vmin"),
+        F.array_max("embedding").alias("vmax"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("head4_sorted"),
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -69,6 +69,42 @@ def window_lag_delta(spark, sf_dir):
 
 
 @register(
+    "window_rank_suite",
+    survey="W-rank(rank/dense_rank/percent_rank/cume_dist/ntile)",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_rank_suite(spark, sf_dir):
+    """The full ANSI ranking-function family over one window spec — one
+    shuffle on the partition key, one sort, five functions in a single
+    Window physical node. percent_rank/cume_dist are exact rationals
+    ((rank-1)/(n-1), rank/n) so doubles match bit-exactly cross-engine."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "window_frame_stats",
     survey="W3(count/min/max over partition)",
     oracle="""

@@ -176,9 +176,9 @@ def streaming_tumbling_e2e(spark, sf_dir):
     )
 
     stage = f"/tmp/gridiron_stream_stage/{sf_dir.strip('/').replace('/', '_')}"
-    if not os.path.isdir(stage) or not any(
-        f.endswith(".parquet") for f in os.listdir(stage)
-    ):
+    # _SUCCESS gate, not just *.parquet presence: a killed prior writer can
+    # leave a partial file set that would silently under-count
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id",
             "user_id",
