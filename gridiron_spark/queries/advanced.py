@@ -260,6 +260,74 @@ def array_functions(spark, sf_dir):
     )
 
 
+@register(
+    "datetime_functions",
+    survey="F-datetime(extract/trunc/diff — int-valued, tz-safe)",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95
+FROM orders
+""",
+)
+def datetime_functions(spark, sf_dir):
+    """Datetime parity: extraction, truncation, day arithmetic. Everything
+    returns integers (epochs, not timestamps) — timestamp *values* don't
+    cross engines safely (timezone rendering), integer time math does."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+            "month_start_epoch"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_since_95"),
+    )
+
+
+_UDAF_SCHEMA = "user_id bigint, n bigint, mean_value double, value_range double"
+
+
+@register(
+    "pandas_udaf_stats",
+    survey="§2.9 grouped-agg pandas UDF — rows-only (float sum order is "
+    "engine-internal; plumbing is the coverage target)",
+    oracle=None,
+)
+def pandas_udaf_stats(spark, sf_dir):
+    """Grouped aggregation through Arrow (applyInPandas as a UDAF): per-user
+    event stats computed in vectorized numpy. Values are sorted before
+    summing so the result is deterministic run-to-run (same multiset → same
+    fold order) even though partial-sum order differs from any SQL engine —
+    hence the rows-only check, with count/min/max verifiable against
+    quantile_stats/salted_hot_key_agg oracles."""
+    import pandas as pd
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        v.sort()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(v)],
+                "mean_value": [float(v.sum() / len(v))],
+                "value_range": [float(v[-1] - v[0])],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        _stats, schema=_UDAF_SCHEMA
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
