@@ -126,18 +126,23 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm2(F.col(vec_col)).alias("cnrm"),
     )
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )
-    pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
-        F.broadcast(cents)
-    )
+    # norms per vector/centroid, not per (vector, centroid) pair — the
+    # assignment pass is n × centroids cosines, its one optimizable constant
+    pairs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm2(F.col(vec_col)).alias("vnrm"),
+    ).join(F.broadcast(cents))
+    pair_cos = dot(F.col("v"), F.col("cvec")) / (F.col("vnrm") * F.col("cnrm"))
     rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            cosine(F.col("v"), F.col("cvec")).desc(), "cid"
-        )
+        Window.partitionBy("vec_id").orderBy(pair_cos.desc(), "cid")
     )
     assigned = (
         pairs.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "v", "cid")

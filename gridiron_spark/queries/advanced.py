@@ -260,6 +260,30 @@ def array_functions(spark, sf_dir):
     )
 
 
+_EXISTS_SQL = """
+SELECT s.s_suppkey, s.s_nationkey
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+)
+"""
+
+
+@register(
+    "sql_api_exists",
+    survey="SQL-string API + correlated EXISTS (decorrelated to semi join)",
+    oracle=_EXISTS_SQL,
+)
+def sql_api_exists(spark, sf_dir):
+    """The spark.sql() surface: temp views + the *same SQL text* as the
+    oracle. Catalyst decorrelates the EXISTS into a left semi join (no
+    per-row subquery execution) — the plan to check in explain."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
 @register(
     "datetime_functions",
     survey="F-datetime(extract/trunc/diff — int-valued, tz-safe)",
