@@ -166,7 +166,6 @@ def streaming_tumbling_e2e(spark, sf_dir):
     the proof that batch backfill and streaming tail produce identical rows
     (the expressions are shared via gridiron_spark.streaming.pipelines).
     """
-    import os
     import uuid
 
     from gridiron_spark.streaming.pipelines import (
@@ -175,9 +174,18 @@ def streaming_tumbling_e2e(spark, sf_dir):
         tumbling_agg,
     )
 
+    # staging gated on _SUCCESS, not *.parquet presence: a killed prior
+    # writer can leave a partial file set that would silently under-count
+    stage = _stage_events(spark, sf_dir)
+    stream = stream_events(spark, stage)
+    result = run_available_now(tumbling_agg(stream), f"tumble_{uuid.uuid4().hex[:8]}")
+    return result.select("window_start", "event_type", "n", "sum_value")
+
+
+def _stage_events(spark, sf_dir) -> str:
+    import os
+
     stage = f"/tmp/gridiron_stream_stage/{sf_dir.strip('/').replace('/', '_')}"
-    # _SUCCESS gate, not just *.parquet presence: a killed prior writer can
-    # leave a partial file set that would silently under-count
     if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id",
@@ -186,6 +194,55 @@ def streaming_tumbling_e2e(spark, sf_dir):
             "ts_ts",
             F.col("value").cast("double").alias("value"),
         ).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+@register(
+    "streaming_session_e2e",
+    survey="ST2 as real readStream session_window (availableNow), watermarked",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id,
+           epoch_us(ts) AS ts_us,
+           value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > {_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts_us, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT MIN(ts_us) // 1000000 AS session_start,
+       (MAX(ts_us) + {_GAP_US}) // 1000000 AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def streaming_session_e2e(spark, sf_dir):
+    """REAL Structured Streaming session windows: F.session_window on a live
+    file-source stream, drained with availableNow, hash-checked against the
+    gaps-and-islands formulation (boundary semantics verified empirically:
+    a gap of exactly 30 minutes MERGES — session windows [t, t+gap) merge on
+    touch — so the island break condition is strictly '> gap')."""
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        run_available_now,
+        session_agg,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
     stream = stream_events(spark, stage)
-    result = run_available_now(tumbling_agg(stream), f"tumble_{uuid.uuid4().hex[:8]}")
-    return result.select("window_start", "event_type", "n", "sum_value")
+    result = run_available_now(session_agg(stream), f"sess_{uuid.uuid4().hex[:8]}")
+    return result.select(
+        "session_start", "session_end", "user_id", "n_events", "sum_value"
+    )

@@ -42,6 +42,24 @@ def test_salted_agg_equals_direct(spark):
     assert salted == direct  # bit-exact: decimal merge is associative
 
 
+def test_approx_aggregates_within_bounds(spark):
+    """The 100 TB substitutes for exact distinct/percentile: HLL++ and
+    GK-sketch results must land within their documented error bounds of the
+    exact answers (which the oracle'd queries pin)."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.06
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    )
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.01 * spread
+
+
 def test_ivf_results_are_true_cosines_and_recall_monotone(spark):
     """IVF scores are exact for returned ids (only *membership* is
     approximate), and recall against brute force grows with n_probe."""
