@@ -69,6 +69,17 @@ def test_resize_targets_only_images(media):
     assert {r.media_id: bytes(r.payload) for r in rows} == src
 
 
+def test_decode_prunes_unused_source_columns(spark):
+    """The decode stage must not drag unused document columns through the
+    scan: ReadSchema stops at what media_from_documents consumes, and lang/
+    source never enter the plan (column pruning reaches through mapInPandas)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = decode_media(media_from_documents(docs))._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan[:1500]
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
+
+
 def test_sample_frames_metadata_only(media):
     out = sample_frames(media, every_n=10).collect()
     meta = {r.media_id: r.meta.n_frames for r in media.filter(F.col("kind") == "video").collect()}
