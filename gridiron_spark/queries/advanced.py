@@ -260,6 +260,42 @@ def array_functions(spark, sf_dir):
     )
 
 
+@register(
+    "set_intersect_users",
+    survey="SET-intersect(distinct set semantics)",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_intersect_users(spark, sf_dir):
+    """Users who both clicked and purchased — INTERSECT (distinct) lowers to
+    a left-semi join over pre-distincted sides."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "set_except_users",
+    survey="SET-except(distinct set difference)",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except_users(spark, sf_dir):
+    """Clickers who never purchased — EXCEPT (distinct) lowers to a
+    left-anti join; the relational complement of set_intersect_users."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # subtract == EXCEPT DISTINCT
+
+
 _EXISTS_SQL = """
 SELECT s.s_suppkey, s.s_nationkey
 FROM supplier s
