@@ -275,6 +275,56 @@ def ngram_jaccard_pairs(
     return pair_intersection_counts(sh).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in the pair graph — min-label
+    propagation to a fixpoint. This is the *cluster assignment* step a dedup
+    pipeline needs after pair generation (keep one doc per cluster).
+
+    Iterative dataflow done Spark-style: each round is one join + one
+    min-aggregate over the (bounded) frontier; convergence is detected by
+    counting label changes. Diameter bounds iterations — near-dup graphs are
+    shallow (duplicate clusters, not long chains). At 100 TB scale swap the
+    naive propagation for the large-star/small-star algorithm (same
+    fixpoint, provably fewer rounds) and localCheckpoint each round to cut
+    lineage; the result contract is identical, which is what the oracle
+    (recursive-CTE transitive closure) checks.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash32(text: Column, shingle_k: int = 3) -> Column:
     """32-bit SimHash over the word-shingle set, as a bigint.
 

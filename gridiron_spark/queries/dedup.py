@@ -192,6 +192,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    survey="NS-dedup(cluster assignment: iterative connected components)",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT * FROM (
+        SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pipeline completed: exact-Jaccard pairs → iterative
+    min-label connected components → (doc_id, cluster_id). The Spark side
+    is a convergence-checked dataflow loop; the oracle is the recursive-CTE
+    transitive closure — same fixpoint, independently computed."""
+    from gridiron_spark.operators.dedup import connected_components
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(doc, threshold=0.5)
+    return connected_components(pairs)
+
+
+@register(
     "simhash_fingerprint",
     survey="NS-dedup(SimHash fingerprint),F-scalar",
     oracle=f"""

@@ -81,6 +81,21 @@ def test_simhash_banding_equals_quadratic_scan(spark, docs):
     assert len(set(blocked) & exact) >= 15
 
 
+def test_connected_components_chain_merging(spark):
+    """Multi-hop chains must collapse to one cluster (label propagation past
+    direct neighbors), disjoint components stay apart."""
+    from gridiron_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 1, 21: 1, 10: 10, 11: 10}
+
+
 def test_simhash_agg_form_equals_scalar_form(spark, docs):
     """The exploded-aggregation plan (simhash_df) and the scalar Column
     expression (simhash32) are the same function — values must agree."""
