@@ -105,6 +105,52 @@ def test_dedup_within_watermark(spark, source_dir):
     assert len(ids) == len(set(ids)) == 8  # 9 rows, one duplicated event_id
 
 
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The late-data SLA is real: an event arriving after the watermark has
+    passed its window must be dropped, not silently merged. (Complete-mode
+    drains keep everything — this is the append-mode contract that bounds
+    state at 100 TB.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    # Spark filters late rows with the PREVIOUS batch's watermark and evicts
+    # with the current one (SPARK-24156 two-watermark design), so the late
+    # arrival goes in batch 3: batch 1 advances event time to minute 200
+    # (watermark → minute 190 after it), batch 2 lets that watermark become
+    # the late-filter bound, batch 3 delivers the too-late row.
+    batches = (
+        [
+            (1, 10, "click", _ts(0), 1.0),
+            (2, 10, "click", _ts(6), 1.0),
+            (3, 10, "click", _ts(200), 1.0),
+        ],
+        [(4, 10, "click", _ts(201), 1.0)],
+        [(5, 20, "click", _ts(1), 100.0)],  # 190+ minutes behind watermark
+    )
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    stream = stream_events(spark, str(src / "b*"), max_files_per_trigger=1)
+    agg = tumbling_agg(stream, window="5 minutes", watermark="10 minutes")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # emits a window only once its watermark passes
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.window_start, r.n, r.sum_value) for r in spark.table(name).collect()}
+    base = 1_700_000_000 - 1_700_000_000 % 300
+    # the minute-0 window emitted with ONLY the on-time event; the late
+    # arrival (value 100.0) was dropped, and the still-open minute-200
+    # window was withheld by append mode
+    assert (base, 1, 1.0) in rows
+    assert not any(sv == 100.0 or sv == 101.0 for _, _, sv in rows)
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Restarting a stateful query from its checkpoint must (a) NOT reprocess
     already-committed input files and (b) resume accumulated state — the
