@@ -90,6 +90,59 @@ def quantile_stats(spark, sf_dir):
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "countmin_sketch",
+    survey="A-sketch(count-min over user_id — mergeable, deterministic)",
+    oracle=f"""
+SELECT k.i AS row_i,
+       CAST(('0x' || substring(md5(user_id || '|' || k.i), 1, 8)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket,
+       COUNT(*) AS cnt
+FROM events
+CROSS JOIN (SELECT unnest(range(0, {_CMS_DEPTH})) AS i) k
+GROUP BY 1, 2
+""",
+)
+def countmin_sketch(spark, sf_dir):
+    """Count-min sketch of user_id frequencies: depth {d} md5-derived hash
+    rows × width {w} buckets. The sketch is a plain aggregation — partial
+    (map-side) counts merge associatively, so at 100 TB the full sketch
+    costs one shuffle of ≤ d·w rows regardless of input size, and sketches
+    from separate partitions/days merge by cell-wise addition. Point
+    estimate for a key = min over rows of its bucket counts (≥ true count;
+    error bounded by N·e/w per the CMS guarantee) — checked in pytest; the
+    deterministic hash family makes sketch *construction* oracle-exact.
+    """.format(d=_CMS_DEPTH, w=_CMS_WIDTH)
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(uid, F.lit(f"|{i}"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+    return (
+        ev.select(F.explode(cells).alias("c"))
+        .select("c.row_i", "c.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # RE2-safe (no lookahead) GPT-2-style pre-tokenizer classes: space-prefixed
 # letter runs, digit runs, punctuation runs. Identical match semantics in
 # Java regex (Spark) and RE2 (DuckDB) because only character classes are used.

@@ -42,6 +42,41 @@ def test_salted_agg_equals_direct(spark):
     assert salted == direct  # bit-exact: decimal merge is associative
 
 
+def test_countmin_estimates_bound_true_counts(spark):
+    """CMS guarantee: point estimate (min over hash rows) never undercounts,
+    and overshoot stays within the N·e/w additive bound."""
+    import math
+
+    from gridiron_spark.queries.scale import _CMS_DEPTH, _CMS_WIDTH, countmin_sketch
+
+    sketch = {}
+    for r in countmin_sketch(spark, SF_ORACLE).collect():
+        sketch[(r.row_i, r.bucket)] = r.cnt
+    ev = load_table(spark, SF_ORACLE, "events")
+    true_counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(true_counts.values())
+    bound = math.e * n_total / _CMS_WIDTH
+    import hashlib
+
+    for uid, true_n in true_counts.items():
+        est = min(
+            sketch.get(
+                (
+                    i,
+                    int(hashlib.md5(f"{uid}|{i}".encode()).hexdigest()[:8], 16)
+                    % _CMS_WIDTH,
+                ),
+                0,
+            )
+            for i in range(_CMS_DEPTH)
+        )
+        assert est >= true_n  # CMS never undercounts
+        assert est - true_n <= bound
+
+
 def test_approx_aggregates_within_bounds(spark):
     """The 100 TB substitutes for exact distinct/percentile: HLL++ and
     GK-sketch results must land within their documented error bounds of the
