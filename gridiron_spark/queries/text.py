@@ -131,6 +131,80 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+_WIN_K = 8  # character k-gram length
+_WIN_W = 4  # winnowing window (hashes per window)
+
+
+@register(
+    "winnow_fingerprint",
+    survey="NS-text(rolling-hash fingerprinting — winnowing over char k-grams)",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, u.pos,
+           substring(lower(text), u.pos, {_WIN_K}) AS gram
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(length(text) - {_WIN_K - 2}, 2))) AS pos
+    ) u
+),
+h AS (
+    SELECT doc_id, pos,
+           CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) AS hv
+    FROM grams
+),
+win AS (
+    SELECT doc_id, pos,
+           MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS m,
+           COUNT(*) OVER (PARTITION BY doc_id) AS nh
+    FROM h
+)
+SELECT DISTINCT doc_id, m AS fingerprint
+FROM win
+WHERE pos <= greatest(nh - {_WIN_W - 1}, 1)
+""",
+)
+def winnow_fingerprint(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: hash every character {k}-gram, keep
+    the minimum of each sliding window of {w} consecutive hashes, distinct.
+    Guarantees any shared substring of length ≥ k+w-1 yields a shared
+    fingerprint — the rolling-hash dedup primitive for plagiarism/contamination
+    detection. Plan shape: one explode (gram rows, lower(text) computed once
+    per doc in the projection under the Generate), one windowed min per doc
+    — linear, partial-agg friendly.""".format(k=_WIN_K, w=_WIN_W)
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    t = doc.select("doc_id", F.lower(F.col("text")).alias("t"))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(t) - {_WIN_K - 1}, 1)),"
+                f" i -> substring(t, i, {_WIN_K}))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    h = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("hv"),
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    w_all = Window.partitionBy("doc_id")
+    win = h.select(
+        "doc_id",
+        "pos",
+        F.min("hv").over(w_min).alias("m"),
+        F.count(F.lit(1)).over(w_all).alias("nh"),
+    )
+    return (
+        win.filter(F.col("pos") <= F.greatest(F.col("nh") - (_WIN_W - 1), F.lit(1)))
+        .select("doc_id", F.col("m").alias("fingerprint"))
+        .distinct()
+    )
+
+
 @register(
     "doc_fingerprint",
     survey="NS-text(document fingerprinting)",

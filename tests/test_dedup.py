@@ -81,6 +81,23 @@ def test_simhash_banding_equals_quadratic_scan(spark, docs):
     assert len(set(blocked) & exact) >= 15
 
 
+def test_winnow_fingerprints_overlap_for_near_dups(spark, docs):
+    """Winnowing guarantee in practice: planted near-dup pairs (J≈0.99)
+    share the large majority of fingerprints; random pairs share few."""
+    from gridiron_spark.queries.dedup import dedup_ngram_jaccard  # noqa: F401
+    from gridiron_spark.queries import catalog
+
+    fps = {}
+    for r in catalog()["winnow_fingerprint"].spark_fn(spark, SF_ORACLE).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    pairs = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert pairs
+    for a, b in pairs:
+        inter = len(fps[a] & fps[b])
+        union = len(fps[a] | fps[b])
+        assert inter / union > 0.5  # near-dups share most fingerprints
+
+
 def test_connected_components_chain_merging(spark):
     """Multi-hop chains must collapse to one cluster (label propagation past
     direct neighbors), disjoint components stay apart."""
