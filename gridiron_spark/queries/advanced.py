@@ -448,3 +448,78 @@ def sliding_window_agg(spark, sf_dir):
             F.col("w.start").cast("long").alias("window_start"), "event_type", "n"
         )
     )
+
+
+@register(
+    "cube_order_stats",
+    survey="A-cube(full grouping-set lattice over status x priority)",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark, sf_dir):
+    """CUBE completes the grouping-set family next to ROLLUP
+    (`rollup_revenue`): all four (status, priority) lattice levels in ONE
+    Expand + hash-aggregate pass — one shuffle total, vs four separate
+    groupBys each shuffling the 100 TB fact table. grouping_id() matches
+    DuckDB's GROUPING() bit layout (left arg = high bit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@register(
+    "scalar_subquery_idle_rich",
+    survey="A-scalar-subquery+anti(TPC-H Q22 shape: above-avg balance, no orders)",
+    oracle="""
+WITH stats AS (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+           CAST(COUNT(*) AS DECIMAL(18,0)) AS cnt
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt > s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def scalar_subquery_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    orders, per nation. The global average is a 1-row aggregate broadcast
+    into the filter (scalar subquery -> broadcast nested loop over ONE row);
+    NOT EXISTS is a left_anti hash join on o_custkey. The threshold compare
+    is avg-free: `bal * cnt > sum` in exact decimal arithmetic on both
+    engines, so the boundary is bit-deterministic (no double division).
+    At 100 TB the anti join shuffles only (custkey) pairs; AQE broadcasts
+    the distinct-custkey side if it fits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("cnt"),
+        )
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,6)") * F.col("cnt") > F.col("s"))
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
