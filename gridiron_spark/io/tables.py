@@ -53,3 +53,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts_ts", F.timestamp_micros(F.col("ts_us"))
         )
     return spark.read.parquet(path)
+
+
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a *pre-fan-out* input so a downstream explode
+    parallelizes — only when the scan is under-partitioned.
+
+    A small parquet file scans as one partition, and explode/posexplode is a
+    narrow transformation, so a k-gram fan-out (×300 rows) inherits the
+    single task: the whole generation stage runs serially (measured 4× on
+    winnow_fingerprint at sf0.1). Repartitioning the compact pre-explode rows
+    costs one shuffle of the raw text bytes — tiny relative to the exploded
+    output — and buys full-cluster parallelism for the generation stage.
+
+    At 100 TB the guard makes this a no-op: a large table already scans with
+    >= cluster parallelism partitions, so no shuffle is added.
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.queries import register
 
 _STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -175,28 +175,33 @@ def winnow_fingerprint(spark, sf_dir):
     from pyspark.sql import Window
 
     doc = load_table(spark, sf_dir, "documents")
-    t = doc.select("doc_id", F.lower(F.col("text")).alias("t"))
+    # fan_out: the char-gram explode is narrow, so an under-partitioned scan
+    # would run the whole ×300 generation stage serially (4× at sf0.1).
+    t = fan_out(doc.select("doc_id", F.lower(F.col("text")).alias("t")))
+    # gram count is a pure function of length — carry it through the explode
+    # instead of paying a second (unbounded) window pass to count rows.
     grams = t.select(
         "doc_id",
+        F.greatest(F.length("t") - (_WIN_K - 1), F.lit(1)).alias("nh"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(length(t) - {_WIN_K - 1}, 1)),"
                 f" i -> substring(t, i, {_WIN_K}))"
             )
         ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ).select("doc_id", "nh", (F.col("pos0") + 1).alias("pos"), "gram")
     h = grams.select(
         "doc_id",
+        "nh",
         "pos",
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("hv"),
     )
     w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    w_all = Window.partitionBy("doc_id")
     win = h.select(
         "doc_id",
+        "nh",
         "pos",
         F.min("hv").over(w_min).alias("m"),
-        F.count(F.lit(1)).over(w_all).alias("nh"),
     )
     return (
         win.filter(F.col("pos") <= F.greatest(F.col("nh") - (_WIN_W - 1), F.lit(1)))
