@@ -211,6 +211,38 @@ def winnow_fingerprint(spark, sf_dir):
 
 
 @register(
+    "word_topk",
+    survey="NS-text(corpus word-frequency top-k — generator/explode surface)",
+    oracle="""
+SELECT token, cnt FROM (
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+)
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+)
+def word_topk(spark, sf_dir):
+    """Corpus-wide word-frequency top-k: the canonical generator (explode)
+    plus global aggregate shape. Scale notes: the explode is narrow (no
+    shuffle) and the count aggregates map-side before the single shuffle on
+    ``token``; the final top-50 is a TakeOrdered (per-partition heap + driver
+    merge), never a full sort. Deterministic tie-break on the token itself so
+    the LIMIT frontier hash-matches the oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        doc.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
     "doc_fingerprint",
     survey="NS-text(document fingerprinting)",
     oracle="""
