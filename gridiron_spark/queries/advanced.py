@@ -523,3 +523,48 @@ def scalar_subquery_idle_rich(spark, sf_dir):
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    "conditional_agg_priority",
+    survey="A-conditional(TPC-H Q12 shape: CASE-WHEN pivoted counts in one agg pass)",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+           AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+           AS low_line_count,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY l_linestatus
+""",
+)
+def conditional_agg_priority(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q12 shape, reference has no counterpart;
+    see SURVEY.md §2.4): per line-status counts of high/low-priority order
+    lines plus decimal-exact revenue, all in ONE aggregation pass —
+    ``count(when(...))`` pivots the priority predicate into columns instead of
+    a second scan or a join-per-branch. Scale notes: orders↔lineitem is a
+    same-key shuffle join (both sides large at 100 TB — no broadcast), the
+    cross-table ``l_shipdate >= o_orderdate`` predicate applies post-join, and
+    the 2-row groupBy aggregates map-side to near-nothing before its shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~hi, F.lit(1))).alias("low_line_count"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
