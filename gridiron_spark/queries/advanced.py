@@ -568,3 +568,104 @@ def conditional_agg_priority(spark, sf_dir):
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         )
     )
+
+
+@register(
+    "outer_join_order_dist",
+    survey="J-outer(TPC-H Q13 shape: left outer join + two-level aggregation)",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def outer_join_order_dist(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape; no reference
+    counterpart — SURVEY.md §2.3 notes only inner joins exist there). The two
+    outer-join subtleties this pins down: the priority predicate lives in the
+    JOIN's ON clause, so non-matching customers are KEPT with null orders (a
+    WHERE would silently turn the join inner), and ``COUNT(o_orderkey)``
+    counts non-null matches only, yielding the zero-order bucket. Scale
+    notes: one shuffle join on custkey (both sides large — no broadcast),
+    then a custkey agg that reuses the join's partitioning (no extra
+    exchange), then a tiny second-level shuffle on the distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "full_outer_debt_recon",
+    survey="J-outer(full outer join: per-nation debt reconciliation with null sides)",
+    oracle="""
+WITH c AS (
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS cust_debt
+    FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+),
+s AS (
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS supp_debt
+    FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp,
+       COALESCE(cust_debt, 0.0) + COALESCE(supp_debt, 0.0) AS total_debt
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def full_outer_debt_recon(spark, sf_dir):
+    """Full outer join reconciliation: per-nation negative account balances
+    from BOTH customer and supplier sides, keeping nations present on either
+    side only (at sf0.01, 21 of 25 nations have no indebted supplier — the
+    null-padding path is genuinely exercised). COALESCE folds the two key
+    columns and zero-fills the absent side; the debt total is ONE double
+    addition after decimal-exact per-side sums, so it hash-matches. Scale
+    notes: both inputs pre-aggregate to ≤|nations| rows BEFORE the join —
+    reconcile aggregates, not raw rows; full outer cannot broadcast, but a
+    25-row sort-merge join is free."""
+    ca = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust_raw"),
+            dsum("c_acctbal", "cust_debt"),
+        )
+    )
+    sa = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp_raw"),
+            dsum("s_acctbal", "supp_debt"),
+        )
+    )
+    return ca.join(sa, ca["c_nk"] == sa["s_nk"], "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust_raw", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp_raw", F.lit(0)).alias("n_supp"),
+        (
+            F.coalesce("cust_debt", F.lit(0.0)) + F.coalesce("supp_debt", F.lit(0.0))
+        ).alias("total_debt"),
+    )
