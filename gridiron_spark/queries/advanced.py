@@ -669,3 +669,132 @@ def full_outer_debt_recon(spark, sf_dir):
             F.coalesce("cust_debt", F.lit(0.0)) + F.coalesce("supp_debt", F.lit(0.0))
         ).alias("total_debt"),
     )
+
+
+@register(
+    "late_supplier_blame",
+    survey="J-semi/anti correlated (TPC-H Q21 shape: sole-blame supplier per order)",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def late_supplier_blame(spark, sf_dir):
+    """TPC-H Q21 shape adapted to this schema (late := ``l_returnflag = 'R'``,
+    since the synthetic lineitem has no receipt/commit dates): suppliers who
+    are the SOLE returned-flag supplier on a multi-supplier finished order,
+    counted once per qualifying line. The oracle states it as correlated
+    EXISTS + NOT EXISTS self-joins; the Spark plan is the scalable rewrite —
+    ONE pass over lineitem builds per-order stats (distinct suppliers,
+    distinct 'late' suppliers), and both correlations become predicates on
+    that aggregate (n_supp >= 2 ∧ n_late_supp = 1 ⇔ another supplier exists
+    ∧ no OTHER late supplier exists, because l1's own supplier is late and
+    counted). That turns two O(|lineitem|²)-ish correlated probes into one
+    map-side-combinable agg plus an orderkey-partitioned join that reuses the
+    agg's partitioning; supplier is a broadcast dim."""
+    lt = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ostats = lt.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    fin_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lt.filter(F.col("l_returnflag") == "R")
+        .join(fin_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ostats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "groupwise_max_balance",
+    survey="correlated scalar subquery (groupwise-max: richest customer per nation)",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def groupwise_max_balance(spark, sf_dir):
+    """Groupwise-max via correlated scalar subquery (the oracle's stated
+    form): every customer whose balance equals their nation's maximum, ties
+    kept. The Spark plan is the window rewrite — MAX over a nationkey
+    partition, then filter-equal — which is ONE shuffle on nationkey and one
+    streamed pass, versus the naive re-aggregate-and-join's two scans of the
+    table. MAX of a double involves no summation, so cross-engine equality is
+    exact. At 100 TB the window carries only (nationkey, acctbal) plus
+    projected output columns, and low-cardinality partition keys (25 nations)
+    would skew a row_number sort — but an unordered MAX frame is a running
+    aggregate, not a sort, so skew costs only scan time."""
+    w = Window.partitionBy("c_nationkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("nation_max", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("nation_max"))
+        .drop("nation_max")
+    )
+
+
+@register(
+    "json_functions",
+    survey="F-json (semi-structured props column: parse + aggregate)",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+           / COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_functions(spark, sf_dir):
+    """JSON functions over the semi-structured ``events.props`` column
+    (reference keeps raw strings and "parses later" — SURVEY.md §1.2; this is
+    the parse-later path done engine-side). ``from_json`` with an explicit
+    one-field schema parses inside whole-stage codegen — no Python, no
+    schema inference pass — and Catalyst prunes the parquet scan to
+    (event_type, props). Integer sums are exact in both engines; the average
+    is ONE double division of exact integers, so it hash-matches bit-exactly.
+    At scale: map-side partial aggregation collapses to |event_type| groups
+    before the only shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+    )
