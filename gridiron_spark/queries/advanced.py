@@ -798,3 +798,34 @@ def json_functions(spark, sf_dir):
         F.max("k").alias("max_k"),
         (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
     )
+
+
+@register(
+    "grouping_sets_mix",
+    survey="A-grouping-sets (asymmetric lattice: two disjoint groupings, one pass)",
+    oracle="""
+SELECT GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def grouping_sets_mix(spark, sf_dir):
+    """GROUPING SETS completes the lattice family next to ROLLUP
+    (`rollup_revenue`) and CUBE (`cube_order_stats`): an ASYMMETRIC set pair
+    — by returnflag and, separately, by linestatus — that neither rollup nor
+    cube can express without computing unwanted levels. Still ONE Expand +
+    hash-aggregate pass over the fact table (each input row fans out to
+    exactly 2 lattice rows, collapses map-side to ≤|flag|+|status| groups
+    before the single shuffle), vs two separate 100 TB groupBy scans.
+    grouping_id() matches DuckDB's GROUPING() bit layout (left arg = high
+    bit)."""
+    lt = load_table(spark, sf_dir, "lineitem")
+    return lt.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
