@@ -26,7 +26,9 @@ def cmd_ingest(args, spark: SparkSession) -> int:
     from gridiron_spark.ingest import LakeIngestor
 
     ing = LakeIngestor(spark, schema=args.schema, pool=args.output)
-    summary = ing.ingest(args.input, dry_run=args.dry_run)
+    summary = ing.ingest(
+        args.input, dry_run=args.dry_run, source_format=args.format
+    )
     print(
         f"{'DRY RUN: ' if args.dry_run else ''}rows={summary.n_rows} "
         f"games={summary.n_games} plays={summary.n_plays} max_frame={summary.max_frame}"
@@ -82,7 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="normalize CSVs into the partitioned lake")
-    pi.add_argument("--input", required=True, help="CSV file or glob")
+    pi.add_argument("--input", required=True, help="input file or glob")
+    pi.add_argument(
+        "--format", choices=("csv", "json"), default="csv",
+        help="source format (csv or JSON-lines)",
+    )
     pi.add_argument("--schema", required=True, help="YAML schema path")
     pi.add_argument("--output", required=True, help="lake root directory")
     pi.add_argument("--dry-run", action="store_true")

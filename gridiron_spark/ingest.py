@@ -74,19 +74,32 @@ class LakeIngestor:
 
     # -- read + normalize ---------------------------------------------------
 
-    def load_and_normalize(self, input_glob: str | Path) -> DataFrame:
-        """Permissive CSV scan (reference src/ingest.py:23: inferred schema,
+    def load_and_normalize(
+        self, input_glob: str | Path, source_format: str = "csv"
+    ) -> DataFrame:
+        """Permissive scan (reference src/ingest.py:23: inferred schema,
         errors tolerated) then the canonical normalize projection. Spark globs
-        natively; schema inference samples the files once."""
+        natively; schema inference samples the files once. ``source_format``
+        extends the reference's CSV-only intake with JSON-lines — the common
+        raw shape for large document/training corpora — through the SAME
+        alias-resolution and cast pipeline (the normalizer works on any
+        inferred schema, so a format is one reader branch, not a new path)."""
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        if source_format not in ("csv", "json"):
+            raise ValueError(f"unsupported source format: {source_format!r}")
         try:
-            raw = (
-                self.spark.read.option("header", True)
-                .option("inferSchema", True)
-                .option("mode", "PERMISSIVE")
-                .csv(str(input_glob))
-            )
+            if source_format == "json":
+                raw = self.spark.read.option("mode", "PERMISSIVE").json(
+                    str(input_glob)
+                )
+            else:
+                raw = (
+                    self.spark.read.option("header", True)
+                    .option("inferSchema", True)
+                    .option("mode", "PERMISSIVE")
+                    .csv(str(input_glob))
+                )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e):
                 # reference errors cleanly when the glob matches nothing
@@ -123,8 +136,13 @@ class LakeIngestor:
         ).first()
         return IngestSummary(row.n_rows, row.n_games, row.n_plays, row.max_frame)
 
-    def ingest(self, input_glob: str | Path, dry_run: bool = False) -> IngestSummary:
-        df = self.load_and_normalize(input_glob)
+    def ingest(
+        self,
+        input_glob: str | Path,
+        dry_run: bool = False,
+        source_format: str = "csv",
+    ) -> IngestSummary:
+        df = self.load_and_normalize(input_glob, source_format=source_format)
         summary = self.summarize(df)
         if summary.n_rows == 0:
             log.warning("ingest: 0 rows matched %s — nothing written", input_glob)

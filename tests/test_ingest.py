@@ -119,3 +119,31 @@ def test_derive_season(spark):
     df = spark.createDataFrame([(2018111801,), (2023090700,)], ["gameId"])
     out = derive_season(df)
     assert {r.season for r in out.collect()} == {"2018", "2023"}
+
+
+def test_jsonl_source_normalizes_like_csv(spark, fixture_dir, tmp_path_factory):
+    """JSON-lines intake goes through the identical alias/cast/default
+    pipeline as CSV: same canonical schema, same rows, and a partitioned
+    write that a pool scan reads back."""
+    d = tmp_path_factory.mktemp("jsonl")
+    ing = LakeIngestor(spark, SCHEMA_PATH, d / "pool")
+    csv_df = ing.load_and_normalize(f"{fixture_dir}/tracking_camel.csv")
+    # re-serialize the camel CSV as JSON-lines with its RAW (camelCase) names
+    raw = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(f"{fixture_dir}/tracking_camel.csv")
+    )
+    raw.coalesce(1).write.mode("overwrite").json(str(d / "in"))
+    json_df = ing.load_and_normalize(f"{d}/in/*.json", source_format="json")
+    assert json_df.schema == csv_df.schema
+    key = ["gameId", "playId", "nflId", "frameId"]
+    canon = lambda df: sorted(
+        map(tuple, df.select(*key).collect()),
+        key=lambda t: tuple(-1 if v is None else v for v in t),
+    )
+    assert canon(json_df) == canon(csv_df)
+    summary = ing.ingest(f"{d}/in/*.json", source_format="json")
+    assert summary.n_rows == csv_df.count()
+    with pytest.raises(ValueError):
+        ing.load_and_normalize(f"{d}/in/*.json", source_format="orc")
