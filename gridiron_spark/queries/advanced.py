@@ -829,3 +829,97 @@ def grouping_sets_mix(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+@register(
+    "map_functions",
+    survey="F-map (map construction / interrogation / explosion round-trip)",
+    oracle="""
+SELECT user_id, event_type, n,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_types
+FROM (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+)
+""",
+)
+def map_functions(spark, sf_dir):
+    """Map-typed column surface: per-user event-type counts are packed into a
+    ``map<string,bigint>`` (map_from_entries over a sorted entry array),
+    interrogated with size(), and exploded back to flat rows. The round-trip
+    proves construction/explosion are lossless, and flat rows are what the
+    cross-engine oracle can hash (map serialization differs between engines;
+    exploding is also the right 100 TB answer — maps travel as one row per
+    user through shuffles, then restore row-form for downstream relational
+    ops). One shuffle on (user_id, event_type) with map-side partials, one on
+    user_id; the pack/explode stages are narrow."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    packed = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return packed.select(
+        "user_id",
+        F.explode("m").alias("event_type", "n"),
+        F.size("m").alias("n_types"),
+    )
+
+
+@register(
+    "disjunctive_join_revenue",
+    survey="J-disjunctive (TPC-H Q19 shape: OR-of-conjuncts join predicate)",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def disjunctive_join_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: an equi-join whose residual is an OR of brand/size/
+    quantity conjunct brackets. The planner keeps the equi-conjunct
+    (l_partkey = p_partkey) as the join key and evaluates the disjunction as
+    a post-join residual, while CNF extraction pushes the single-table
+    implications down to both scans: part prunes to the three brands' size
+    union, lineitem to quantity [1,50] — at 100 TB that pushdown, visible as
+    PushedFilters on both sides, is most of the win. part is the broadcast
+    dim; the decimal revenue sum makes the double bit-stable."""
+    lt = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        lt.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
