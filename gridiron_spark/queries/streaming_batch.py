@@ -246,3 +246,43 @@ def streaming_session_e2e(spark, sf_dir):
     return result.select(
         "session_start", "session_end", "user_id", "n_events", "sum_value"
     )
+
+
+@register(
+    "streaming_join_e2e",
+    survey="ST-join as real stream-stream inner join (availableNow), watermarked + time-range state eviction",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events v JOIN events c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND epoch_us(c.ts) BETWEEN epoch_us(v.ts)
+                         AND epoch_us(v.ts) + 86400000000
+""",
+)
+def streaming_join_e2e(spark, sf_dir):
+    """REAL stream-stream join, end to end: views and clicks read as two
+    file-source streams over the staged events, inner-joined on user within a
+    24-hour attribution horizon, drained with availableNow in APPEND mode
+    (inner-join matches emit immediately; complete mode is not defined for
+    joins), hash-checked against the equivalent batch interval join. The
+    two-sided time-range condition plus watermarks is what bounds join state
+    at scale — a view's buffer entry is evictable once the click watermark
+    passes view_ts + horizon. lag_us is integer microsecond arithmetic, so
+    the cross-engine hash is exact."""
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        attribution_join,
+        run_available_now,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    views = stream_events(spark, stage).filter(F.col("event_type") == "view")
+    clicks = stream_events(spark, stage).filter(F.col("event_type") == "click")
+    return run_available_now(
+        attribution_join(views, clicks),
+        f"attr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )

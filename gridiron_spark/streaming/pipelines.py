@@ -164,15 +164,64 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    views: DataFrame, clicks: DataFrame, horizon: str = "24 hours",
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Stream-stream inner join: each click attributed to every prior view by
+    the same user within ``horizon`` (the classic ad-attribution shape).
+
+    Both sides carry watermarks plus a two-sided event-time range condition —
+    the combination is what lets Spark evict join state: a buffered view can
+    be dropped once the click watermark passes ``view_ts + horizon``. Without
+    the time bound, stream-stream join state grows forever.
+
+    ``watermark`` is the *disorder bound*, not the horizon: for a live tail
+    it is the late-data SLA (minutes); for a backfill over unordered
+    historical files it must cover the corpus's time span, because the
+    watermark advances between micro-batches and files arrive in no
+    particular time order — an old-file row behind the watermark would be
+    silently dropped. The default is sized for the synthetic corpus's
+    one-month span; production backfills should sort file batches by time or
+    keep this at the corpus span.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts_ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    cond = F.expr(
+        f"v_user = c_user AND click_ts >= view_ts "
+        f"AND click_ts <= view_ts + interval {horizon}"
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = 32
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = 32,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a streaming aggregation to a memory sink (complete mode) with
     the availableNow trigger; returns the result as a batch DataFrame.
 
-    Complete mode is deliberate: append mode withholds windows the final
-    watermark hasn't passed, so an end-of-stream drain would silently drop
-    the tail. Memory sink bounds: aggregated output only (never raw rows).
+    Complete mode is the aggregation default: append mode withholds windows
+    the final watermark hasn't passed, so an end-of-stream drain would
+    silently drop the tail. Joins don't support complete — pass
+    ``output_mode="append"`` for them (inner-join matches are emitted as
+    they're found, so nothing is withheld). Memory sink bounds: aggregated /
+    joined output only (never raw rows).
 
     Streaming state shuffles are exempt from AQE coalescing, so the default
     200 shuffle partitions means 200 state stores regardless of data volume;
@@ -189,7 +238,7 @@ def run_available_now(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
