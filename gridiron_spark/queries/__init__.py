@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.tensor",
     "gridiron_spark.queries.advanced",
     "gridiron_spark.queries.scale",
+    "gridiron_spark.queries.tpch_extra",
 )
 
 

@@ -1,0 +1,449 @@
+"""Remaining classic TPC-H plan shapes (Q7/Q8/Q9/Q10/Q14/Q15/Q17/Q18),
+adapted to the driver's star schema (no partsupp/commitdate, so cost and
+lateness terms are re-expressed over the columns that exist).
+
+The reference has only one join shape (composite-key equi-join,
+query.py:54); these queries extend the catalog with the join topologies a
+production lake needs — bidirectional nation-pair joins, ratio-of-
+conditional-aggregates, decorrelated per-group averages, and HAVING-driven
+semi joins — each written Spark-first: dimensions broadcast, the lineitem
+fact is never shuffled except for its own aggregation keys, and all double
+sums route through DECIMAL(18,6) (functions/decimal_safe) so results
+hash-match the DuckDB oracle bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dec, dsum
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "nation_pair_volume",
+    survey="J1×5+A(Q7 shape: bidirectional nation-pair volume)",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between a nation pair, both
+    directions, by year. Spark-first plan: both nation dims are filtered to
+    2 rows *before* joining (the disjunction collapses to `n_name IN pair`
+    per side plus one residual cross-check), so supplier and customer
+    shrink via broadcast-joined pre-filters and lineitem is only ever
+    joined against broadcast sides — zero shuffles of the fact table at
+    any scale; the final agg groups ~2×years rows."""
+    pair = ["NATION_1", "NATION_2"]
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "market_share_ratio",
+    survey="J1×6+A-ratio(Q8 shape: conditional-sum market share per year)",
+    oracle="""
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                     AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+)
+GROUP BY o_year
+""",
+)
+def market_share_ratio(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold into
+    ASIA, per order-year. The 7-way join keeps every dimension broadcast
+    (part filtered to one type, customer pre-joined to its region-filtered
+    nation); the numerator is a conditional decimal sum over the same rows
+    as the denominator — one aggregation pass, one output row per year.
+    The ratio divides two exact decimals cast to double, so both engines
+    perform the identical single IEEE division."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = dec(_revenue())
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        dec(F.lit(0))
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    survey="J1×4+F-like+A(Q9 shape: profit rollup, LIKE-filtered parts)",
+    oracle="""
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity
+               AS amount
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+""",
+)
+def profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and year.
+    The schema has no partsupp, so supply cost is modeled as
+    0.6 * p_retailprice (same expression both engines → identical IEEE
+    arithmetic before the exact decimal sum). The LIKE filter prunes part
+    before its broadcast; orders carries only (key, date) into the join, so
+    the only shuffle is the final small groupBy."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(amount, "sum_profit"))
+    )
+
+
+@register(
+    "returned_item_topk",
+    survey="J1×2+A+O(Q10 shape: returned-item revenue, top-20 customers)",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_item_topk(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-merchandise revenue in
+    one year. Return-flag and date predicates push into the lineitem and
+    orders scans (PushedFilters); the groupBy key is the customer, so the
+    agg shuffle moves only the filtered fraction; TakeOrderedAndProject
+    bounds the sort at 20 rows/partition. c_custkey breaks revenue ties so
+    the limit is deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    survey="A-ratio(Q14 shape: conditional revenue share, single row)",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+)
+def promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO parts' share of one month's revenue. Part
+    broadcasts carrying only (key, type); the ship-date range prunes the
+    fact scan; one global aggregation emits a single row (numerator and
+    denominator as exact decimals, one final double division shared by both
+    engines)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = dec(_revenue())
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(dec(F.lit(0)))
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    survey="A+J-scalar-subquery(Q15 shape: supplier(s) at max revenue)",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    maximum. The revenue view aggregates once; the scalar-subquery max is a
+    1-row re-aggregation broadcast-cross-joined back (an unpartitioned
+    window-max would drag every supplier's row onto one partition — at
+    scale the revenue view is |supplier|-sized, so the scalar must stay an
+    aggregate, not a window). Equality on exact-decimal-derived doubles is
+    deterministic, so ties surface identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_revenue(), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    at_max = revenue.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(at_max), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "small_qty_avg_revenue",
+    survey="A-decorrelated(Q17 shape: per-part avg threshold, single row)",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+    SELECT l_partkey AS a_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+    FROM lineitem
+    GROUP BY l_partkey
+) ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.4 * avg_qty
+""",
+)
+def small_qty_avg_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+    The correlated `l_quantity < 0.4 * avg(per-part quantity)` subquery is
+    decorrelated into a per-part aggregate joined back on partkey — the
+    standard Catalyst rewrite, written explicitly so the per-part avg
+    (exact decimal sum / count) is bit-identical across engines. At scale
+    the per-part aggregate is ~|part| rows → broadcastable; lineitem is
+    scanned twice but never shuffled on a non-key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    survey="A-having+J-semi(Q18 shape: HAVING-driven join-back)",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers with any order whose total quantity
+    exceeds a threshold. The HAVING subquery aggregates lineitem by
+    orderkey once and keeps only qualifying keys (tiny at any scale —
+    selectivity is the tail of the quantity distribution), which then
+    broadcast-semi-joins back to lineitem; the decimal threshold compare
+    happens pre-join so the re-aggregation touches only qualifying
+    orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
