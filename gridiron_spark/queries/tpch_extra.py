@@ -447,3 +447,142 @@ def large_volume_customers(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "local_supplier_volume",
+    survey="J-cycle+A(Q5 shape: customer-supplier same-nation join cycle)",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue where the customer and the supplier share a
+    nation — the join *cycle* (supplier joins on both l_suppkey and the
+    customer's nationkey). Spark-first: the cycle closes inside one
+    broadcast join (supplier is a dim), so no second pass over the fact;
+    the region filter prunes nation before any fact contact; the one
+    fact-side Exchange is the final per-nation aggregate."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "supplier_part_relation",
+    survey="J-anti+A-countDistinct(Q16 shape: NOT IN exclusion, distinct suppliers)",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def supplier_part_relation(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part profile, excluding a
+    NOT-IN supplier set (no partsupp table, so the part↔supplier relation
+    is derived as DISTINCT (l_partkey, l_suppkey) from lineitem — itself a
+    map-side-combinable dedup). The NOT IN becomes a broadcast left-anti
+    join (safe: s_suppkey is non-null, so NOT IN ≡ anti join); the
+    countDistinct runs over the already-deduped relation, and the part
+    filters prune before the broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_STRATA_THRESHOLDS = [("O", "2"), ("F", "4"), ("P", "8")]
+
+
+@register(
+    "stratified_sample_agg",
+    survey="O5-stratified(deterministic per-stratum hash sampling, sampleBy analog)",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <
+      CASE o_orderstatus WHEN 'O' THEN '2' WHEN 'F' THEN '4' ELSE '8' END
+GROUP BY o_orderstatus
+""",
+)
+def stratified_sample_agg(spark, sf_dir):
+    """Stratified sampling, deterministic: per-stratum rates (O→1/8, F→1/4,
+    else→1/2) via an md5-hex threshold on the key — the cross-engine-stable
+    analog of `df.sampleBy` (whose RNG stream could never hash-match an
+    oracle). The hash predicate is a row-local filter: no shuffle, no RNG
+    state, reproducible under retries/speculation at any scale — exactly
+    the property a 100 TB training-data sampler needs (the reference's
+    seeded sampler, query.py:52, has the same goal single-node)."""
+    o = load_table(spark, sf_dir, "orders")
+    threshold = F.when(F.col("o_orderstatus") == "O", "2").when(
+        F.col("o_orderstatus") == "F", "4"
+    ).otherwise("8")
+    keep = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < threshold
+    )
+    return (
+        o.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
