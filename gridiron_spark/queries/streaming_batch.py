@@ -286,3 +286,42 @@ def streaming_join_e2e(spark, sf_dir):
         f"attr_{uuid.uuid4().hex[:8]}",
         output_mode="append",
     )
+
+
+@register(
+    "streaming_enrich_e2e",
+    survey="ST-enrich as real readStream x static broadcast dim (availableNow)",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_FIVE_MIN_US}) * 300 AS window_start,
+       c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+""",
+)
+def streaming_enrich_e2e(spark, sf_dir):
+    """REAL stream-static join, end to end: the events file-stream is
+    enriched per micro-batch with a broadcast customer dimension (no join
+    state, no dim watermark — the static side is re-resolved each trigger),
+    then aggregated per (window, segment) and drained with availableNow.
+    The oracle is the equivalent batch join+agg, so the hash check proves
+    stream-side enrichment matches batch backfill exactly."""
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        enrich_with_dim,
+        run_available_now,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    stream = stream_events(spark, stage)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("join_key"), F.col("c_mktsegment").alias("segment")
+    )
+    result = run_available_now(
+        enrich_with_dim(stream, dim), f"enrich_{uuid.uuid4().hex[:8]}"
+    )
+    return result.select("window_start", "segment", "n", "sum_value")

@@ -246,3 +246,31 @@ def run_available_now(
     finally:
         spark.conf.set(conf_key, prev)
     return spark.table(query_name)
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: join the stream to a (broadcast) dimension,
+    then a watermarked tumbling aggregation per dimension attribute.
+
+    The static side is re-resolved per micro-batch (Spark re-plans the join
+    each trigger), needs no watermark, and holds no join state — the
+    scale-safe way to attach dimension attributes to a 100 TB/day stream.
+    ``dim`` must expose (join_key, segment).
+    """
+    enriched = events.join(F.broadcast(dim), events["user_id"] == dim["join_key"])
+    return (
+        enriched.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
