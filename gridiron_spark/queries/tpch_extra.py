@@ -586,3 +586,65 @@ def stratified_sample_agg(spark, sf_dir):
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+@register(
+    "rolling_range_revenue",
+    survey="W-range-frame(30-day RANGE rolling sum) + nth/first_value rows frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, ts_s,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY ts_s
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_30d,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY ts_s
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+           AS n_30d,
+       first_value(o_totalprice)
+           OVER (PARTITION BY o_custkey ORDER BY ts_s, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS first_price,
+       nth_value(o_totalprice, 2)
+           OVER (PARTITION BY o_custkey ORDER BY ts_s, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS second_price
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             epoch(o_orderdate) AS ts_s
+      FROM orders)
+""",
+)
+def rolling_range_revenue(spark, sf_dir):
+    """RANGE-frame windows — the shape ROWS frames can't express: each
+    customer's trailing-30-day revenue and order count, keyed on event
+    *time distance*, not row offsets (ties and gaps handled identically in
+    both engines because the frame is value-based). Plus first_value /
+    nth_value over a deterministic ROWS frame. One shuffle on o_custkey
+    serves all four window columns; the RANGE frame is a running frame —
+    Spark evaluates it with a sliding aggregate over the sorted run, not
+    O(n²) rescans. The decimal window sum keeps the rolling total exact, so
+    doubles match bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("ts_s"),
+    )
+    wr = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-30 * 86400, W.currentRow)
+    )
+    wrows = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts_s", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "ts_s",
+        F.sum(dec("o_totalprice")).over(wr).cast("double").alias("rev_30d"),
+        F.count(F.lit(1)).over(wr).alias("n_30d"),
+        F.first("o_totalprice").over(wrows).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wrows).alias("second_price"),
+    )
