@@ -648,3 +648,47 @@ def rolling_range_revenue(spark, sf_dir):
         F.first("o_totalprice").over(wrows).alias("first_price"),
         F.nth_value("o_totalprice", 2).over(wrows).alias("second_price"),
     )
+
+
+@register(
+    "higher_order_functions",
+    survey="F-HOF(transform/filter/exists/zip_with/aggregate over array<float>)",
+    oracle="""
+SELECT vec_id,
+       list_sum(list_transform(embedding[1:8],
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_sum8,
+       len(list_filter(embedding[1:8], x -> x > 0)) AS n_pos8,
+       len(list_filter(embedding[1:8], x -> abs(x) > 0.2)) > 0 AS any_big8,
+       list_sum(list_transform(list_zip(embedding[1:8],
+                                        list_reverse(embedding[1:8])),
+                p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)))
+           AS palindrome_sum8
+FROM embeddings
+""",
+)
+def higher_order_functions(spark, sf_dir):
+    """Higher-order array functions — the JVM-side (no-Python) lambda
+    surface: transform (square), filter (count positives), exists
+    (any |x|>0.2), zip_with (pairwise sum against the reversed head), and
+    aggregate (left fold). All elementwise math widens float→double BEFORE
+    the op and folds left-to-right (functions/vectors.py contract), so
+    doubles are bit-identical to DuckDB's list_* forms. One narrow pass —
+    no shuffle, no UDF; codegen caveat (no CSE inside lambdas) is
+    respected by slicing the head-8 once in a prior projection."""
+    from gridiron_spark.functions.vectors import _acc_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("h8"))
+    sq = F.transform(F.col("h8"), lambda x: x.cast("double") * x.cast("double"))
+    pal = F.zip_with(
+        F.col("h8"),
+        F.reverse(F.col("h8")),
+        lambda x, y: x.cast("double") + y.cast("double"),
+    )
+    return h8.select(
+        "vec_id",
+        _acc_sum(sq).alias("sq_sum8"),
+        F.size(F.filter(F.col("h8"), lambda x: x > 0)).alias("n_pos8"),
+        F.exists(F.col("h8"), lambda x: F.abs(x) > 0.2).alias("any_big8"),
+        _acc_sum(pal).alias("palindrome_sum8"),
+    )
