@@ -46,3 +46,63 @@ def grouped_map_tensorize(spark, sf_dir):
         F.lit(0.0).cast("float").alias("a"),
     )
     return tensorize_plays(tracking_shaped, max_frames=16, max_players=23)
+
+
+_COGROUP_SCHEMA = (
+    "user_key long, n_orders long, max_price double, n_events long, n_clicks long"
+)
+
+
+def _reconcile_fn(key, orders_pdf, events_pdf):
+    """Per-key merge of two cogrouped tables — pandas boundary kept to
+    exact ops only (counts, max): no float folds, so the result is
+    bit-identical to the SQL oracle regardless of Arrow batch order."""
+    import pandas as pd
+
+    mx = float(orders_pdf["o_totalprice"].max()) if len(orders_pdf) else None
+    return pd.DataFrame(
+        {
+            "user_key": [key[0]],
+            "n_orders": [len(orders_pdf)],
+            "max_price": [mx],
+            "n_events": [len(events_pdf)],
+            "n_clicks": [int((events_pdf["event_type"] == "click").sum())],
+        }
+    )
+
+
+@register(
+    "cogroup_reconcile",
+    survey="§2.9 cogrouped applyInPandas (two-table per-key merge) + oracle",
+    oracle="""
+SELECT COALESCE(o.k, e.k) AS user_key,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       o.max_price,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.n_clicks, 0) AS n_clicks
+FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_custkey) o
+FULL OUTER JOIN
+     (SELECT user_id AS k, COUNT(*) AS n_events,
+             COUNT(*) FILTER (event_type = 'click') AS n_clicks
+      FROM events GROUP BY user_id) e
+  ON o.k = e.k
+""",
+)
+def cogroup_reconcile(spark, sf_dir):
+    """Co-grouped pandas merge (the feature-store escape hatch): orders
+    keyed by customer and events keyed by user meet in ONE co-partitioned
+    shuffle; each key's rows from both tables land in the same Arrow batch
+    and a python function reconciles them — the pattern for per-entity
+    logic spanning two 100 TB tables that joins/aggs can't express (here
+    the logic is deliberately SQL-expressible so the driver's oracle
+    hash-checks the cogroup machinery itself; keys missing on either side
+    surface as empty pandas frames ≡ FULL OUTER JOIN)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(ev.groupBy("user_id"))
+        .applyInPandas(_reconcile_fn, schema=_COGROUP_SCHEMA)
+    )

@@ -264,3 +264,44 @@ def doc_fingerprint(spark, sf_dir):
             F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")
         ).alias("bow_fingerprint"),
     )
+
+
+@register(
+    "udtf_bigrams",
+    survey="§2.9 Python UDTF (table function, lateral join) — arrow-batched",
+    oracle="""
+SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] AS bigram
+FROM (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id % 10 = 0),
+     LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+""",
+)
+def udtf_bigrams(spark, sf_dir):
+    """Python UDTF surface (new in Spark 4): a table function laterally
+    joined per input row, yielding (pos, bigram) for consecutive token
+    pairs. Arrow-optimized UDTF evaluation (one Arrow batch per partition,
+    not per-row pickling) is enabled at the session level; the 1-in-10
+    doc subset bounds the fan-out (~len(text) rows per doc). The same
+    semantics are SQL-expressible (the DuckDB lateral-unnest oracle), so
+    the hash check validates the UDTF plumbing end to end. For hot paths
+    the explode-based form (word_topk) is preferred — UDTFs are the
+    extension point, not the default."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class Bigrams:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, i + 1, toks[i] + " " + toks[i + 1]
+
+    # set (not save/restore): the conf is read when the lazy plan EXECUTES,
+    # after this function returns — restoring it here would defeat it
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_bigram_src")
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM udtf_bigram_src, LATERAL bigrams_udtf(doc_id, text) b"
+    )
