@@ -692,3 +692,67 @@ def higher_order_functions(spark, sf_dir):
         F.exists(F.col("h8"), lambda x: F.abs(x) > 0.2).alias("any_big8"),
         _acc_sum(pal).alias("palindrome_sum8"),
     )
+
+
+@register(
+    "unpivot_metrics",
+    survey="R-unpivot(wide→long melt + per-metric aggregate)",
+    oracle="""
+SELECT metric,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM (
+    SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY metric
+""",
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long melt (`df.unpivot`, the inverse of pivot_event_counts):
+    four measure columns become (metric, val) rows in one narrow Expand —
+    a single scan, NOT four self-unions — then a 4-group aggregate. The
+    oracle is the UNION ALL formulation; the unpivot plan reads the fact
+    once where the UNION form would scan it four times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val", "total")
+    )
+
+
+@register(
+    "nested_collect_agg",
+    survey="A-nested(collect_list/collect_set with deterministic sort)",
+    oracle="""
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_keys,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       len(list(o_orderkey)) AS n_orders
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+""",
+)
+def nested_collect_agg(spark, sf_dir):
+    """Nested-type aggregation: per-customer order-key arrays
+    (collect_list) and distinct status sets (collect_set). Collection
+    order is shuffle-dependent in any distributed engine, so both arrays
+    are canonicalized with sort_array — the ONLY way nested aggregates can
+    be deterministic at scale (same rule a 100 TB pipeline needs for
+    reproducible array features). The custkey filter bounds per-group
+    array size; unbounded collect_list is the OOM footgun this query
+    deliberately fences."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
