@@ -86,8 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("ingest", help="normalize CSVs into the partitioned lake")
     pi.add_argument("--input", required=True, help="input file or glob")
     pi.add_argument(
-        "--format", choices=("csv", "json"), default="csv",
-        help="source format (csv or JSON-lines)",
+        "--format", choices=("csv", "json", "parquet", "orc"), default="csv",
+        help="source format (csv, JSON-lines, parquet, or orc)",
     )
     pi.add_argument("--schema", required=True, help="YAML schema path")
     pi.add_argument("--output", required=True, help="lake root directory")

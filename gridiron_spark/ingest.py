@@ -83,13 +83,18 @@ class LakeIngestor:
         extends the reference's CSV-only intake with JSON-lines — the common
         raw shape for large document/training corpora — through the SAME
         alias-resolution and cast pipeline (the normalizer works on any
-        inferred schema, so a format is one reader branch, not a new path)."""
+        inferred schema, so a format is one reader branch, not a new path).
+        ``parquet``/``orc`` intake covers lake-to-lake re-ingest (self-
+        describing schemas; the normalizer still applies alias resolution
+        and canonical casts)."""
         from pyspark.errors.exceptions.captured import AnalysisException
 
-        if source_format not in ("csv", "json"):
+        if source_format not in ("csv", "json", "parquet", "orc"):
             raise ValueError(f"unsupported source format: {source_format!r}")
         try:
-            if source_format == "json":
+            if source_format in ("parquet", "orc"):
+                raw = self.spark.read.format(source_format).load(str(input_glob))
+            elif source_format == "json":
                 raw = self.spark.read.option("mode", "PERMISSIVE").json(
                     str(input_glob)
                 )

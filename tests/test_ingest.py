@@ -146,4 +146,27 @@ def test_jsonl_source_normalizes_like_csv(spark, fixture_dir, tmp_path_factory):
     summary = ing.ingest(f"{d}/in/*.json", source_format="json")
     assert summary.n_rows == csv_df.count()
     with pytest.raises(ValueError):
-        ing.load_and_normalize(f"{d}/in/*.json", source_format="orc")
+        ing.load_and_normalize(f"{d}/in/*.json", source_format="avro")
+
+
+def test_orc_source_normalizes_like_csv(spark, fixture_dir, tmp_path_factory):
+    """ORC intake (lake-to-lake re-ingest): the self-describing source still
+    passes through alias resolution and canonical casts, landing on the
+    identical schema and rows as the CSV path."""
+    d = tmp_path_factory.mktemp("orc")
+    ing = LakeIngestor(spark, SCHEMA_PATH, d / "pool")
+    csv_df = ing.load_and_normalize(f"{fixture_dir}/tracking_camel.csv")
+    raw = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(f"{fixture_dir}/tracking_camel.csv")
+    )
+    raw.coalesce(1).write.mode("overwrite").orc(str(d / "in"))
+    orc_df = ing.load_and_normalize(f"{d}/in/*.orc", source_format="orc")
+    assert orc_df.schema == csv_df.schema
+    key = ["gameId", "playId", "nflId", "frameId"]
+    canon = lambda df: sorted(
+        map(tuple, df.select(*key).collect()),
+        key=lambda t: tuple(-1 if v is None else v for v in t),
+    )
+    assert canon(orc_df) == canon(csv_df)
