@@ -756,3 +756,30 @@ def nested_collect_agg(spark, sf_dir):
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "paginated_orders",
+    survey="O4-offset(keyset-stable pagination: ORDER BY + LIMIT/OFFSET)",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+def paginated_orders(spark, sf_dir):
+    """Pagination page 3 (rows 101-150) of the price-ranked order book —
+    `df.offset` + `limit` over a total order made deterministic by the
+    o_orderkey tie-break. Spark still evaluates this as a bounded top-(n+k)
+    (TakeOrderedAndProject over offset+limit rows per partition), never a
+    full global sort — the viable shape for dashboard pagination over a
+    100 TB fact; deep offsets should switch to keyset predicates
+    (WHERE price < last_seen), which this total order enables."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
