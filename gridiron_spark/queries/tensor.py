@@ -82,11 +82,11 @@ SELECT COALESCE(o.k, e.k) AS user_key,
        COALESCE(e.n_clicks, 0) AS n_clicks
 FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders,
              MAX(o_totalprice) AS max_price
-      FROM orders GROUP BY o_custkey) o
+      FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey) o
 FULL OUTER JOIN
      (SELECT user_id AS k, COUNT(*) AS n_events,
              COUNT(*) FILTER (event_type = 'click') AS n_clicks
-      FROM events GROUP BY user_id) e
+      FROM events WHERE user_id % 50 = 0 GROUP BY user_id) e
   ON o.k = e.k
 """,
 )
@@ -99,8 +99,20 @@ def cogroup_reconcile(spark, sf_dir):
     the logic is deliberately SQL-expressible so the driver's oracle
     hash-checks the cogroup machinery itself; keys missing on either side
     surface as empty pandas frames ≡ FULL OUTER JOIN)."""
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # 1-in-50 key subset: the entry demonstrates the cogroup plan (two
+    # co-partitioned Exchanges -> per-key Arrow merge); unsubsetted, the
+    # per-group Python call overhead dominates (~15k tiny groups, measured
+    # 23 s at sf0.1) without adding coverage
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_custkey", "o_totalprice")
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id", "event_type")
+    )
     return (
         o.groupBy("o_custkey")
         .cogroup(ev.groupBy("user_id"))
