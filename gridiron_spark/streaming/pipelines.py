@@ -274,3 +274,37 @@ def enrich_with_dim(
             "sum_value",
         )
     )
+
+
+def write_idempotent_partitioned(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: exactly-once parquet via dynamic partition
+    overwrite.
+
+    A failed/replayed micro-batch re-executes foreachBatch with the SAME
+    batch rows; because each batch rewrites whole (event_date) partitions
+    rather than appending, the replay overwrites its own previous output —
+    idempotent without a transaction log. This is the vanilla-parquet
+    analog of the reference's per-game overwrite invariant
+    (src/ingest.py:82-87) applied to a stream; the partition key must be a
+    function of the DATA (event time), never of the batch id, or replays
+    would land in fresh partitions and duplicate.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", F.to_date("ts_ts"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
