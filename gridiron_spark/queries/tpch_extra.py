@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gridiron_spark.functions.decimal_safe import dec, dsum
+from gridiron_spark.functions.decimal_safe import dec, dmean, dsum
 from gridiron_spark.io.tables import load_table
 from gridiron_spark.queries import register
 
@@ -782,4 +782,51 @@ def paginated_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .offset(100)
         .limit(50)
+    )
+
+
+@register(
+    "pricing_summary_q1",
+    survey="A1-headline(Q1 shape: full pricing summary, one-pass 8 aggregates)",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary_q1(spark, sf_dir):
+    """TPC-H Q1, the headline scan-heavy aggregation: eight aggregates over
+    ~all of lineitem into a handful of groups. The canonical map-side-
+    combine showcase — partial HashAggregate reduces each task's rows to
+    ≤|groups| before a trivially small Exchange; the ship-date predicate
+    pushes to the parquet scan. Averages are exact-decimal sums divided by
+    counts (dmean contract) so doubles hash-match."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = _revenue()
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        dmean("l_quantity", "avg_qty"),
+        dmean("l_extendedprice", "avg_price"),
+        dmean("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
