@@ -830,3 +830,38 @@ def pricing_summary_q1(spark, sf_dir):
         dmean("l_discount", "avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@register(
+    "null_functions",
+    survey="F-null(coalesce/nullif/least/greatest/try_cast three-valued logic)",
+    oracle="""
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_folded,
+       LEAST(c_acctbal, 0.0) AS bal_floor,
+       GREATEST(c_acctbal, 0.0) AS bal_clamped,
+       TRY_CAST(c_name AS DOUBLE) AS name_as_num,
+       CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 'hidden'
+            ELSE 'shown' END AS visibility
+FROM customer
+""",
+)
+def null_functions(spark, sf_dir):
+    """Three-valued-logic function family: nullif/coalesce round trip,
+    least/greatest (null-skipping min/max over scalars), try_cast (error-
+    free cast → NULL on junk — the PERMISSIVE-mode primitive the ingest
+    normalizer leans on), and null-aware CASE. Pure row-local projection:
+    whole-stage codegen, no shuffle, semantics identical across engines by
+    ANSI definition."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("SUPPRESSED")).alias("seg_folded"),
+        F.least(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.col("c_name").try_cast("double").alias("name_as_num"),
+        F.when(seg_or_null.isNull(), "hidden").otherwise("shown").alias("visibility"),
+    )
