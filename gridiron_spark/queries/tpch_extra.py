@@ -865,3 +865,33 @@ def null_functions(spark, sf_dir):
         F.col("c_name").try_cast("double").alias("name_as_num"),
         F.when(seg_or_null.isNull(), "hidden").otherwise("shown").alias("visibility"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    survey="A-scan(Q6 shape: pure pushed-predicate single-row aggregate)",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6, the pure scan-throughput probe: every predicate (date
+    range, discount band, quantity cap) reaches the parquet reader as a
+    pushed filter over exactly four columns — row-group min/max skipping
+    does the work and a single partial-aggregated row per task reaches the
+    one-row final agg. No join, no wide shuffle: the query IS the scan,
+    which is why engines use it to measure raw columnar bandwidth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
