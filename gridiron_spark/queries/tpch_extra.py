@@ -895,3 +895,109 @@ def forecast_revenue_change(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@register(
+    "multiset_ops",
+    survey="SET-all(INTERSECT ALL / EXCEPT ALL multiset semantics)",
+    oracle="""
+SELECT 'intersect_all' AS op, l_orderkey, l_partkey
+FROM (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+)
+UNION ALL
+SELECT 'except_all' AS op, l_orderkey, l_partkey
+FROM (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+)
+""",
+)
+def multiset_ops(spark, sf_dir):
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    duplicate COUNTS (min/difference of multiplicities), unlike the
+    DISTINCT forms already in the catalog (set_intersect_users /
+    set_except_users). Spark lowers both to a single count-comparing
+    aggregation per branch rather than a join — one shuffle per side on the
+    full key; the same rows can appear k times in the output, which the
+    order-insensitive hash check verifies exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_partkey")
+    both = r.intersectAll(f).select(
+        F.lit("intersect_all").alias("op"), "l_orderkey", "l_partkey"
+    )
+    only_r = r.exceptAll(f).select(
+        F.lit("except_all").alias("op"), "l_orderkey", "l_partkey"
+    )
+    return both.unionByName(only_r)
+
+
+@register(
+    "ranged_global_sort",
+    survey="O-global(total order via RangePartitioning sample-based exchange)",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+)
+def ranged_global_sort(spark, sf_dir):
+    """A true global total order with global row numbers — done the ONLY
+    way that scales: repartitionByRange (sample-based range boundaries) +
+    per-partition local sort, then global sequence numbers as
+    local row_number + broadcast per-partition offsets. A bare
+    `row_number() OVER (ORDER BY ...)` would drag every row onto one
+    partition (WindowExec warns); here the offsets table is
+    |partitions|-sized, so the unpartitioned prefix-sum window over IT is
+    free. seq is boundary-placement-independent because the (date, key)
+    order is total. Contrast with topk_orders/paginated_orders, whose
+    TakeOrderedAndProject never materializes the full order."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # pid is materialized ONCE, in the map stage right after the range
+    # exchange — using spark_partition_id() directly inside the window spec
+    # would re-evaluate it after the window's own hash exchange (wrong ids).
+    # localCheckpoint freezes the (sample-derived, run-varying) range
+    # boundaries: the plan branches into local_rn and offsets below, and
+    # two independent executions of repartitionByRange could draw DIFFERENT
+    # boundaries, silently skewing seq — nondeterministic partition
+    # identity must be pinned before a plan forks over it.
+    srt = (
+        o.repartitionByRange(16, "o_orderdate", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = srt.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        "pid",
+        F.row_number()
+        .over(W.partitionBy("pid").orderBy("o_orderdate", "o_orderkey"))
+        .alias("local_rn"),
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "pid",
+            (
+                F.sum("n").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+            ).alias("off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("local_rn") + F.coalesce(F.col("off"), F.lit(0))).cast("int").alias("seq"),
+        )
+    )
