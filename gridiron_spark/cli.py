@@ -79,6 +79,17 @@ def cmd_sample(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_compact(args, spark: SparkSession) -> int:
+    from gridiron_spark.io.compact import compact_pool
+
+    sort_by = args.sort_by.split(",") if args.sort_by else None
+    df = compact_pool(
+        spark, args.pool, tuple(args.partition_by.split(",")), sort_by=sort_by
+    )
+    print(f"compacted pool: {df.count()} rows")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gridiron_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +124,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--filter", action="append", help="SQL predicate, repeatable (conjunctive)"
     )
     ps.set_defaults(fn=cmd_sample)
+
+    pc = sub.add_parser(
+        "compact", help="rewrite fragmented partitions to one file each"
+    )
+    pc.add_argument("--pool", required=True)
+    pc.add_argument(
+        "--partition-by", default="season,gameId",
+        help="comma-separated Hive partition columns",
+    )
+    pc.add_argument(
+        "--sort-by", default=None,
+        help="comma-separated in-file sort columns (row-group skipping)",
+    )
+    pc.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -81,3 +81,26 @@ def test_export_roundtrip(spark, lake, tmp_path):
     back = spark.read.option("header", True).csv(str(out))
     assert back.count() > 0
     assert {"gameId", "playId", "frameId"} <= set(back.columns)
+
+
+def test_cli_compact(spark, tmp_path):
+    from pathlib import Path
+
+    from gridiron_spark.cli import main
+
+    pool = str(tmp_path / "pool")
+    base = spark.range(0, 60).selectExpr(
+        "cast(2018111800 as long) gameId",
+        "cast(id as int) frameId",
+        "'2018' as season",
+    )
+    for i in range(2):
+        base.filter(f"frameId % 2 = {i}").write.mode("append").partitionBy(
+            "season", "gameId"
+        ).parquet(pool)
+    rc = main(["compact", "--pool", pool, "--sort-by", "frameId"], spark=spark)
+    assert rc == 0
+    files = [
+        len(list(p.glob("*.parquet"))) for p in Path(pool).glob("season=*/gameId=*")
+    ]
+    assert files and max(files) == 1

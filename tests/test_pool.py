@@ -88,3 +88,41 @@ def test_export_csv(pool, tmp_path, spark):
     assert len(files) == 1
     back = spark.read.option("header", True).csv(str(out))
     assert back.count() == 2 * 50 * 23
+
+
+def test_compact_pool_restores_one_file_per_partition(spark, tmp_path):
+    """A fragmented partition (multiple append writes) compacts back to one
+    file per Hive partition with identical rows."""
+    from pathlib import Path
+
+    from gridiron_spark.io.compact import compact_pool
+
+    pool = str(tmp_path / "pool")
+    base = spark.range(0, 300).selectExpr(
+        "cast(2018111800 + id % 2 as long) gameId",
+        "cast(id % 5 as int) playId",
+        "cast(id as int) frameId",
+        "cast(id * 0.1 as float) x",
+        "'2018' as season",
+    )
+    # three append writes → ≥3 files per partition
+    for i in range(3):
+        base.filter(f"frameId % 3 = {i}").write.mode("append").partitionBy(
+            "season", "gameId"
+        ).parquet(pool)
+    before = sorted(map(tuple, spark.read.option("basePath", pool).parquet(pool).collect()))
+    frag = [
+        len(list(p.glob("*.parquet")))
+        for p in Path(pool).glob("season=*/gameId=*")
+    ]
+    assert frag and min(frag) >= 3, f"fixture not fragmented: {frag}"
+
+    compacted = compact_pool(spark, pool, ("season", "gameId"), sort_by=("frameId",))
+
+    after_files = [
+        len(list(p.glob("*.parquet")))
+        for p in Path(pool).glob("season=*/gameId=*")
+    ]
+    assert after_files and max(after_files) == 1, f"still fragmented: {after_files}"
+    after = sorted(map(tuple, compacted.collect()))
+    assert after == before
