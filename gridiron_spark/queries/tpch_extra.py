@@ -1001,3 +1001,34 @@ def ranged_global_sort(spark, sf_dir):
             (F.col("local_rn") + F.coalesce(F.col("off"), F.lit(0))).cast("int").alias("seq"),
         )
     )
+
+
+@register(
+    "generator_outer_expand",
+    survey="G-posexplode_outer(sequence generation + null-preserving row expansion)",
+    oracle="""
+SELECT o_orderkey, g.i - 1 AS pos, arr[g.i] AS val
+FROM (SELECT o_orderkey, generate_series(1, o_orderkey % 3) AS arr
+      FROM orders WHERE o_orderkey < 3000)
+LEFT JOIN LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g ON true
+""",
+)
+def generator_outer_expand(spark, sf_dir):
+    """Generator-function family: `sequence` builds a per-row array (empty
+    for every third key) and `posexplode_outer` expands it to (pos, val)
+    rows while PRESERVING empty-array parents as a single null row — the
+    outer variant matters in pipelines because a plain explode silently
+    drops parents, breaking left-side row accounting. Narrow operators
+    end to end: no shuffle (the fan-out caveat from the winnow lesson
+    applies — at one-file scale the explode inherits the scan's task
+    count; bounded here by the key subset)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    n = F.col("o_orderkey") % 3
+    arr = F.when(n == 0, F.array().cast("array<bigint>")).otherwise(
+        F.sequence(F.lit(1).cast("bigint"), n)
+    )
+    return (
+        o.select("o_orderkey", arr.alias("arr"))
+        .select("o_orderkey", F.posexplode_outer("arr").alias("pos", "val"))
+        .select("o_orderkey", F.col("pos").cast("long").alias("pos"), "val")
+    )
