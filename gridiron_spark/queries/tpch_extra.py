@@ -1032,3 +1032,40 @@ def generator_outer_expand(spark, sf_dir):
         .select("o_orderkey", F.posexplode_outer("arr").alias("pos", "val"))
         .select("o_orderkey", F.col("pos").cast("long").alias("pos"), "val")
     )
+
+
+@register(
+    "math_functions",
+    survey="F-math(abs/floor/ceil/sqrt/pow/sign — IEEE-exact subset)",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - l_quantity * 1000.0) AS price_gap,
+       CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket,
+       CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+       sqrt(l_quantity) AS qty_sqrt,
+       pow(1.0 + l_discount, 2) AS disc_compound,
+       CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_side
+FROM lineitem
+WHERE l_orderkey < 3000
+""",
+)
+def math_functions(spark, sf_dir):
+    """Math-function parity restricted to the cross-engine-exact subset:
+    abs/floor/ceil/sign are exact by definition; sqrt is IEEE
+    correctly-rounded; pow(x, 2) is a multiply. Deliberately excluded:
+    ln/exp (JVM vs libm differ by 1 ulp — measured here) and round()
+    (Spark HALF_UP vs DuckDB half-even) — genuine cross-engine semantic
+    differences that decimal routing (decimal_safe) sidesteps for
+    aggregates. Widths aligned in SQL (DuckDB floor/ceil→double,
+    sign→int vs Spark long/long/double)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("price_gap"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("price_bucket"),
+        F.ceil(F.col("l_discount") * 100.0).alias("disc_pct_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow(1.0 + F.col("l_discount"), F.lit(2)).alias("disc_compound"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_side"),
+    )
