@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.advanced",
     "gridiron_spark.queries.scale",
     "gridiron_spark.queries.tpch_extra",
+    "gridiron_spark.queries.tpch_final",
 )
 
 

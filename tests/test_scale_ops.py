@@ -77,6 +77,41 @@ def test_countmin_estimates_bound_true_counts(spark):
         assert est - true_n <= bound
 
 
+def test_hll_estimate_within_bound(spark):
+    """HLL estimate from the register sketch lands within the standard
+    ~1.04/sqrt(m) relative-error bound (with generous 3-sigma slack) of the
+    true distinct count, and registers merge by cell-wise MAX."""
+    import math
+
+    from gridiron_spark.queries.scale import _HLL_BUCKETS, hll_distinct_sketch
+
+    rows = hll_distinct_sketch(spark, SF_ORACLE).collect()
+    regs = [0] * _HLL_BUCKETS
+    for r in rows:
+        regs[r.bucket] = r.max_rho
+    m = _HLL_BUCKETS
+    alpha = 0.709  # alpha_64
+    raw = alpha * m * m / sum(2.0**-x for x in regs)
+    zeros = regs.count(0)
+    est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+    true_n = (
+        load_table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    )
+    assert abs(est - true_n) / true_n < 3 * 1.04 / math.sqrt(m)
+
+    # mergeability: sketch(first half) MAX sketch(second half) == sketch(all)
+    ev = load_table(spark, SF_ORACLE, "events")
+    med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    halves = [ev.filter(F.col("event_id") <= med), ev.filter(F.col("event_id") > med)]
+    from gridiron_spark.queries.scale import hll_registers
+
+    merged = [0] * m
+    for h in halves:
+        for r in hll_registers(h).collect():
+            merged[r.bucket] = max(merged[r.bucket], r.max_rho)
+    assert merged == regs
+
+
 def test_approx_aggregates_within_bounds(spark):
     """The 100 TB substitutes for exact distinct/percentile: HLL++ and
     GK-sketch results must land within their documented error bounds of the
