@@ -331,3 +331,45 @@ def streaming_enrich_e2e(spark, sf_dir):
         enrich_with_dim(stream, dim), f"enrich_{uuid.uuid4().hex[:8]}"
     )
     return result.select("window_start", "segment", "n", "sum_value")
+
+
+@register(
+    "streaming_dedup_e2e",
+    survey="ST3 as real dropDuplicatesWithinWatermark (availableNow), append drain",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_e2e(spark, sf_dir):
+    """REAL stateful streaming dedup, end to end: the events file-stream
+    deduped on (user_id, event_type) with dropDuplicatesWithinWatermark,
+    drained in append mode (dedup emits rows as they're first seen — no
+    aggregation, so complete mode doesn't apply).
+
+    Determinism contract: WHICH duplicate survives is processing-order-
+    dependent, so only the key columns are emitted — the surviving KEY SET
+    is exact. The watermark delay (90 days) covers the full staged time
+    span, so no state is evicted mid-drain and each key is emitted exactly
+    once even if availableNow splits the backlog into multiple batches;
+    production uses a tight delay (state size ∝ keys per window) and the
+    eviction path is exercised in tests/test_streaming.py. At scale the
+    state store shuffles on the dedup key — the same sizing rule as every
+    stateful op here: shuffle partitions pinned at query start, frozen
+    into the checkpoint (run_available_now does this).
+    """
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        dedup_within_watermark,
+        run_available_now,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    stream = stream_events(spark, stage)
+    deduped = dedup_within_watermark(
+        stream, watermark="90 days", keys=["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return run_available_now(
+        deduped, f"dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

@@ -118,10 +118,20 @@ def session_agg(
     )
 
 
-def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Stateful exactly-once dedup on event_id, state bounded by watermark."""
+def dedup_within_watermark(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Stateful exactly-once dedup, state bounded by watermark.
+
+    Default key is event_id (idempotent re-delivery suppression); pass
+    ``keys`` for semantic dedup on a composite key. Which duplicate
+    survives is processing-order-dependent — downstream consumers must
+    rely only on the KEY columns unless the source is time-ordered.
+    """
     return events.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+        keys or ["event_id"]
     )
 
 
