@@ -174,6 +174,76 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_TWS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, first_ts, last_ts) via Spark 4's
+    ``transformWithStateInPandas`` — the typed-state successor to
+    applyInPandasWithState (named state variables, TTL, timers, state
+    schema evolution). Requires the RocksDB state store provider and the
+    ``protobuf`` package for the Python↔JVM state protocol; this container
+    ships neither protobuf nor pip, so the path is exercised only where
+    protobuf is importable (tests/test_streaming.py gates on it) — the
+    applyInPandasWithState pipeline above is the env-portable equivalent.
+
+    Outputs only order-independent stats (count/min/max) so a drained
+    single-batch run is deterministic and batch-comparable.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("mn", LongType()),
+                        StructField("mx", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._st.get() if self._st.exists() else None
+            n, mn, mx = prior if prior is not None else (0, None, None)
+            for pdf in rows:
+                n += len(pdf)
+                bmn, bmx = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._st.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [mn],
+                    "last_us": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.select(
+        "user_id", F.unix_micros(F.col("ts_ts")).alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.transformWithStateInPandas(
+        _UserStats(), _TWS_OUT_SCHEMA, "Update", "None"
+    )
+
+
 def attribution_join(
     views: DataFrame, clicks: DataFrame, horizon: str = "24 hours",
     watermark: str = "35 days",

@@ -240,3 +240,44 @@ def test_foreach_batch_idempotent_replay(spark, source_dir, tmp_path):
     )
     second_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert second_rows == first_rows, "replay changed or duplicated rows"
+
+
+def test_tws_user_stats_matches_batch(spark, source_dir):
+    """Spark 4 transformWithStateInPandas: running per-user stats must match
+    the batch groupBy on the same rows. The TWS Python<->JVM state protocol
+    needs protobuf (not shipped in this container), so the test gates on it —
+    the pipeline itself is cluster-ready."""
+    pytest.importorskip("google.protobuf")
+    from gridiron_spark.streaming.pipelines import tws_user_stats
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        res = _drain(
+            tws_user_stats(stream_events(spark, source_dir)), mode="update"
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update mode re-emits a key per micro-batch and the memory sink keeps
+    # every emission in no guaranteed order; n_events is cumulative, so the
+    # max-n emission per key is the final running stats
+    final = {}
+    for r in res:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.first_us, r.last_us)
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(source_dir)
+    want = {
+        r.user_id: (r.n, r.mn, r.mx)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts_ts")).alias("mn"),
+            F.max(F.unix_micros("ts_ts")).alias("mx"),
+        )
+        .collect()
+    }
+    assert final == want
