@@ -305,3 +305,94 @@ def udtf_bigrams(spark, sf_dir):
         "SELECT b.doc_id, b.pos, b.bigram "
         "FROM udtf_bigram_src, LATERAL bigrams_udtf(doc_id, text) b"
     )
+
+
+_CHUNK = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunking",
+    survey="NS-text(context-window chunking: overlapping token windows)",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(
+           list_slice(toks, i*{_CHUNK_STRIDE}+1, i*{_CHUNK_STRIDE}+{_CHUNK}), ' '
+       ) AS chunk_text,
+       len(list_slice(toks, i*{_CHUNK_STRIDE}+1, i*{_CHUNK_STRIDE}+{_CHUNK}))
+           AS n_chunk_tokens
+FROM t, LATERAL (
+    SELECT unnest(range(0, (len(toks)-1)//{_CHUNK_STRIDE} + 1)) AS i
+) u
+""",
+)
+def doc_chunking(spark, sf_dir):
+    """Overlapping token-window chunking — the context-window prep step of
+    every LLM training/RAG pipeline: {c}-token chunks every {s} tokens
+    ({o}-token overlap), final chunk allowed short. One chunk per stride
+    start ≤ last token index — fully deterministic, so the lateral-unnest
+    oracle matches bit-for-bit (Spark slice and DuckDB list_slice both
+    clamp at the array end).
+
+    Plan shape: tokens materialize ONCE in a projection (never inside a
+    HOF lambda — no CSE there), then a posexplode of the tiny stride-index
+    sequence fans rows out; slice/concat_ws run on the already-split array
+    per chunk row. The explode is narrow, so the pre-explode rows are
+    fan_out-repartitioned only when the scan is under-partitioned (no-op
+    at 100 TB, where chunking is embarrassingly parallel and shuffle-free).
+    """.format(c=_CHUNK, s=_CHUNK_STRIDE, o=_CHUNK - _CHUNK_STRIDE)
+    from gridiron_spark.io.tables import fan_out
+
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    t = doc.select("doc_id", _tokens().alias("toks"))
+    n_ids = F.floor((F.size("toks") - 1) / _CHUNK_STRIDE).cast("int")
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_ids)).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK)
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "text_normalize",
+    survey="NS-text(cleaning: lowercase, punct strip, whitespace collapse)",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           '  +', ' ', 'g')) AS clean_text,
+       len(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           '  +', ' ', 'g')), ' ')) AS n_clean_tokens
+FROM documents
+""",
+)
+def text_normalize(spark, sf_dir):
+    """Text cleaning for training corpora: lowercase, non-alphanumeric →
+    space, whitespace collapse, trim. Pure JVM-side regexp_replace chain
+    (whole-stage codegen, no UDF); the patterns use only character
+    classes, so Java regex and DuckDB's RE2 agree exactly. The cleaned
+    token count is the usual pre-tokenizer length signal for filtering."""
+    doc = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return doc.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, " ")).alias("n_clean_tokens"),
+    )
