@@ -1,0 +1,65 @@
+"""Physical-plan guards for the decorrelated TPC-H subquery shapes.
+
+These assert the SCALE properties, not results (oracle parity covers those):
+the fact table is shuffled only on its own aggregation keys, every dimension
+side is a broadcast hash join, and no sort-merge join sneaks in when stats
+change. A regression here means a plan that still passes correctness at
+sf0.01 but falls over at 100 TB — exactly the failure mode tests must catch
+early. PLANS.md records the audited plans these guards freeze.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gridiron_spark.queries import catalog
+from tests.conftest import SF_ORACLE
+
+_CATALOG = catalog()
+
+# query -> (expected data shuffles, minimum broadcast joins)
+# "data shuffle" = Exchange hashpartitioning / SinglePartition / rangepartitioning
+# (BroadcastExchange excluded — broadcasting a dim is the point).
+_SHAPES = {
+    # lineitem agg (partial+final = 1 exchange) + priority agg
+    "priority_exists_count": (2, 2),
+    # (partkey,suppkey) agg + partkey window reshuffle of the deduped relation
+    "min_cost_supplier": (2, 5),
+    # partkey agg + SinglePartition window total over aggregated rows
+    "important_part_value": (2, 1),
+    # (partkey,suppkey) agg + suppkey distinct
+    "excess_shipped_suppliers": (2, 2),
+    # one map-side-combined register agg
+    "hll_distinct_sketch": (1, 0),
+    "countmin_sketch": (1, 0),
+}
+
+
+def _plan_of(spark, name: str) -> str:
+    df = _CATALOG[name].spark_fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_SHAPES))
+def test_plan_shape(spark, name):
+    plan = _plan_of(spark, name)
+    shuffles = len(
+        re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan)
+    )
+    broadcasts = plan.count("BroadcastHashJoin")
+    want_shuffles, min_broadcasts = _SHAPES[name]
+    assert shuffles == want_shuffles, f"{name}: {shuffles} data shuffles\n{plan}"
+    assert broadcasts >= min_broadcasts, f"{name}: {broadcasts} broadcast joins"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_q20_shipdate_filter_is_pushable(spark):
+    """The Q20 ship-date window must reach the parquet scan as a range
+    predicate (row-group min/max skipping) — `year(col)=...` would not."""
+    plan = _plan_of(spark, "excess_shipped_suppliers")
+    m = re.search(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", plan)
+    assert m, f"no pushed l_shipdate filter in:\n{plan}"
+    assert "GreaterThanOrEqual(l_shipdate" in m.group(0)
+    assert "LessThan(l_shipdate" in m.group(0)
