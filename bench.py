@@ -40,6 +40,7 @@ def main() -> None:
                 samples.append(dt)
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        _between_query_hygiene(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -51,6 +52,23 @@ def main() -> None:
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def _between_query_hygiene(spark) -> None:
+    """Session hygiene between timed queries (outside any timed region).
+
+    A long-lived session accumulates finished-workload state: memory-sink
+    tables from drained streaming queries (each pins its result rows on the
+    driver) and whatever garbage the last plan left tenured. Dropping
+    finished temp views and nudging a GC keeps query N's timing from paying
+    for queries 1..N-1 — the "session aging" documented in BASELINE.md.
+    Every catalog entry is self-contained (re-registers anything it needs),
+    so dropping temp views between entries is safe.
+    """
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary:
+            spark.catalog.dropTempView(tbl.name)
+    spark._jvm.System.gc()
 
 
 if __name__ == "__main__":
