@@ -47,8 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes)["ts"] == "bigint":
             # integer div, not `/1000`: double division rounds at int64 scale
             ts_us = F.expr("ts div 1000")
-        else:  # future-proof: a driver session that already reads nanos natively
-            ts_us = (F.unix_timestamp("ts") * F.lit(1_000_000)).cast("long")
+        else:
+            # Spark >= 4.1 reads TIMESTAMP(NANOS) natively as timestamp_ntz
+            # (µs precision, nanos truncated — matching DuckDB's µs clock).
+            # timestampdiff against an NTZ epoch literal is session-timezone
+            # independent; unix_timestamp() would truncate to whole seconds
+            # AND coerce through the session tz.
+            ts_us = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
         return df.withColumn("ts_us", ts_us).withColumn(
             "ts_ts", F.timestamp_micros(F.col("ts_us"))
         )

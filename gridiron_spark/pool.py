@@ -39,7 +39,7 @@ class Pool:
         """Cheap liveness check: can we read one row? (Fixes the reference
         dashboard's collect-the-whole-pool probe, app/main.py:46 — this reads
         a single row group.)"""
-        return len(self.scan().limit(1).collect()) >= 0
+        return len(self.scan().limit(1).collect()) == 1
 
     # -- listings (dashboard surface, app/main.py:49-60) ----------------------
 

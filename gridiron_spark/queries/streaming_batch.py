@@ -67,6 +67,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     oracle=f"""
 WITH marked AS (
     SELECT user_id,
+           event_id,
            epoch_us(ts) AS ts_us,
            value,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -77,8 +78,10 @@ WITH marked AS (
 ),
 sessions AS (
     SELECT user_id, ts_us, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM marked
 )
 SELECT user_id,
@@ -98,13 +101,16 @@ def session_window_agg(spark, sf_dir):
     the live stream)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # event_id in the cumulative ORDER BY: ties on ts_us must accumulate in
+    # the same order as the oracle or session boundaries shift at tied rows.
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts_us",
         "value",
         F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US, 1)
@@ -185,7 +191,9 @@ def streaming_tumbling_e2e(spark, sf_dir):
 def _stage_events(spark, sf_dir) -> str:
     import os
 
-    stage = f"/tmp/gridiron_stream_stage/{sf_dir.strip('/').replace('/', '_')}"
+    # v2: stage layout versioned — a stale stage written by an older code
+    # version (e.g. with second-truncated ts_us) must not be reused.
+    stage = f"/tmp/gridiron_stream_stage/v2_{sf_dir.strip('/').replace('/', '_')}"
     if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id",
@@ -203,6 +211,7 @@ def _stage_events(spark, sf_dir) -> str:
     oracle=f"""
 WITH marked AS (
     SELECT user_id,
+           event_id,
            epoch_us(ts) AS ts_us,
            value,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -213,7 +222,7 @@ WITH marked AS (
 ),
 sessions AS (
     SELECT user_id, ts_us, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
     FROM marked
 )

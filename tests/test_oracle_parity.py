@@ -86,12 +86,16 @@ def test_oracle_parity(name, spark, duck):
 
 
 def test_every_query_has_rows(spark):
-    """Rows-only sanity for oracle-less queries (the driver's weaker check)."""
+    """Rows-only sanity for oracle-less queries (the driver's weaker check).
+
+    Every oracle-less query must produce at least one row at SF_ORACLE —
+    a zero-row result means the operator silently did nothing.
+    """
     for name, entry in _CATALOG.items():
         if entry.oracle:
             continue
         df = entry.spark_fn(spark, SF_ORACLE)
-        assert df.count() >= 0, name
+        assert df.count() > 0, f"{name}: oracle-less query returned 0 rows"
 
 
 def test_entry_smoke(spark):
@@ -99,5 +103,30 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0, "flagship entry() returned 0 rows"
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_events_ts_us_subsecond(spark):
+    """Pin sub-second precision of the derived ts_us column.
+
+    Regression guard for the round-2 failure: Spark 4.1 reads the events
+    table's TIMESTAMP(NANOS) column natively as timestamp_ntz, and the old
+    fallback (`unix_timestamp(ts) * 1e6`) truncated to whole seconds,
+    hash-failing every downstream time-ordered query.
+    """
+    from gridiron_spark.io.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    subsec = ev.filter("ts_us % 1000000 != 0").count()
+    assert subsec > 0, "ts_us lost sub-second precision"
+    # and it must agree with DuckDB's µs epoch to the microsecond
+    con = _duck_connection(SF_ORACLE)
+    try:
+        (dmin, dmax) = con.execute(
+            "SELECT min(epoch_us(ts)), max(epoch_us(ts)) FROM events"
+        ).fetchone()
+    finally:
+        con.close()
+    row = ev.selectExpr("min(ts_us) AS lo", "max(ts_us) AS hi").first()
+    assert (row.lo, row.hi) == (dmin, dmax)

@@ -32,6 +32,16 @@ def test_probe_and_listings(pool):
     assert plays == [50, 100, 150, 200, 250]
 
 
+def test_probe_fails_on_empty_pool(spark, tmp_path):
+    """probe() must be a real liveness check: an empty (schema-only) pool
+    returns False, not a vacuous True."""
+    empty = tmp_path / "empty_pool"
+    spark.range(0).selectExpr(
+        "cast(id as long) gameId", "cast(id as int) playId"
+    ).write.parquet(str(empty))
+    assert Pool(spark, empty).probe() is False
+
+
 def test_fetch_play_ordered(pool):
     df = pool.fetch_play(2023090000, 50)
     rows = df.select("frameId").collect()
