@@ -31,8 +31,17 @@ class CatalogEntry:
 
 _CATALOG: dict[str, CatalogEntry] = {}
 
-# modules that register queries on import
+# modules that register queries on import. ORDER MATTERS for external
+# verification: the driver hash-checks the first 50 catalog entries in
+# registration order. Rounds 1-2 verified parity/analytics/text/dedup/
+# similarity/streaming_batch/multimodal/tensor (+6 of advanced); this round
+# rotates tpch_extra/advanced/scale/tpch_final to the front so the
+# never-checked half of the catalog gets driver-verified rows.
 _QUERY_MODULES = (
+    "gridiron_spark.queries.tpch_extra",
+    "gridiron_spark.queries.advanced",
+    "gridiron_spark.queries.scale",
+    "gridiron_spark.queries.tpch_final",
     "gridiron_spark.queries.parity",
     "gridiron_spark.queries.analytics",
     "gridiron_spark.queries.text",
@@ -41,10 +50,6 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.streaming_batch",
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
-    "gridiron_spark.queries.advanced",
-    "gridiron_spark.queries.scale",
-    "gridiron_spark.queries.tpch_extra",
-    "gridiron_spark.queries.tpch_final",
 )
 
 

@@ -60,10 +60,23 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "multimodal_embed",
     survey="NS-multimodal(feature extraction via pandas_udf) — rows-only",
-    oracle=None,  # array<float> output; the embedding body is the swappable
-    # model boundary, so only the plumbing contract is graded here
+    oracle=None,  # the embedding body is the swappable model boundary, so
+    # only the plumbing contract is graded here
 )
 def multimodal_embed(spark, sf_dir):
+    """The pandas_udf embedding stage, with the array<float> output projected
+    to scalar digests for the driver's row canonicalizer (which cannot hash
+    list cells): vector dimension + md5 of the 6-dp-rounded values. The
+    digest pins every element's value, so the UDF plumbing is still fully
+    exercised and regressions still flip the hash."""
     docs = load_table(spark, sf_dir, "documents")
     emb = extract_media_embedding(media_from_documents(docs), dims=16)
-    return emb.select("media_id", "kind", "embedding")
+    rounded = F.transform(
+        "embedding", lambda x: F.round(x.cast("double"), 6).cast("string")
+    )
+    return emb.select(
+        "media_id",
+        "kind",
+        F.size("embedding").alias("emb_dim"),
+        F.md5(F.concat_ws(",", rounded)).alias("emb_md5"),
+    )

@@ -45,7 +45,17 @@ def grouped_map_tensorize(spark, sf_dir):
         F.col("value").cast("float").alias("s"),
         F.lit(0.0).cast("float").alias("a"),
     )
-    return tensorize_plays(tracking_shaped, max_frames=16, max_players=23)
+    t = tensorize_plays(tracking_shaped, max_frames=16, max_players=23)
+    # Project the 3-D float block to a scalar digest for the driver's row
+    # canonicalizer (it cannot hash list cells). to_json serializes every
+    # element, so any numeric drift in the pivot still flips the md5.
+    return t.select(
+        "gameId",
+        "playId",
+        "n_frames",
+        "n_players",
+        F.md5(F.to_json("tensor")).alias("tensor_md5"),
+    )
 
 
 _COGROUP_SCHEMA = (
