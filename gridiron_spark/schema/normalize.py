@@ -63,7 +63,18 @@ def normalize(df: DataFrame, schema: TableSchema) -> DataFrame:
                 None,
             )
         if src is not None:
-            exprs.append(_permissive_cast(F.col(src), col.spark_type).alias(col.name))
+            e = _permissive_cast(F.col(src), col.spark_type)
+            if col.min_value is not None or col.max_value is not None:
+                # declared range (unsigned-widening contract): out-of-range
+                # values null out, mirroring the permissive-cast behavior —
+                # one extra CASE in the same projection, still codegen'd.
+                cond = F.lit(True)
+                if col.min_value is not None:
+                    cond = cond & (e >= F.lit(col.min_value))
+                if col.max_value is not None:
+                    cond = cond & (e <= F.lit(col.max_value))
+                e = F.when(cond, e)
+            exprs.append(e.alias(col.name))
         elif col.default is not None:
             exprs.append(F.lit(col.default).cast(col.spark_type).alias(col.name))
         elif col.nullable:

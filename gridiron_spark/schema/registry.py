@@ -56,6 +56,13 @@ class ColumnSpec:
     aliases: tuple[str, ...] = ()
     nullable: bool = False
     default: Any = None
+    # declared value range (YAML keys ``min``/``max``). This is how unsigned
+    # reference dtypes survive the widening to signed Spark types: a UInt8
+    # column becomes ``short`` with ``min: 0, max: 255`` and out-of-range
+    # values null out instead of silently wrapping (reference
+    # data/nfl-bdb/2026/schema.yaml declares UInt8/UInt16 columns).
+    min_value: Any = None
+    max_value: Any = None
 
     @property
     def spark_type(self) -> T.DataType:
@@ -105,6 +112,8 @@ class TableSchema:
                     aliases=tuple(spec.get("aliases", ())),
                     nullable=bool(spec.get("nullable", False)),
                     default=spec.get("default"),
+                    min_value=spec.get("min"),
+                    max_value=spec.get("max"),
                 )
             )
         return cls(
