@@ -50,7 +50,41 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Full-corpus variants of the deliberately-subsetted catalog entries
+    # (grouped_map_tensorize 1-in-20 users, cogroup_reconcile 1-in-50 keys):
+    # timed separately so the headline total stays comparable across rounds
+    # while the unsubsetted cost is still on record (BASELINE.md footnote).
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
+        from gridiron_spark.queries.tensor import (
+            cogroup_reconcile_full,
+            grouped_map_tensorize_full,
+        )
+
+        full: dict[str, float] = {}
+        for name, fn in (
+            ("grouped_map_tensorize_full", grouped_map_tensorize_full),
+            ("cogroup_reconcile_full", cogroup_reconcile_full),
+        ):
+            samples = []
+            for i in range(runs + 1):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    samples.append(dt)
+            full[name] = round(statistics.median(samples), 4)
+            print(f"# {name}: {full[name]:.3f}s ({n} rows)", file=sys.stderr)
+            _between_query_hygiene(spark)
+        result["full_variants"] = full
     print(json.dumps(result))
+    # Full, untruncated snapshot on disk: external captures of the stdout
+    # line have been tail-truncated (~2 KB), losing the per-query map that
+    # cross-round comparisons need. BASELINE.md points at this file.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

@@ -79,6 +79,36 @@ def cmd_sample(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_animate(args, spark: SparkSession) -> int:
+    """Assemble one play's animation data (the dashboard's data layer,
+    reference app/main.py:74-107): frames in time order with the
+    offense/defense/ball side label, plus the header stats the dashboard
+    shows. ``--output`` writes the labeled frames as CSV; stats always print."""
+    from gridiron_spark.operators.features import animate_stats, side_split
+    from gridiron_spark.pool import Pool
+
+    pool = Pool(spark, args.pool)
+    play = pool.fetch_play(args.game, args.play)
+    labeled = side_split(play, home_is_offense=not args.away_offense)
+    stats = animate_stats(play).collect()
+    if not stats:
+        print(f"FAIL: no rows for gameId={args.game} playId={args.play}")
+        return 1
+    s = stats[0]
+    sides = {r["side"]: r["n"] for r in labeled.groupBy("side").count().withColumnRenamed("count", "n").collect()}
+    print(
+        f"game={args.game} play={args.play}: frames={s.n_frames} "
+        f"duration={s.duration_s:.1f}s players={s.n_players} "
+        f"max_speed={s.max_speed} events={list(s.events)} "
+        f"offense={sides.get('offense', 0)} defense={sides.get('defense', 0)} "
+        f"ball={sides.get('ball', 0)}"
+    )
+    if args.output:
+        pool.export_csv(labeled, args.output, single_file=True)
+        print(f"wrote animation frames -> {args.output}")
+    return 0
+
+
 def cmd_compact(args, spark: SparkSession) -> int:
     from gridiron_spark.io.compact import compact_pool
 
@@ -124,6 +154,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--filter", action="append", help="SQL predicate, repeatable (conjunctive)"
     )
     ps.set_defaults(fn=cmd_sample)
+
+    pa = sub.add_parser(
+        "animate", help="assemble one play's animation data (dashboard surface)"
+    )
+    pa.add_argument("--pool", required=True)
+    pa.add_argument("--game", type=int, required=True)
+    pa.add_argument("--play", type=int, required=True)
+    pa.add_argument("--output", default=None, help="CSV output dir (optional)")
+    pa.add_argument(
+        "--away-offense", action="store_true",
+        help="read the away team as the offense (default: home)",
+    )
+    pa.set_defaults(fn=cmd_animate)
 
     pc = sub.add_parser(
         "compact", help="rewrite fragmented partitions to one file each"

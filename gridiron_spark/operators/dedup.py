@@ -157,9 +157,11 @@ def pair_intersection_counts(
     Count-based: |A∩B| is the row count of the inverted-index self-join per
     pair, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes — shingle sets never
     travel through the pair shuffle (carrying the arrays and deduplicating
-    wide rows was the measured bottleneck). At 100 TB add prefix filtering
-    (sort shingles by global frequency, index only each doc's rarest few)
-    to cap hot-shingle fan-out; here hot buckets are AQE skew-join territory.
+    wide rows was the measured bottleneck). The unrestricted variant indexes
+    every shingle (hot shingles fan out quadratically — AQE skew-join
+    territory); at scale generate candidates with
+    :func:`prefix_filtered_pairs` instead, which indexes only each doc's
+    globally-rarest shingles with identical output.
 
     With ``candidates`` (doc_a, doc_b), only those pairs are scored: the
     candidate list drives the join, so verification cost follows the (small)
@@ -275,6 +277,78 @@ def ngram_jaccard_pairs(
     return pair_intersection_counts(sh).filter(F.col("jaccard") >= threshold)
 
 
+def prefix_filtered_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via AllPairs/PPJoin prefix filtering —
+    the 100 TB form of :func:`ngram_jaccard_pairs`, identical output.
+
+    Order the shingle universe globally by (document frequency asc, shingle
+    asc) and index only each doc's first ``|d| - ceil(t*|d|) + 1`` shingles
+    under that order. The AllPairs theorem (Bayardo et al., WWW'07):
+    J(x, y) >= t implies the two prefixes share at least one shingle, so
+    candidate recall is exactly 1.0 and the verified result equals the
+    full inverted-index join — which is what the pytest equality check and
+    the shared oracle pin.
+
+    Scale shape: the inverted index shrinks from every (doc, shingle) row to
+    the ~(1-t) rarest per doc, and — decisively — the *hottest* shingles are
+    exactly the ones the frequency order pushes out of prefixes, so the
+    self-join's per-bucket fan-out is capped by construction rather than by
+    AQE skew handling after the fact. A doc-size length filter
+    (min >= t * max, implied by J >= t) prunes cross-size pairs before
+    verification. Extra cost: one global frequency aggregate (map-side
+    combinable) and one rank window per doc — both linear.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        # the 1e-9 slack biases double rounding toward a *longer* prefix
+        # (extra candidates, never lost recall) when t*sz is integral
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+            + 1
+        )
+        .select("doc_id", "shingle", "sz")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+            & (
+                F.least("a.sz", "b.sz")
+                >= F.lit(threshold) * F.greatest("a.sz", "b.sz") - F.lit(1e-9)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pair_intersection_counts(sh, candidates=cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -334,6 +408,98 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star rounds —
+    the O(log² n)-round connected-components algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), the scale form
+    of :func:`connected_components` with the identical fixpoint contract.
+
+    Each round is two grouped-min passes over the current edge set:
+
+    - **large-star**: per node u, hook every strictly-larger neighbor to
+      ``m(u) = min(N(u) ∪ {u})`` — halves the depth of tall subtrees;
+    - **small-star**: per node u (edges oriented small→large), hook u and its
+      smaller neighbors to the minimum — flattens what large-star hooked.
+
+    Both emit edges pointing at per-neighborhood minima, so the edge count
+    never grows and components converge to stars rooted at their global
+    minimum in O(log² n) rounds vs the naive propagation's O(diameter) —
+    the difference that matters on long chains (path graphs converge in ~7
+    rounds at n=100 where min-label needs 99). Per round: two shuffles
+    (groupBy u, then join), localCheckpoint to cut the iterative lineage
+    (reliable checkpoint(dir) on a real cluster).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient each edge toward its larger endpoint: (u=hi, v=lo)
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+        )
+        return hooked.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # fixpoint edges are star edges (node -> component root); roots label
+    # themselves. The min-agg is a no-op at the fixpoint and the best
+    # available label if max_iter stopped a pathological graph early.
+    labels = (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    roots = all_nodes.join(
+        labels, all_nodes["node"] == labels["doc_id"], "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return labels.unionByName(roots)
 
 
 def simhash32(text: Column, shingle_k: int = 3) -> Column:

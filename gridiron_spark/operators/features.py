@@ -45,6 +45,47 @@ def side_predicates(home_is_offense: bool = True) -> dict[str, Column]:
     }
 
 
+def side_split(df: DataFrame, home_is_offense: bool = True) -> DataFrame:
+    """Label every row ``side`` ∈ {offense, defense, ball, other} — the
+    dashboard's data split (reference app/main.py:97-107) engine-side.
+
+    Mirrors the reference exactly: the side column is ``playerSide`` when
+    present else ``team`` (app/main.py:98), lowercased; ``home``/``offense``
+    values are the offense, ``away``/``defense`` the defense (app/main.py:101-103
+    with the default home-is-offense reading); the ball rule is null/0 nflId
+    or a literal ``football`` side (app/main.py:104-106). Pure Column
+    expressions — one codegen'd projection, no shuffle.
+    """
+    side_col = "playerSide" if "playerSide" in df.columns else "team"
+    side = F.lower(F.col(side_col).cast("string"))
+    ball = (
+        F.col("nflId").isNull() | (F.col("nflId") == 0) | (side == "football")
+    )
+    off_vals = ["home", "offense"] if home_is_offense else ["away", "offense"]
+    def_vals = ["away", "defense"] if home_is_offense else ["home", "defense"]
+    return df.withColumn(
+        "side",
+        F.when(ball, "ball")
+        .when(side.isin(off_vals), "offense")
+        .when(side.isin(def_vals), "defense")
+        .otherwise("other"),
+    )
+
+
+def animate_stats(df: DataFrame) -> DataFrame:
+    """Per-play dashboard header stats (reference app/main.py:89-95): frame
+    count, 10 Hz duration, max speed, distinct non-null players (the ball's
+    null nflId excluded, exactly as the reference filters), and the sorted
+    distinct non-null event list."""
+    return df.groupBy("gameId", "playId").agg(
+        F.max("frameId").alias("n_frames"),
+        (F.max("frameId") / F.lit(FRAME_HZ)).alias("duration_s"),
+        F.max("s").alias("max_speed"),
+        F.countDistinct("nflId").alias("n_players"),  # countDistinct skips nulls
+        F.array_sort(F.collect_set("event")).alias("events"),
+    )
+
+
 def kinematics(df: DataFrame) -> DataFrame:
     """Finite-difference velocity/acceleration per entity, plus orientation
     unit vectors from the degree-valued o/dir columns.

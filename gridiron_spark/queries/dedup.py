@@ -15,6 +15,7 @@ from gridiron_spark.io.tables import load_table
 from gridiron_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_filtered_pairs,
     shingle_rows,
     simhash_df,
     simhash_near_pairs,
@@ -192,6 +193,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_prefix",
+    survey="NS-dedup(n-gram Jaccard, prefix-filtered scale path),J1",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inv a JOIN inv b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+    SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_prefix(spark, sf_dir):
+    """AllPairs prefix-filtered exact n-gram-Jaccard pairs (threshold 0.5):
+    only each doc's globally-rarest shingles are indexed, capping hot-shingle
+    fan-out by construction. Recall is provably 1.0, so the oracle is the
+    same full inverted-index SQL as dedup_ngram_jaccard — identical output,
+    different (bounded) plan."""
+    doc = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_pairs(doc, threshold=0.5, shingle_k=3)
+
+
+@register(
     "dedup_clusters",
     survey="NS-dedup(cluster assignment: iterative connected components)",
     oracle=f"""
@@ -233,6 +263,50 @@ def dedup_clusters(spark, sf_dir):
     doc = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(doc, threshold=0.5)
     return connected_components(pairs)
+
+
+@register(
+    "dedup_clusters_star",
+    survey="NS-dedup(cluster assignment: large-star/small-star CC)",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT * FROM (
+        SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same cluster-assignment contract as dedup_clusters, computed with the
+    O(log² n)-round large-star/small-star algorithm instead of O(diameter)
+    min-label propagation — the form that survives long chains at 100 TB.
+    Checked against the identical recursive-CTE transitive-closure oracle."""
+    from gridiron_spark.operators.dedup import connected_components_star
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_pairs(doc, threshold=0.5, shingle_k=3)
+    return connected_components_star(pairs)
 
 
 @register(

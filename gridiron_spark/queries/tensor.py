@@ -16,19 +16,12 @@ from gridiron_spark.operators.tensorize import tensorize_plays
 from gridiron_spark.queries import register
 
 
-@register(
-    "grouped_map_tensorize",
-    survey="§2.9 grouped-map pandas UDF (long→wide tensor) — rows-only",
-    oracle=None,
-)
-def grouped_map_tensorize(spark, sf_dir):
-    """Events recast into the tracking shape (entity-frame time series), then
-    tensorized per (user, lane) group via applyInPandas — one shuffle on the
-    group key, per-group pivot inside Arrow batches, nothing on the driver."""
-    # a 1-in-20 user subset: the entry demonstrates the grouped-map plan
-    # (shuffle → per-group Arrow pivot), not a full-corpus materialization —
-    # unsubsetted, the 3-D output dominates runtime without adding coverage
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+def _tensorize_events(spark, sf_dir, subset_mod: int | None):
+    """Shared body for the catalog entry (1-in-``subset_mod`` user subset)
+    and the bench-only full-corpus variant (``subset_mod=None``)."""
+    ev = load_table(spark, sf_dir, "events")
+    if subset_mod is not None:
+        ev = ev.filter(F.col("user_id") % subset_mod == 0)
     w = Window.partitionBy("user_id", F.expr("event_id % 8")).orderBy(
         "ts_us", "event_id"
     )
@@ -56,6 +49,29 @@ def grouped_map_tensorize(spark, sf_dir):
         "n_players",
         F.md5(F.to_json("tensor")).alias("tensor_md5"),
     )
+
+
+@register(
+    "grouped_map_tensorize",
+    survey="§2.9 grouped-map pandas UDF (long→wide tensor) — rows-only",
+    oracle=None,
+)
+def grouped_map_tensorize(spark, sf_dir):
+    """Events recast into the tracking shape (entity-frame time series), then
+    tensorized per (user, lane) group via applyInPandas — one shuffle on the
+    group key, per-group pivot inside Arrow batches, nothing on the driver.
+
+    1-in-20 user subset: the entry demonstrates the grouped-map plan, not a
+    full-corpus materialization. The full-corpus cost is timed separately
+    (``grouped_map_tensorize_full`` via ``SPARK_GRAFT_BENCH_FULL=1`` in
+    bench.py) and recorded in BASELINE.md so the per-round number is not
+    mistaken for it."""
+    return _tensorize_events(spark, sf_dir, subset_mod=20)
+
+
+def grouped_map_tensorize_full(spark, sf_dir):
+    """Bench-only full-corpus tensorization (every user, no subset)."""
+    return _tensorize_events(spark, sf_dir, subset_mod=None)
 
 
 _COGROUP_SCHEMA = (
@@ -111,20 +127,25 @@ def cogroup_reconcile(spark, sf_dir):
     surface as empty pandas frames ≡ FULL OUTER JOIN)."""
     # 1-in-50 key subset: the entry demonstrates the cogroup plan (two
     # co-partitioned Exchanges -> per-key Arrow merge); unsubsetted, the
-    # per-group Python call overhead dominates (~15k tiny groups, measured
-    # 23 s at sf0.1) without adding coverage
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 50 == 0)
-        .select("o_custkey", "o_totalprice")
-    )
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 50 == 0)
-        .select("user_id", "event_type")
-    )
+    # per-group Python call overhead dominates (~15k tiny groups) without
+    # adding coverage — the full-corpus cost is timed separately
+    # (cogroup_reconcile_full, SPARK_GRAFT_BENCH_FULL=1) per BASELINE.md
+    return _cogroup_reconcile(spark, sf_dir, subset_mod=50)
+
+
+def _cogroup_reconcile(spark, sf_dir, subset_mod: int | None):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    if subset_mod is not None:
+        o = o.filter(F.col("o_custkey") % subset_mod == 0)
+        ev = ev.filter(F.col("user_id") % subset_mod == 0)
     return (
         o.groupBy("o_custkey")
         .cogroup(ev.groupBy("user_id"))
         .applyInPandas(_reconcile_fn, schema=_COGROUP_SCHEMA)
     )
+
+
+def cogroup_reconcile_full(spark, sf_dir):
+    """Bench-only full-corpus cogroup reconcile (every key, no subset)."""
+    return _cogroup_reconcile(spark, sf_dir, subset_mod=None)

@@ -83,6 +83,41 @@ def test_export_roundtrip(spark, lake, tmp_path):
     assert {"gameId", "playId", "frameId"} <= set(back.columns)
 
 
+def test_animate_play_data(spark, lake, tmp_path, capsys):
+    """The dashboard data layer end-to-end: stats line + labeled CSV frames
+    with the offense/defense/ball split (reference app/main.py:74-107)."""
+    from gridiron_spark.pool import Pool
+
+    pool = Pool(spark, lake)
+    game = pool.games()[0]
+    play = pool.plays(game)[0]
+    out = tmp_path / "anim"
+    rc = main(
+        ["animate", "--pool", str(lake), "--game", str(game),
+         "--play", str(play), "--output", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert f"game={game} play={play}" in stdout
+    assert "players=22" in stdout and "ball=" in stdout
+    back = spark.read.option("header", True).csv(str(out))
+    assert "side" in back.columns
+    sides = {r.side for r in back.select("side").distinct().collect()}
+    assert sides == {"offense", "defense", "ball"}
+    # every frame carries exactly 23 entities (22 players + ball)
+    assert back.count() == back.select("frameId").distinct().count() * 23
+
+
+def test_animate_missing_play(spark, lake, capsys):
+    rc = main(
+        ["animate", "--pool", str(lake), "--game", "1", "--play", "999"],
+        spark=spark,
+    )
+    assert rc == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
 def test_cli_compact(spark, tmp_path):
     from pathlib import Path
 

@@ -113,6 +113,75 @@ def test_connected_components_chain_merging(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 1, 21: 1, 10: 10, 11: 10}
 
 
+def test_prefix_filtered_equals_full_inverted_index(spark, docs):
+    """AllPairs prefix filtering (rarest-shingle index + length filter) is
+    lossless: same (pair, jaccard) set as the full inverted-index join."""
+    from gridiron_spark.operators.dedup import prefix_filtered_pairs
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filtered_pairs(docs, threshold=0.5).collect()
+    }
+    assert prefix == full
+    assert len(prefix) == 25  # the planted pairs
+
+
+def test_prefix_filter_shrinks_index(spark, docs):
+    """The prefix index must be strictly smaller than the full inverted
+    index — that reduction is the whole point of the scale path."""
+    from pyspark.sql import Window
+
+    from gridiron_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(docs)
+    total = sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    kept = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(0.5 * F.col("sz") - 1e-9) + 1)
+        .count()
+    )
+    # t=0.5 keeps ~half of each doc's shingles (+1)
+    assert kept < 0.6 * total
+
+
+def test_star_cc_equals_naive_cc_on_corpus_pairs(spark, docs):
+    """large-star/small-star and min-label propagation reach the same
+    fixpoint on the real near-dup graph."""
+    from gridiron_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    naive = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    star = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+    assert star == naive
+
+
+def test_star_cc_long_chain_converges(spark):
+    """A 40-node path graph: O(diameter) propagation needs 39 rounds; the
+    star algorithm must collapse it to one min-rooted cluster well inside
+    max_iter (O(log² n) rounds), plus disjoint components stay apart."""
+    from gridiron_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs, max_iter=10).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, 41)}, 100: 100, 101: 100, 102: 100}
+
+
 def test_simhash_agg_form_equals_scalar_form(spark, docs):
     """The exploded-aggregation plan (simhash_df) and the scalar Column
     expression (simhash32) are the same function — values must agree."""
