@@ -33,23 +33,50 @@ _CATALOG: dict[str, CatalogEntry] = {}
 
 # modules that register queries on import. ORDER MATTERS for external
 # verification: the driver hash-checks the first 50 catalog entries in
-# registration order. Rounds 1-2 verified parity/analytics/text/dedup/
-# similarity/streaming_batch/multimodal/tensor (+6 of advanced); this round
-# rotates tpch_extra/advanced/scale/tpch_final to the front so the
-# never-checked half of the catalog gets driver-verified rows.
+# catalog order. catalog() additionally floats never-driver-checked
+# queries (anything not in _VERIFIED_R1_R2) to the front, so each round's
+# 50-entry window yields the maximum number of new CORRECTNESS rows.
+# dedup precedes scale/tpch_final so round 3's new operators (prefix
+# dedup, star components, corpus pipeline) land inside the window.
 _QUERY_MODULES = (
     "gridiron_spark.queries.tpch_extra",
     "gridiron_spark.queries.advanced",
+    "gridiron_spark.queries.dedup",
     "gridiron_spark.queries.scale",
     "gridiron_spark.queries.tpch_final",
     "gridiron_spark.queries.parity",
     "gridiron_spark.queries.analytics",
     "gridiron_spark.queries.text",
-    "gridiron_spark.queries.dedup",
     "gridiron_spark.queries.similarity",
     "gridiron_spark.queries.streaming_batch",
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
+)
+
+# Queries with green hash rows in CORRECTNESS_r01/r02 (the driver verified
+# exactly these 50). They yield the verification window to the 55 that have
+# never produced a row; in-repo pytest (test_oracle_parity) still re-checks
+# every oracle each run, so nothing regresses silently while out of the
+# driver's window. Update after each round's CORRECTNESS file lands.
+_VERIFIED_R1_R2 = frozenset(
+    {
+        "filter_project", "agg_summary", "distinct_keys", "sample_join_back",
+        "topk_orders", "join_enrich", "semi_join_membership", "union_distinct",
+        "scalar_functions", "window_lag_delta", "window_rank_suite",
+        "window_frame_stats", "text_token_count", "text_quality_score",
+        "text_lang_id", "winnow_fingerprint", "word_topk", "doc_fingerprint",
+        "udtf_bigrams", "doc_chunking", "text_normalize", "dedup_exact",
+        "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_clusters", "simhash_fingerprint", "simhash_near_pairs",
+        "ann_cosine_topk", "ann_ivf_topk", "dedup_embedding_cosine",
+        "tumbling_window_agg", "session_window_agg", "keyed_dedup_earliest",
+        "streaming_tumbling_e2e", "streaming_session_e2e", "streaming_join_e2e",
+        "streaming_enrich_e2e", "streaming_dedup_e2e", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_embed", "grouped_map_tensorize",
+        "cogroup_reconcile", "asof_join_events", "range_join_bands",
+        "topk_per_group", "rollup_revenue", "multi_join_topk_revenue",
+        "string_functions",
+    }
 )
 
 
@@ -68,7 +95,11 @@ def register(name: str, *, oracle: str | None, survey: str):
 def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_CATALOG)
+    # stable two-tier order: never-driver-checked first (registration order
+    # within each tier) — see _VERIFIED_R1_R2
+    entries = list(_CATALOG.items())
+    entries.sort(key=lambda kv: kv[0] in _VERIFIED_R1_R2)
+    return dict(entries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -13,6 +13,7 @@ from gridiron_spark.operators.multimodal import (
     decode_media,
     extract_media_embedding,
     media_from_documents,
+    resize_images,
     sample_frames,
 )
 from gridiron_spark.queries import register
@@ -55,6 +56,37 @@ def multimodal_frame_sample(spark, sf_dir):
     sampling decisions cost metadata reads only)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(media_from_documents(docs), every_n=10)
+
+
+@register(
+    "multimodal_resize",
+    survey="NS-multimodal(resize stage: kind routing + target geometry)",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(224 AS INTEGER) AS width,
+       CAST(224 AS INTEGER) AS height,
+       CAST(n_chars % 60 + 1 AS INTEGER) AS n_frames
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """The resize stage's engine-side contract: only image rows are routed
+    in (kind filter on metadata — payload bytes untouched), target geometry
+    lands in the meta struct, and every non-geometry metadata field
+    (n_bytes, n_frames) survives the rewrite — which the oracle checks
+    field by field. The pixel rewrite itself is the stubbed codec boundary
+    (operators/multimodal._decode_payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(media_from_documents(docs), width=224, height=224)
+    return resized.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
 
 
 @register(

@@ -258,6 +258,42 @@ def streaming_session_e2e(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_e2e",
+    survey="ST1b as real readStream sliding window (availableNow), watermarked",
+    oracle=f"""
+SELECT ws AS window_start, ws + 600 AS window_end, event_type, COUNT(*) AS n
+FROM (
+    SELECT event_type,
+           (epoch_us(ts) // {_FIVE_MIN_US}) * 300 - u.k * 300 AS ws
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+)
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_sliding_e2e(spark, sf_dir):
+    """REAL Structured Streaming sliding windows (10 min window / 5 min
+    slide): each event expands into exactly 2 window buckets inside the
+    stateful agg, drained with availableNow, hash-checked against the
+    unnest-expansion oracle — the same window arithmetic the batch analog
+    (sliding_window_agg) pins, now proven through the streaming state
+    store. Counts only (no float folds), so the hash is trivially exact."""
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        run_available_now,
+        sliding_counts,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    stream = stream_events(spark, stage)
+    result = run_available_now(
+        sliding_counts(stream), f"slide_{uuid.uuid4().hex[:8]}"
+    )
+    return result.select("window_start", "window_end", "event_type", "n")
+
+
+@register(
     "streaming_join_e2e",
     survey="ST-join as real stream-stream inner join (availableNow), watermarked + time-range state eviction",
     oracle="""
