@@ -55,6 +55,28 @@ def test_plan_shape(spark, name):
     assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
 
 
+def test_resize_is_pure_projection(spark):
+    """multimodal_resize must stay a scan+filter+project — zero shuffles,
+    zero joins: resize decisions are metadata-only, payload never moves."""
+    plan = _plan_of(spark, "multimodal_resize")
+    assert not re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ), plan
+    assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_prefix", "corpus_clean_pipeline"])
+def test_dedup_joins_are_equi_joins(spark, name):
+    """The prefix-filtered candidate generation must remain key-equi-joins
+    (hash/sort exchanges bounded by bucket sizes) — a CartesianProduct or
+    nested-loop join here means the blocking broke and the plan is
+    quadratic at scale. (Exact shuffle counts are AQE/stat-dependent for
+    these multi-stage DAGs, so only the join *kinds* are frozen.)"""
+    plan = _plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_q20_shipdate_filter_is_pushable(spark):
     """The Q20 ship-date window must reach the parquet scan as a range
     predicate (row-group min/max skipping) — `year(col)=...` would not."""
