@@ -283,6 +283,7 @@ def prefix_filtered_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_k: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via AllPairs/PPJoin prefix filtering —
     the 100 TB form of :func:`ngram_jaccard_pairs`, identical output.
@@ -303,10 +304,21 @@ def prefix_filtered_pairs(
     (min >= t * max, implied by J >= t) prunes cross-size pairs before
     verification. Extra cost: one global frequency aggregate (map-side
     combinable) and one rank window per doc — both linear.
+
+    ``materialize`` persists the exploded shingle rows, which this DAG
+    references ~5× (sizes, frequencies, prefix ranking, verification ×2).
+    Measured at sf0.1 recomputing the codegen'd shingle pipeline per
+    reference BEATS the persist round-trip (5.3 s vs 6.7 s), so the
+    default is off; flip it when the shingle derivation dominates
+    (long documents / large k at full corpus scale, where 5× recompute
+    means 5× the corpus scan).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")

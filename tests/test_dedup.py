@@ -130,6 +130,15 @@ def test_prefix_filtered_equals_full_inverted_index(spark, docs):
     assert len(prefix) == 25  # the planted pairs
 
 
+def test_prefix_materialize_flag_same_results(spark, docs):
+    """The persist knob is a plan choice, never a semantic one."""
+    from gridiron_spark.operators.dedup import prefix_filtered_pairs
+
+    base = _pairs(prefix_filtered_pairs(docs, threshold=0.5))
+    mat = _pairs(prefix_filtered_pairs(docs, threshold=0.5, materialize=True))
+    assert mat == base
+
+
 def test_prefix_filter_shrinks_index(spark, docs):
     """The prefix index must be strictly smaller than the full inverted
     index — that reduction is the whole point of the scale path."""

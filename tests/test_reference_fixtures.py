@@ -136,3 +136,26 @@ def test_range_check_nulls_out_of_range(spark):
     raw = spark.createDataFrame([(300,), (255,), (-1,), (0,)], "v int")
     vals = [r.v for r in normalize(raw, schema).collect()]
     assert vals.count(None) == 2 and 255 in vals and 0 in vals
+
+
+def test_2018_animate_cli_on_real_lake(spark, lake_2018, capsys):
+    """The dashboard data layer against REAL competition tracking rows:
+    side split resolves home/away/football from the actual team column
+    (ball rows carry team='football' + null nflId in the 2018 file)."""
+    from gridiron_spark.cli import main
+
+    lake, _ = lake_2018
+    pool = Pool(spark, lake)
+    game = pool.games()[0]
+    play = pool.plays(game)[0]
+    rc = main(
+        ["animate", "--pool", str(lake), "--game", str(game), "--play", str(play)],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"game={game} play={play}" in out
+    # a real play has both squads and the ball on the field
+    for part in ("offense=", "defense=", "ball="):
+        n = int(out.split(part)[1].split()[0])
+        assert n > 0, f"{part} empty in: {out}"
