@@ -232,3 +232,141 @@ def text_regex_tokens(spark, sf_dir):
         ),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "resample_forward_fill",
+    survey="A-resample(timeline densification + forward fill, training-pipeline op)",
+    oracle=f"""
+WITH dedup AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           arg_max(value, event_id) AS value
+    FROM events GROUP BY user_id, epoch_us(ts)
+),
+b AS (
+    SELECT user_id, ts_us // {_HOUR_US} AS bucket,
+           arg_max(value, ts_us) AS value
+    FROM dedup GROUP BY user_id, ts_us // {_HOUR_US}
+),
+bounds AS (
+    SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM bounds
+)
+SELECT g.user_id, g.bucket * 3600 AS grid_start,
+       last_value(b.value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS UNBOUNDED PRECEDING) AS value
+FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+""",
+)
+def resample_forward_fill(spark, sf_dir):
+    """Per-user hourly timeline densification with forward fill — the
+    resampling pass a training pipeline runs before windowed feature
+    extraction (fixed-grid inputs from irregular events).
+
+    The scale design avoids the naive as-of range join entirely: events
+    collapse to per-(user, bucket) last values (map-side combinable), the
+    dense grid is generated from per-user bounds (sequence + explode — fan
+    out bounded by span/step), and the fill is one last(ignorenulls)
+    window per user — every stage keyed on user_id, one partitioning
+    reused throughout. Ties (same user, same microsecond) break on
+    event_id, making the carried double bit-deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dedup = (
+        ev.groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    b = (
+        dedup.withColumn("bucket", F.expr(f"ts_us DIV {_HOUR_US}"))
+        .groupBy("user_id", "bucket")
+        .agg(F.max_by("value", "ts_us").alias("value"))
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            (F.col("bucket") * 3600).alias("grid_start"),
+            F.last("value", ignorenulls=True).over(w).alias("value"),
+        )
+    )
+
+
+@register(
+    "histogram_quantile_sketch",
+    survey="A-sketch(mergeable fixed-bin histogram quantiles)",
+    oracle="""
+WITH b AS (
+    SELECT event_type, CAST(floor(value) AS BIGINT) // 10 AS bin FROM events
+),
+c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+cc AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM c
+)
+SELECT event_type, MAX(total) AS n,
+       MIN(CASE WHEN cum >= (total + 1) // 2 THEN bin END) * 10 AS p50_lo,
+       MIN(CASE WHEN cum >= (9 * total + 9) // 10 THEN bin END) * 10 AS p90_lo,
+       MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN bin END) * 10 AS p99_lo
+FROM cc GROUP BY event_type
+""",
+)
+def histogram_quantile_sketch(spark, sf_dir):
+    """Quantile estimation from a mergeable fixed-bin histogram — the
+    100 TB substitute for exact PERCENTILE_CONT (quantile_stats) when the
+    value domain is bounded: per-key bin counts are the sketch (map-side
+    combinable, mergeable across partitions/days/tables by plain SUM),
+    and quantile extraction runs over at most keys x bins rows. All
+    arithmetic is integer (bin = floor(value) DIV 10, rank = ceil via
+    integer division), so the estimate is bit-exact cross-engine —
+    the technique costs nothing in checkability, unlike engine-private
+    t-digest/KLL."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(floor(value) AS BIGINT) DIV 10").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cc = c.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    def _pick(rank_expr):
+        return F.min(F.when(F.col("cum") >= F.expr(rank_expr), F.col("bin")))
+
+    return cc.groupBy("event_type").agg(
+        F.max("total").alias("n"),
+        (_pick("(total + 1) DIV 2") * 10).alias("p50_lo"),
+        (_pick("(9 * total + 9) DIV 10") * 10).alias("p90_lo"),
+        (_pick("(99 * total + 99) DIV 100") * 10).alias("p99_lo"),
+    )

@@ -160,3 +160,89 @@ def test_ivf_results_are_true_cosines_and_recall_monotone(spark):
         recalls.append(len(set(got) & set(exact)) / len(exact))
     assert recalls == sorted(recalls)
     assert recalls[-1] >= 0.9  # probing all 10 lists ≈ exhaustive
+
+
+def test_histogram_sketch_is_mergeable(spark):
+    """The sketch property that justifies the operator: bin counts built on
+    two disjoint halves and merged by SUM give the exact whole-corpus
+    quantile answer (t-digest/KLL merges are approximate; fixed bins are
+    not)."""
+    from gridiron_spark.queries import catalog
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    whole = {
+        r.event_type: (r.n, r.p50_lo, r.p90_lo, r.p99_lo)
+        for r in catalog()["histogram_quantile_sketch"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
+    }
+
+    binned = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value) AS BIGINT) DIV 10").alias("bin"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    halves = binned.groupBy("half", "event_type", "bin").count()
+    merged = halves.groupBy("event_type", "bin").agg(F.sum("count").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cc = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    got = {
+        r.event_type: (r.n, r.p50_lo, r.p90_lo, r.p99_lo)
+        for r in cc.groupBy("event_type")
+        .agg(
+            F.max("total").alias("n"),
+            (F.min(F.when(F.col("cum") >= F.expr("(total + 1) DIV 2"), F.col("bin"))) * 10).alias("p50_lo"),
+            (F.min(F.when(F.col("cum") >= F.expr("(9 * total + 9) DIV 10"), F.col("bin"))) * 10).alias("p90_lo"),
+            (F.min(F.when(F.col("cum") >= F.expr("(99 * total + 99) DIV 100"), F.col("bin"))) * 10).alias("p99_lo"),
+        )
+        .collect()
+    }
+    assert got == whole
+
+
+def test_resample_fill_semantics(spark):
+    """Crafted frame: gaps carry the last value forward, leading buckets
+    start at the user's first event, ties at one timestamp resolve to the
+    highest event_id."""
+    from gridiron_spark.queries.scale import _HOUR_US
+
+    rows = [
+        # user 1: events in buckets 0 and 2 (gap at 1), tie at bucket 0
+        (1, 10, 0 * _HOUR_US + 5, "a", 1.5),
+        (2, 10, 0 * _HOUR_US + 5, "a", 2.5),   # same ts, higher id wins
+        (3, 10, 2 * _HOUR_US + 1, "a", 9.0),
+        # user 2: single bucket
+        (4, 20, 5 * _HOUR_US, "a", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+    )
+    import gridiron_spark.queries.scale as S
+    import gridiron_spark.io.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda sp, d, t: ev
+        S.load_table = lambda sp, d, t: ev
+        out = {
+            (r.user_id, r.grid_start): r.value
+            for r in S.resample_forward_fill(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+        S.load_table = orig
+    assert out == {
+        (10, 0): 2.5,
+        (10, 3600): 2.5,   # gap forward-filled
+        (10, 7200): 9.0,
+        (20, 18000): 7.0,
+    }
