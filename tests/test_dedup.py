@@ -236,3 +236,45 @@ def test_embedding_near_pairs_subset_of_brute(spark):
     }
     assert set(bucketed) <= set(brute)
     assert all(bucketed[k] == brute[k] for k in bucketed)
+
+
+def test_prefix_filter_edge_cases(spark):
+    """t=1.0 keeps a 1-shingle prefix (p = |d| - |d| + 1) yet must still
+    pair identical docs; sub-k-word docs fall back to whole-text shingles;
+    disjoint docs never pair."""
+    from gridiron_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),      # identical to 1
+            (3, "x y z w v"),      # disjoint
+            (4, "hi there"),       # < k words -> whole-text shingle
+            (5, "hi there"),       # identical short doc
+        ],
+        "doc_id long, text string",
+    )
+    for t in (1.0, 0.5):
+        prefix = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filtered_pairs(docs, threshold=t).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert prefix == full == {(1, 2): 1.0, (4, 5): 1.0}
+
+
+def test_star_cc_empty_and_single_edge(spark):
+    from gridiron_spark.operators.dedup import connected_components_star
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty).count() == 0
+
+    one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components_star(one).collect()}
+    assert got == {3: 3, 7: 3}
