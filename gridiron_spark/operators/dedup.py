@@ -70,7 +70,11 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def shingle_rows(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Exploded distinct (doc_id, shingle) rows — the shared base for every
     shingle aggregate. Two deliberate plan choices, both measured:
@@ -110,7 +114,11 @@ def shingle_rows(
     short = toks.filter(F.size("toks") < k).select(
         "doc_id", F.concat_ws(" ", "toks").alias("shingle")
     )
-    return grams.unionByName(short).dropDuplicates(["doc_id", "shingle"])
+    rows = grams.unionByName(short)
+    # distinct=False skips the (doc_id, shingle) dedup shuffle — correct when
+    # the consumer is itself duplicate-insensitive (COUNT(DISTINCT …) after a
+    # join), which turns the whole pre-join pipeline map-side-only.
+    return rows.dropDuplicates(["doc_id", "shingle"]) if distinct else rows
 
 
 def minhash_signature_df(

@@ -53,11 +53,11 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.tensor",
 )
 
-# Queries with green hash rows in CORRECTNESS_r01/r02 (the driver verified
-# exactly these 50). They yield the verification window to the 55 that have
-# never produced a row; in-repo pytest (test_oracle_parity) still re-checks
-# every oracle each run, so nothing regresses silently while out of the
-# driver's window. Update after each round's CORRECTNESS file lands.
+# Queries the driver hash-checked in rounds 1/2 (exactly these 50). They
+# yield the verification window to queries that have never produced a row;
+# in-repo pytest (test_oracle_parity) still re-checks every oracle each run,
+# so nothing regresses silently while out of the driver's window. Update
+# after each round's CORRECTNESS file lands.
 _VERIFIED_R1_R2 = frozenset(
     {
         "filter_project", "agg_summary", "distinct_keys", "sample_join_back",
@@ -79,6 +79,35 @@ _VERIFIED_R1_R2 = frozenset(
     }
 )
 
+# Red rows in CORRECTNESS_r02 (4 hash-fails from the ts_us truncation, the
+# double-red session window, and the 2 canonicalizer errors). All are fixed
+# this round (commits f3e98cc, 5eb0320); they MUST re-enter the driver's
+# 50-entry window so round 3 records the green rows the round-2 verdict's
+# "Done =" criteria ask for. Highest priority tier.
+_FAILED_R2 = frozenset(
+    {
+        "window_lag_delta", "session_window_agg", "keyed_dedup_earliest",
+        "streaming_join_e2e", "asof_join_events", "multimodal_embed",
+        "grouped_map_tensorize",
+    }
+)
+
+# Round-3 additions (never checked, and this round's headline deliverables):
+# float them ahead of the older never-checked backlog so they get evidence
+# rows the same round they land.
+_NEW_R3 = (
+    "dedup_ngram_prefix",
+    "dedup_clusters_star",
+    "corpus_clean_pipeline",
+    "streaming_sliding_e2e",
+    "multimodal_resize",
+    "resample_forward_fill",
+    "histogram_quantile_sketch",
+    "decontaminate_ngram_overlap",
+    "sequence_pack_bucketed",
+    "knn_join_topk",
+)
+
 
 def register(name: str, *, oracle: str | None, survey: str):
     """Decorator: add a query to the catalog."""
@@ -95,10 +124,24 @@ def register(name: str, *, oracle: str | None, survey: str):
 def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    # stable two-tier order: never-driver-checked first (registration order
-    # within each tier) — see _VERIFIED_R1_R2
+    # stable four-tier order (registration order within each tier):
+    #   0. red in r2, fixed this round — must be re-verified (_FAILED_R2)
+    #   1. new this round (_NEW_R3)
+    #   2. never driver-checked backlog
+    #   3. green in r1/r2 (re-verification is the lowest-value slot)
+    new_r3 = set(_NEW_R3)
+
+    def tier(name: str) -> int:
+        if name in _FAILED_R2:
+            return 0
+        if name in new_r3:
+            return 1
+        if name not in _VERIFIED_R1_R2:
+            return 2
+        return 3
+
     entries = list(_CATALOG.items())
-    entries.sort(key=lambda kv: kv[0] in _VERIFIED_R1_R2)
+    entries.sort(key=lambda kv: tier(kv[0]))
     return dict(entries)
 
 

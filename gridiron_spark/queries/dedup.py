@@ -444,3 +444,56 @@ def simhash_near_pairs_q(spark, sf_dir):
     blocked plan equals the quadratic scan and hash-matches the oracle."""
     doc = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(doc, max_hamming=3, bands=4)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    survey="NS-dedup(benchmark decontamination: n-gram overlap join),J1,A3",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 50 <> 0)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT b.bench_id) AS n_benchmark_docs
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.doc_id
+HAVING COUNT(DISTINCT t.shingle) >= 2
+""",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing >= 2
+    distinct word 3-grams with any held-out benchmark document (here the
+    deterministic ``doc_id % 50 == 0`` subset stands in for the eval set).
+
+    This is the standard eval-leakage scan an LLM training pipeline runs
+    before a data release. The plan is the scale shape: the benchmark side
+    is a fixed, corpus-independent size (MMLU and friends don't grow with
+    the crawl), so its distinct shingles broadcast and the petabyte training
+    side joins map-side — no corpus shuffle for the join itself. The
+    training branch keeps only the linear by-doc_id window shuffle of
+    shingle assembly (its per-doc dedup shuffle is skipped: COUNT(DISTINCT)
+    downstream absorbs duplicates), and the final per-doc aggregate runs
+    over matched rows only — overlap-sized, not corpus-sized.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    # Bench side: distinct shingles (shrinks the broadcast map). Train side:
+    # distinct=False — COUNT(DISTINCT …) downstream is duplicate-insensitive,
+    # so the corpus-sized branch drops its (doc_id, shingle) dedup shuffle;
+    # what remains is the linear by-doc_id window shuffle of shingle
+    # assembly, then a map-side broadcast join straight into the
+    # (overlap-sized) final aggregate.
+    bench = shingle_rows(doc.filter(F.col("doc_id") % 50 == 0)).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = shingle_rows(doc.filter(F.col("doc_id") % 50 != 0), distinct=False)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= 2)
+    )

@@ -147,3 +147,59 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_pairs(
         emb, threshold=_NEAR_THRESHOLD, planes=_NEAR_PLANES, dims=64
     )
+
+
+@register(
+    "knn_join_topk",
+    survey="NS-sim(batch k-NN join: many queries × corpus, tree top-k),J1,O5",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 25 = 0)
+SELECT qid, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT q.qid, e.vec_id,
+           {_COS_AB.format(a="e.embedding", b="q.qvec")} AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid ORDER BY cos_sim DESC, e.vec_id) AS rank
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+) WHERE rank <= 5
+""",
+)
+def knn_join_topk(spark, sf_dir):
+    """Batch k-NN join: top-5 cosine neighbors for EVERY query vector in a
+    deterministic query set (``vec_id % 25 == 0``) — dataset-vs-dataset
+    retrieval, the shape behind near-dup candidate mining and hard-negative
+    mining, not the single-probe lookup of ann_cosine_topk.
+
+    Scale shape: the query side is broadcast, so scoring is one map-only
+    pass over the corpus (no shuffle of the big side). For the top-k a plain
+    ``row_number() over (partition by qid) <= k`` is, on Spark ≥3.5, already
+    the tree shape: the rank-limit pushdown inserts a *Partial*
+    WindowGroupLimit before the exchange, so each map task forwards at most
+    |Q|×k rows and only maps×|Q|×k candidates ever shuffle — hand-rolling a
+    salted collect_list tree on top adds an extra exchange for nothing
+    (verified in the physical plan: Partial → Exchange → Final). Ordering is
+    (cos_sim DESC, vec_id) so ties are deterministic cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    q = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )

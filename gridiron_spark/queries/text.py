@@ -396,3 +396,118 @@ def text_normalize(spark, sf_dir):
         clean.alias("clean_text"),
         F.size(F.split(clean, " ")).alias("n_clean_tokens"),
     )
+
+
+@register(
+    "sequence_pack_bucketed",
+    survey="NS-text(context-window sequence packing, length-bucketed),W2,A6",
+    oracle="""
+WITH d AS (
+    SELECT doc_id,
+           LEAST(CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INT) * 16,
+                 128) AS bucket_len,
+           LEAST(len(string_split(text, ' ')), 128) AS n_tokens
+    FROM documents
+),
+numbered AS (
+    SELECT bucket_len, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY bucket_len ORDER BY doc_id) AS rn,
+           128 // bucket_len AS fit
+    FROM d
+)
+SELECT bucket_len,
+       CAST((rn - 1) // fit AS BIGINT) AS seq_idx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * bucket_len - SUM(n_tokens) AS BIGINT) AS slot_pad,
+       CAST(128 - COUNT(*) * bucket_len AS BIGINT) AS tail_pad
+FROM numbered
+GROUP BY bucket_len, (rn - 1) // fit
+""",
+)
+def sequence_pack_bucketed(spark, sf_dir):
+    """Pack documents into fixed-capacity (128-token) training sequences by
+    length bucket — the batch-construction pass an LLM pipeline runs between
+    tokenization and example writing.
+
+    Packing that walks documents sequentially (first-fit/next-fit) is a
+    stateful scan that cannot shard; the scale-correct variant buckets each
+    doc's token count up to a multiple of 16, so every sequence holds exactly
+    ``fit = 128 div bucket_len`` docs of one bucket and assignment becomes
+    pure arithmetic on a per-bucket sequence number. The per-bucket global
+    numbering is the only hard part at 100 TB: a bare
+    ``row_number() over (partition by bucket_len)`` would drag each bucket
+    (≈ corpus/8) onto ONE task, so instead we repartitionByRange on
+    (bucket_len, doc_id) — sample-based boundaries keep partitions even —
+    then local row_number per (partition, bucket) plus a broadcast
+    prefix-sum offset table of |partitions × buckets| rows (the
+    ranged_global_sort technique, per group). localCheckpoint pins the
+    sampled range boundaries before the plan forks over them.
+
+    Output is one row per packed sequence with exact integer padding
+    accounting (slot_pad = intra-slot waste, tail_pad = unused capacity) —
+    the numbers a data engineer reads to pick bucket granularity.
+    """
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    d = doc.select(
+        "doc_id",
+        F.least(F.ceil(n_tok / 16.0).cast("int") * 16, F.lit(128)).alias(
+            "bucket_len"
+        ),
+        F.least(n_tok, F.lit(128)).alias("n_tokens"),
+    )
+    srt = (
+        d.repartitionByRange(16, "bucket_len", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = srt.withColumn(
+        "local_rn",
+        F.row_number().over(W.partitionBy("pid", "bucket_len").orderBy("doc_id")),
+    )
+    offsets = (
+        local.groupBy("bucket_len", "pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket_len",
+            "pid",
+            F.sum("n")
+            .over(
+                W.partitionBy("bucket_len")
+                .orderBy("pid")
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            .alias("off"),
+        )
+    )
+    numbered = local.join(F.broadcast(offsets), ["bucket_len", "pid"]).select(
+        "bucket_len",
+        "n_tokens",
+        (F.col("local_rn") + F.coalesce(F.col("off"), F.lit(0))).alias("rn"),
+        F.expr("128 div bucket_len").alias("fit"),
+    )
+    return (
+        numbered.groupBy(
+            "bucket_len",
+            F.expr("(rn - 1) div fit").cast("bigint").alias("seq_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "seq_idx",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_len") - F.col("sum_tokens"))
+            .cast("bigint")
+            .alias("slot_pad"),
+            (F.lit(128) - F.col("n_docs") * F.col("bucket_len"))
+            .cast("bigint")
+            .alias("tail_pad"),
+        )
+    )

@@ -1,30 +1,58 @@
 """Catalog-ordering invariants (no Spark session needed).
 
 External verification hash-checks the first 50 catalog entries in catalog
-order, so the ordering is load-bearing: never-driver-checked queries must
-come first to maximize new CORRECTNESS rows per round.
+order, so the ordering is load-bearing: queries that were red in round 2
+(now fixed) must re-enter the window, this round's new operators must get
+their first evidence rows, and only then does the never-checked backlog
+fill the remaining slots.
 """
 
 from __future__ import annotations
 
-from gridiron_spark.queries import _VERIFIED_R1_R2, catalog, oracle_sql, queries
+from gridiron_spark.queries import (
+    _FAILED_R2,
+    _NEW_R3,
+    _VERIFIED_R1_R2,
+    catalog,
+    oracle_sql,
+    queries,
+)
+
+WINDOW = 50
 
 
 def test_verified_names_exist_in_catalog():
-    """A typo in _VERIFIED_R1_R2 would silently misorder the window."""
+    """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    missing = _VERIFIED_R1_R2 - cat
-    assert not missing, f"_VERIFIED_R1_R2 names not in catalog: {missing}"
+    for s in (_VERIFIED_R1_R2, _FAILED_R2, set(_NEW_R3)):
+        missing = s - cat
+        assert not missing, f"ordering-set names not in catalog: {missing}"
+    # the failed tier is a subset of the driver-checked set by construction
+    assert _FAILED_R2 <= _VERIFIED_R1_R2
 
 
-def test_unverified_entries_precede_verified():
+def test_tier_order():
     names = list(catalog().keys())
-    seen_verified = False
-    for n in names:
-        if n in _VERIFIED_R1_R2:
-            seen_verified = True
-        else:
-            assert not seen_verified, f"unverified {n} after a verified entry"
+
+    def tier(n: str) -> int:
+        if n in _FAILED_R2:
+            return 0
+        if n in set(_NEW_R3):
+            return 1
+        if n not in _VERIFIED_R1_R2:
+            return 2
+        return 3
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "catalog order violates tier priority"
+
+
+def test_window_contains_fixed_and_new():
+    """Every r2-red (now fixed) query and every round-3 addition must be
+    inside the driver's 50-entry verification window."""
+    window = set(list(catalog().keys())[:WINDOW])
+    assert _FAILED_R2 <= window
+    assert set(_NEW_R3) <= window
 
 
 def test_queries_and_oracles_consistent():

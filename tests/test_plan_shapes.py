@@ -85,3 +85,43 @@ def test_q20_shipdate_filter_is_pushable(spark):
     assert m, f"no pushed l_shipdate filter in:\n{plan}"
     assert "GreaterThanOrEqual(l_shipdate" in m.group(0)
     assert "LessThan(l_shipdate" in m.group(0)
+
+
+def test_knn_join_uses_partial_window_group_limit(spark):
+    """knn_join_topk's scale contract: query side broadcast (no shuffle of
+    the corpus for scoring) and a *Partial* WindowGroupLimit ahead of the
+    qid exchange, so each map task ships at most |Q|×k rows. If the partial
+    limit disappears (rank pushdown regression), the plan silently shuffles
+    all |Q|×|corpus| scored rows."""
+    plan = _plan_of(spark, "knn_join_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_bench_side_broadcast(spark):
+    """The benchmark side must broadcast (corpus joins map-side) and the
+    train branch must not pay a (doc_id, shingle) dedup exchange — dedup is
+    absorbed by COUNT(DISTINCT) after the join."""
+    plan = _plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_pack_no_single_partition_window(spark):
+    """sequence_pack_bucketed's per-bucket numbering must go through the
+    range-exchange + broadcast-offsets path: a window partitioned only by
+    bucket_len (≈8 groups, each corpus/8 rows on ONE task) must not exist.
+    The offsets prefix-sum window partitioned by bucket_len is fine — it
+    runs over the |partitions × buckets| offsets table."""
+    plan = _plan_of(spark, "sequence_pack_bucketed")
+    # (the upstream rangepartitioning exchange is hidden behind the
+    # localCheckpoint boundary — the plan shows Scan ExistingRDD — so assert
+    # on what is visible downstream of it)
+    assert "BroadcastHashJoin" in plan, plan
+    # the big-side window must be keyed by (pid, bucket_len), never by
+    # bucket_len alone over the full corpus
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid", plan), plan
+    assert not re.search(
+        r"row_number\(\) windowspecdefinition\(bucket_len", plan
+    ), plan

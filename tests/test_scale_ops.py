@@ -246,3 +246,86 @@ def test_resample_fill_semantics(spark):
         (10, 7200): 9.0,
         (20, 18000): 7.0,
     }
+
+
+def test_sequence_pack_invariants(spark):
+    """Structural packing invariants the hash oracle can't express directly:
+    conservation (every doc lands in exactly one sequence), capacity (no
+    sequence exceeds 128 padded tokens), and fullness (every non-final
+    sequence of a bucket holds exactly `fit` docs)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_SMALL
+
+    out = catalog()["sequence_pack_bucketed"].spark_fn(spark, SF_SMALL).cache()
+    n_docs_total = out.agg(F.sum("n_docs")).first()[0]
+    assert n_docs_total == load_table(spark, SF_SMALL, "documents").count()
+    bad_capacity = out.filter(
+        F.col("n_docs") * F.col("bucket_len") > 128
+    ).count()
+    assert bad_capacity == 0
+    assert out.filter((F.col("slot_pad") < 0) | (F.col("tail_pad") < 0)).count() == 0
+    # all but the highest seq_idx per bucket must be full (tail_pad < bucket_len)
+    from pyspark.sql import Window as W
+
+    last = F.max("seq_idx").over(W.partitionBy("bucket_len"))
+    not_full_non_final = (
+        out.withColumn("last", last)
+        .filter((F.col("seq_idx") != F.col("last")) & (F.col("tail_pad") >= F.col("bucket_len")))
+        .count()
+    )
+    assert not_full_non_final == 0
+    out.unpersist()
+
+
+def test_knn_join_topk_structure(spark):
+    """Every query gets exactly k ranked neighbors, ranks are 1..k, no
+    self-matches, and similarities are non-increasing within a query."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_SMALL
+
+    rows = catalog()["knn_join_topk"].spark_fn(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc sharing a benchmark doc's exact text must be flagged
+    with at least as many shared shingles as the benchmark doc has."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries.dedup import decontaminate_ngram_overlap
+    from gridiron_spark.io.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    # build a tiny frame through the same entry: plant doc 50 (bench: 50%50==0)
+    # and doc 51 (train) with identical text
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [50, 51, 52],
+                "text": [text, text, "totally different words entirely here now"],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(text)] * 2 + [41],
+            }
+        )
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in decontaminate_ngram_overlap(spark, d).collect()}
+    assert 51 in got and got[51].n_shared_shingles == 6  # 8 tokens -> 6 shingles
+    assert 52 not in got
