@@ -106,6 +106,7 @@ _NEW_R3 = (
     "decontaminate_ngram_overlap",
     "sequence_pack_bucketed",
     "knn_join_topk",
+    "mixture_token_budget",
 )
 
 

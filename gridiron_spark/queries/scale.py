@@ -370,3 +370,82 @@ def histogram_quantile_sketch(spark, sf_dir):
         (_pick("(9 * total + 9) DIV 10") * 10).alias("p90_lo"),
         (_pick("(99 * total + 99) DIV 100") * 10).alias("p99_lo"),
     )
+
+
+@register(
+    "mixture_token_budget",
+    survey="NS-sampling(data-mixture downsampling under per-source token budgets),O5,A6",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+),
+b AS (
+    SELECT source,
+           (SUM(n_tokens) * ((CAST(substring(source, 4) AS INT) % 3) + 1)) // 5
+               AS budget
+    FROM d GROUP BY source
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+""",
+)
+def mixture_token_budget(spark, sf_dir):
+    """Data-mixture construction: downsample every source to a per-source
+    token budget (here 20/40/60% of its tokens, keyed off the source name so
+    the mix is heterogeneous), selecting docs in deterministic md5 order —
+    the pass that turns raw per-source corpora into the weighted training
+    mix an LLM run actually consumes.
+
+    The hard part at 100 TB is the per-source *cumulative* token count that
+    decides where each source's budget line falls: sources are few and
+    corpus-sized, so ``SUM() OVER (PARTITION BY source ORDER BY md5)`` would
+    drag whole sources onto single tasks. grouped_running_sum
+    (operators/ordered.py) gives the same running total through a range
+    exchange + broadcast prefix-sum offsets, keeping parallelism at
+    |partitions|. Budgets are integer arithmetic (tokens × mix-numerator div
+    5) — no double rounding to diverge cross-engine — and the budget table
+    (|sources| rows) broadcasts.
+    """
+    from gridiron_spark.operators.ordered import grouped_running_sum
+
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    budgets = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(
+            "source",
+            F.expr(
+                "(tot * ((CAST(substring(source, 4, 8) AS INT) % 3) + 1)) div 5"
+            ).alias("budget"),
+        )
+    )
+    cum = grouped_running_sum(
+        d, ["source"], ["ord", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

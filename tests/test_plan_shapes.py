@@ -125,3 +125,14 @@ def test_sequence_pack_no_single_partition_window(spark):
     assert not re.search(
         r"row_number\(\) windowspecdefinition\(bucket_len", plan
     ), plan
+
+
+def test_mixture_no_single_partition_source_window(spark):
+    """mixture_token_budget's running totals must never window over a bare
+    source partition of the corpus (few sources ⇒ single-task extents); the
+    big-side cumulative sum is keyed by (_pid, source) and the budget table
+    broadcasts."""
+    plan = _plan_of(spark, "mixture_token_budget")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"windowspecdefinition\(_pid", plan), plan
+    assert not re.search(r"sum\([^)]*\) windowspecdefinition\(source#\d+, ord", plan), plan

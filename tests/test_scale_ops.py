@@ -329,3 +329,37 @@ def test_decontaminate_flags_planted_overlap(spark):
         got = {r.doc_id: r for r in decontaminate_ngram_overlap(spark, d).collect()}
     assert 51 in got and got[51].n_shared_shingles == 6  # 8 tokens -> 6 shingles
     assert 52 not in got
+
+
+def test_mixture_token_budget_invariants(spark):
+    """No source exceeds its budget; selection is a deterministic prefix of
+    the md5 order (re-running yields identical rows); heterogeneous mix
+    rates actually differ across sources."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_SMALL
+
+    fn = catalog()["mixture_token_budget"].spark_fn
+    out = fn(spark, SF_SMALL)
+    doc = load_table(spark, SF_SMALL, "documents")
+    tot = (
+        doc.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tot"))
+        .withColumn(
+            "budget",
+            F.expr("(tot * ((CAST(substring(source, 4, 8) AS INT) % 3) + 1)) div 5"),
+        )
+    )
+    over = (
+        out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("sel"))
+        .join(tot, "source")
+        .filter(F.col("sel") > F.col("budget"))
+        .count()
+    )
+    assert over == 0
+    a = sorted((r.doc_id, r.source, r.cum_tokens) for r in out.collect())
+    b = sorted((r.doc_id, r.source, r.cum_tokens) for r in fn(spark, SF_SMALL).collect())
+    assert a == b and len(a) > 0
