@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.streaming_batch",
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
+    "gridiron_spark.queries.mllib",
 )
 
 # Queries the driver hash-checked in rounds 1/2 (exactly these 50). They
@@ -107,6 +108,8 @@ _NEW_R3 = (
     "sequence_pack_bucketed",
     "knn_join_topk",
     "mixture_token_budget",
+    "mllib_ann_brp_topk",
+    "mllib_minhash_sim_join",
 )
 
 

@@ -363,3 +363,36 @@ def test_mixture_token_budget_invariants(spark):
     a = sorted((r.doc_id, r.source, r.cum_tokens) for r in out.collect())
     b = sorted((r.doc_id, r.source, r.cum_tokens) for r in fn(spark, SF_SMALL).collect())
     assert a == b and len(a) > 0
+
+
+def test_grouped_running_sum_matches_naive_window(spark):
+    """grouped_running_sum must equal the textbook cumulative window on any
+    input, including groups that span range-partition boundaries and
+    duplicate order keys (total order restored by the tie-break column)."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.operators.ordered import grouped_running_sum
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 40 + ["b"] * 25 + ["c"] * 1,
+            "ord": [i % 7 for i in range(66)],  # heavy duplicate order keys
+            "tie": list(range(66)),
+            "v": [(i * 13) % 11 for i in range(66)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = grouped_running_sum(
+        df, ["g"], ["ord", "tie"], "v", out_col="cs", num_partitions=8
+    )
+    want = df.withColumn(
+        "cs",
+        F.sum("v").over(
+            W.partitionBy("g").orderBy("ord", "tie").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    a = sorted((r.g, r.ord, r.tie, r.cs) for r in got.collect())
+    b = sorted((r.g, r.ord, r.tie, r.cs) for r in want.collect())
+    assert a == b
