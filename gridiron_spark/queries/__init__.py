@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.multimodal",
     "gridiron_spark.queries.tensor",
     "gridiron_spark.queries.mllib",
+    "gridiron_spark.queries.pipeline",
 )
 
 # Queries the driver hash-checked in rounds 1/2 (exactly these 50). They
@@ -110,6 +111,7 @@ _NEW_R3 = (
     "mixture_token_budget",
     "mllib_ann_brp_topk",
     "mllib_minhash_sim_join",
+    "training_data_pipeline",
 )
 
 

@@ -136,3 +136,18 @@ def test_mixture_no_single_partition_source_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert re.search(r"windowspecdefinition\(_pid", plan), plan
     assert not re.search(r"sum\([^)]*\) windowspecdefinition\(source#\d+, ord", plan), plan
+
+
+def test_training_pipeline_joins_stay_bounded(spark):
+    """The composed pipeline must keep every join either broadcast (bench
+    shingles, contaminated set, budgets) or key-equi — a sort-merge or
+    nested-loop join at a stage boundary means a shrink-only set got
+    treated as corpus-sized. The grouped_running_sum checkpoints hide the
+    upstream stages in the executed plan (Scan ExistingRDD), so this guard
+    covers the visible tail; the component stages are frozen by their own
+    entries' guards (decontaminate / mixture / sequence_pack above)."""
+    plan = _plan_of(spark, "training_data_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
