@@ -32,8 +32,83 @@ class Pool:
 
     def scan(self) -> DataFrame:
         """Lazy whole-lake scan with partition-column discovery
-        (reference src/query.py:18-24)."""
+        (reference src/query.py:18-24). Assumes a schema-homogeneous lake;
+        for a lake holding seasons ingested under DIFFERENT schemas (the
+        reference ships 2018/2025/2026 variants) use :meth:`scan_unified` —
+        a plain scan silently adopts one file's footprint (dropping other
+        seasons' extra columns) and ``mergeSchema`` refuses outright on
+        int-width conflicts (CANNOT_MERGE_SCHEMAS on Int16 vs Int32
+        frameId)."""
         return self.spark.read.option("basePath", self.path).parquet(self.path)
+
+    # widening lattice for the dtypes the ingest schemas produce; families
+    # that cannot widen numerically fall back to string (lossless render)
+    _WIDEN = {
+        "boolean": ("boolean", "smallint", "int", "bigint"),
+        "smallint": ("smallint", "int", "bigint"),
+        "int": ("int", "bigint"),
+        "bigint": ("bigint",),
+        "float": ("float", "double"),
+        "double": ("double",),
+        "date": ("date", "timestamp"),
+        "timestamp": ("timestamp",),
+        "string": ("string",),
+    }
+
+    @classmethod
+    def _unify_type(cls, a: str, b: str) -> str:
+        if a == b:
+            return a
+        for t in cls._WIDEN.get(a, ()):
+            if t in cls._WIDEN.get(b, (b,)) or t == b:
+                return t
+        for t in cls._WIDEN.get(b, ()):
+            if t == a:
+                return t
+        return "string"
+
+    def scan_unified(self) -> DataFrame:
+        """Whole-lake scan across seasons ingested under different schema
+        versions: each ``season=`` subtree is read with its own parquet
+        footprint, common columns are cast up a widening lattice
+        (smallint→int→bigint, float→double, cross-family→string), and the
+        branches union by name with missing columns as null.
+
+        Scale shape: this is pure plan surgery — per-branch scans keep
+        their partition discovery (``basePath`` is the lake root, so
+        ``season``/``gameId`` stay partition columns and a season filter
+        still prunes whole subtrees through the Union), the casts are
+        map-side, and no shuffle is introduced. |seasons| is small and
+        known, so the driver-side schema probe reads footers only.
+        """
+        seasons = sorted(p for p in Path(self.path).glob("season=*") if p.is_dir())
+        if not seasons:
+            return self.scan()
+        branches = [
+            self.spark.read.option("basePath", self.path).parquet(str(p))
+            for p in seasons
+        ]
+        unified: dict[str, str] = {}
+        for df in branches:
+            for name, dtype in df.dtypes:
+                unified[name] = (
+                    self._unify_type(unified[name], dtype)
+                    if name in unified
+                    else dtype
+                )
+        cast_branches = [
+            df.select(
+                *[
+                    F.col(n).cast(unified[n]).alias(n)
+                    for n, t in df.dtypes
+                ]
+            )
+            for df in branches
+        ]
+        out = cast_branches[0]
+        for df in cast_branches[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
 
     def probe(self) -> bool:
         """Cheap liveness check: can we read one row? (Fixes the reference

@@ -159,3 +159,49 @@ def test_2018_animate_cli_on_real_lake(spark, lake_2018, capsys):
     for part in ("offense=", "defense=", "ball="):
         n = int(out.split(part)[1].split()[0])
         assert n > 0, f"{part} empty in: {out}"
+
+
+@pytest.fixture(scope="module")
+def mixed_lake(spark, tmp_path_factory):
+    """Both real fixtures ingested into ONE pool under their own schemas —
+    the reference's actual multi-season heterogeneity."""
+    lake = tmp_path_factory.mktemp("mixed_lake")
+    LakeIngestor(spark, CONFIGS / "bdb-2018.yaml", lake).ingest(str(REF_2018))
+    LakeIngestor(spark, CONFIGS / "bdb-2026.yaml", lake).ingest(str(REF_2023))
+    return str(lake)
+
+
+def test_mixed_lake_unified_scan(spark, mixed_lake):
+    """scan_unified must present the superset schema with widened common
+    types and keep every row — a plain scan of this lake silently adopts
+    one footprint and mergeSchema throws CANNOT_MERGE_SCHEMAS (Int16 vs
+    Int32 frameId), both verified failure modes."""
+    df = Pool(spark, mixed_lake).scan_unified()
+    dt = dict(df.dtypes)
+    assert df.count() == 21403 + 8699
+    # widened: 2018 frameId int vs 2023 smallint -> int
+    assert dt["frameId"] == "int"
+    # superset: columns exclusive to each season both present
+    assert "route" in dt  # 2018-only
+    assert "playerWeight" in dt  # 2023-only
+    # null fill on the missing side
+    n2018 = df.filter((F.col("season") == 2018) & F.col("playerWeight").isNotNull()).count()
+    n2023 = df.filter((F.col("season") == 2023) & F.col("playerWeight").isNotNull()).count()
+    assert n2018 == 0 and n2023 > 0
+
+
+def test_mixed_lake_season_pruning(spark, mixed_lake):
+    """A season filter through the Union must still prune to one subtree's
+    rows (partition columns survive the per-branch basePath reads)."""
+    df = Pool(spark, mixed_lake).scan_unified()
+    assert df.filter(F.col("season") == 2018).count() == 21403
+    assert df.filter(F.col("season") == 2023).count() == 8699
+    plan = (
+        df.filter(F.col("season") == 2018)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 2023 branch must be pruned at the source: its scan reads 0 files
+    # (partition filter on season), visible as a pushed partition filter
+    assert "season" in plan
