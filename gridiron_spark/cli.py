@@ -61,6 +61,24 @@ def cmd_diagnose(args, spark: SparkSession) -> int:
     print("schema:")
     for f in df.schema.fields:
         print(f"  {f.name}: {f.dataType.simpleString()}")
+    # cross-season schema-drift check (footer reads only): a plain scan of
+    # a heterogeneous lake silently adopts one footprint — surface that
+    # here, where the reference's diagnose script would have looked.
+    plain = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    uni = {
+        f.name: f.dataType.simpleString()
+        for f in pool.scan_unified().schema.fields
+    }
+    if uni != plain:
+        missing = sorted(set(uni) - set(plain))
+        widened = sorted(
+            n for n in plain if n in uni and uni[n] != plain[n]
+        )
+        print(
+            "WARNING: heterogeneous lake — plain scan misses columns "
+            f"{missing or '[]'}; type drift on {widened or '[]'}; "
+            "query via Pool.scan_unified()"
+        )
     ok = pool.probe()
     print("probe: OK (1 row readable)" if ok else "FAIL: no rows readable")
     return 0 if ok else 1

@@ -205,3 +205,17 @@ def test_mixed_lake_season_pruning(spark, mixed_lake):
     # the 2023 branch must be pruned at the source: its scan reads 0 files
     # (partition filter on season), visible as a pushed partition filter
     assert "season" in plan
+
+
+def test_diagnose_flags_heterogeneous_lake(spark, mixed_lake, capsys):
+    """The diagnose surface must warn when a plain scan would misrepresent
+    the lake (column loss / type drift across seasons)."""
+    import argparse
+
+    from gridiron_spark.cli import cmd_diagnose
+
+    rc = cmd_diagnose(argparse.Namespace(pool=mixed_lake), spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "heterogeneous lake" in out
+    assert "scan_unified" in out
