@@ -640,3 +640,109 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_minhash_flags(
+    corpus_sig: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup screening: a new batch against a corpus whose
+    MinHash signatures are ALREADY materialized (side-car table, computed
+    once at ingest) — the production shape that avoids re-shingling the
+    whole lake for every arriving batch.
+
+    Only the batch is shingled and signed; the corpus contributes nothing
+    but its (doc_id, sig) rows. Candidates come from LSH band collisions
+    (batch×corpus plus earlier-batch×batch), and similarity is ESTIMATED
+    from the signatures themselves — matching-component fraction, a k/num_hashes
+    grid that is bit-exact cross-engine — so no corpus text is ever
+    touched. Returns one row per batch doc: (doc_id, n_matches,
+    min_partner, max_est); n_matches = 0 means keep.
+
+    Scale: corpus signatures are |corpus| × num_hashes md5 strings —
+    ~1000× smaller than text; the band join shuffles band keys only; the
+    estimate join moves signatures for candidate pairs only.
+    """
+    rows = num_hashes // bands
+    batch_sig = minhash_signature_df(
+        shingle_rows(batch_docs, id_col, text_col, shingle_k), num_hashes
+    )
+    all_sig = (
+        corpus_sig.select("doc_id", "sig")
+        .withColumn("is_batch", F.lit(False))
+        .unionByName(
+            batch_sig.select("doc_id", "sig").withColumn(
+                "is_batch", F.lit(True)
+            )
+        )
+    )
+    batch_ids = batch_docs.select(F.col(id_col).alias("doc_id"))
+
+    def _banded(sig_df: DataFrame, extra: list[str]) -> DataFrame:
+        return sig_df.select(
+            "doc_id",
+            *extra,
+            F.posexplode(band_keys(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+
+    bb = _banded(batch_sig, []).alias("b")
+    bp = _banded(all_sig, ["is_batch"]).alias("p")
+    cand = (
+        bb.join(
+            bp,
+            (F.col("b.band_idx") == F.col("p.band_idx"))
+            & (F.col("b.band_key") == F.col("p.band_key"))
+            & (F.col("p.doc_id") != F.col("b.doc_id")),
+        )
+        # batch-vs-batch pairs count once (earlier doc wins); corpus
+        # partners always count
+        .filter(~F.col("p.is_batch") | (F.col("p.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("b.doc_id").alias("bid"), F.col("p.doc_id").alias("pid")
+        )
+        .dropDuplicates(["bid", "pid"])
+    )
+    est = (
+        cand.join(batch_sig.select(F.col("doc_id").alias("bid"), F.col("sig").alias("sb")), "bid")
+        .join(all_sig.select(F.col("doc_id").alias("pid"), F.col("sig").alias("sp")), "pid")
+        .select(
+            "bid",
+            "pid",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sb", "sp", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    hits = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .groupBy("bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pid").alias("min_partner"),
+            F.max("est_jaccard").alias("max_est"),
+        )
+    )
+    return (
+        batch_ids.join(hits, batch_ids["doc_id"] == hits["bid"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            "min_partner",
+            "max_est",
+        )
+    )

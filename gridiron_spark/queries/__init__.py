@@ -112,6 +112,7 @@ _NEW_R3 = (
     "mllib_ann_brp_topk",
     "mllib_minhash_sim_join",
     "training_data_pipeline",
+    "incremental_dedup_flags",
 )
 
 

@@ -497,3 +497,72 @@ def decontaminate_ngram_overlap(spark, sf_dir):
         )
         .filter(F.col("n_shared_shingles") >= 2)
     )
+
+
+@register(
+    "incremental_dedup_flags",
+    survey="NS-dedup(incremental batch-vs-corpus screening on precomputed signatures),J1",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, ub.b AS band_idx,
+           md5(array_to_string(sig[ub.b*4+1 : ub.b*4+4], '|')) AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS bid, p.doc_id AS pid
+    FROM (SELECT * FROM banded WHERE doc_id % 10 = 9) b
+    JOIN banded p
+      ON p.band_idx = b.band_idx AND p.band_key = b.band_key
+     AND p.doc_id <> b.doc_id
+     AND (p.doc_id % 10 <> 9 OR p.doc_id < b.doc_id)
+),
+est AS (
+    SELECT c.bid, c.pid,
+           len(list_filter(range(0, 16), i -> sb.sig[i+1] = sp.sig[i+1])) / 16.0
+               AS est_jaccard
+    FROM cand c
+    JOIN sig sb ON sb.doc_id = c.bid
+    JOIN sig sp ON sp.doc_id = c.pid
+),
+hits AS (
+    SELECT bid, COUNT(*) AS n_matches, MIN(pid) AS min_partner,
+           MAX(est_jaccard) AS max_est
+    FROM est WHERE est_jaccard >= 0.5 GROUP BY bid
+)
+SELECT d.doc_id, COALESCE(h.n_matches, 0) AS n_matches,
+       h.min_partner, h.max_est
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+LEFT JOIN hits h ON h.bid = d.doc_id
+""",
+)
+def incremental_dedup_flags(spark, sf_dir):
+    """Incremental near-dup screening of an arriving batch (``doc_id % 10
+    == 9`` stands in for today's crawl) against the standing corpus — on
+    the corpus side ONLY its MinHash signature side-car is touched, never
+    its text: the production daily-ingest shape, where re-shingling 100 TB
+    per batch is a non-starter. Similarity is the signature-estimated
+    Jaccard (matching-component fraction, a k/16 grid — bit-exact
+    cross-engine); output is a keep/drop verdict row per batch doc.
+
+    Here the corpus signatures are computed inline because the synthetic
+    lake ships no side-car; in production they are written once at ingest
+    (the feature-store pattern, reference README.md:10-11 transposed) and
+    this operator reads them as a plain table.
+    """
+    from gridiron_spark.operators.dedup import (
+        incremental_minhash_flags,
+        minhash_signature_df,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % 10 != 9)
+    batch = doc.filter(F.col("doc_id") % 10 == 9)
+    corpus_sig = minhash_signature_df(shingle_rows(corpus))
+    return incremental_minhash_flags(corpus_sig, batch, threshold=0.5)

@@ -278,3 +278,44 @@ def test_star_cc_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in connected_components_star(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_incremental_flags_planted_near_dup(spark):
+    """A batch doc near-duplicating a corpus doc must be flagged using ONLY
+    the corpus's signature table; an unrelated batch doc must come back
+    n_matches == 0 (keep)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.operators.dedup import (
+        incremental_minhash_flags,
+        minhash_signature_df,
+        shingle_rows,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [base, "one two three four five six seven eight nine ten"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [11, 12],
+                "text": [base, "completely different vocabulary with novel words here now"],
+            }
+        )
+    )
+    corpus_sig = minhash_signature_df(shingle_rows(corpus))
+    got = {
+        r.doc_id: r
+        for r in incremental_minhash_flags(corpus_sig, batch, threshold=0.5).collect()
+    }
+    assert set(got) == {11, 12}
+    assert got[11].n_matches >= 1 and got[11].min_partner == 1
+    assert got[11].max_est == 1.0  # identical text -> identical signature
+    assert got[12].n_matches == 0 and got[12].min_partner is None
