@@ -113,6 +113,7 @@ _NEW_R3 = (
     "mllib_minhash_sim_join",
     "training_data_pipeline",
     "incremental_dedup_flags",
+    "embedding_quantize",
 )
 
 

@@ -203,3 +203,51 @@ def knn_join_topk(spark, sf_dir):
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "embedding_quantize",
+    survey="NS-sim(int8 embedding quantization for vector storage),F-scalar",
+    oracle="""
+SELECT vec_id,
+       127.0 / list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS scale,
+       md5(array_to_string(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 /
+                   list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)), ',')) AS q_md5,
+       CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 /
+                   list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * (127.0 /
+                   list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)))
+           AS BIGINT) AS q_norm_sq
+FROM embeddings
+""",
+)
+def embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization — the storage pass a vector
+    platform runs before writing an index (4× smaller than float32, and
+    the dot-product kernels go integer). scale = 127/max|x| per vector;
+    q_i = floor(x_i · scale). Every step is IEEE-double exact (abs, max,
+    divide, multiply, floor), so unlike learned or stochastic quantizers
+    the full codebook is bit-reproducible cross-engine: the quantized
+    vector is hash-checked via an md5 digest plus its integer norm.
+    Map-only plan — one projection over the scan, no shuffle, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.lit(127.0) / F.array_max(absd)
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * scale).cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.md5(F.concat_ws(",", q.cast("array<string>"))).alias("q_md5"),
+        F.aggregate(
+            F.zip_with(q, q, lambda a, b: a * b), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_norm_sq"),
+    )

@@ -69,12 +69,14 @@ def test_minhash_join_finds_exact_duplicates(spark, tmp_path):
     has no exact dups, so plant some in a temp lake."""
     import pandas as pd
 
+    # ids are multiples of 3 — the catalog entry's demo subset keeps
+    # doc_id % 3 == 0 (see the docstring's candidate-blow-up note)
     texts = {
-        1: "the quick brown fox jumps over the lazy dog tonight",
-        2: "the quick brown fox jumps over the lazy dog tonight",  # dup of 1
-        3: "completely unrelated words about streaming window state stores",
-        4: "completely unrelated words about streaming window state stores",  # dup of 3
-        5: "a third singleton document with its own distinct vocabulary set",
+        3: "the quick brown fox jumps over the lazy dog tonight",
+        6: "the quick brown fox jumps over the lazy dog tonight",  # dup of 3
+        9: "completely unrelated words about streaming window state stores",
+        12: "completely unrelated words about streaming window state stores",  # dup of 9
+        15: "a third singleton document with its own distinct vocabulary set",
     }
     pdf = pd.DataFrame(
         {
@@ -90,9 +92,9 @@ def test_minhash_join_finds_exact_duplicates(spark, tmp_path):
         _CATALOG["mllib_minhash_sim_join"].spark_fn(spark, str(tmp_path)).collect()
     )
     dist0 = {(r.doc_a, r.doc_b) for r in rows if r.jaccard_dist == 0.0}
-    assert {(1, 2), (3, 4)} <= dist0
+    assert {(3, 6), (9, 12)} <= dist0
     got = {(r.doc_a, r.doc_b) for r in rows}
-    assert (1, 3) not in got and (1, 5) not in got
+    assert (3, 9) not in got and (3, 15) not in got
 
 
 def test_minhash_join_agrees_with_md5_family(spark):
@@ -111,6 +113,7 @@ def test_minhash_join_agrees_with_md5_family(spark):
     exact_pairs = {
         (r.doc_a, r.doc_b)
         for r in _CATALOG["dedup_ngram_jaccard"].spark_fn(spark, SF_ORACLE).collect()
+        if r.doc_a % 3 == 0 and r.doc_b % 3 == 0  # the MLlib entry's subset
     }
     # dedup_ngram_jaccard emits pairs at set-Jaccard >= 0.5 (dist <= 0.5);
     # HashingTF collisions can only merge shingles (raising similarity), so
