@@ -86,20 +86,21 @@ def mllib_minhash_sim_join(spark, sf_dir):
     docs (identical vectors ⇒ identical buckets) are found with recall 1.0
     by construction. Emits (doc_a, doc_b) at Jaccard distance ≤ 0.6.
 
-    Deliberately subsetted (doc_id % 3 == 0), like grouped_map_tensorize:
-    MLlib's MinHash join blocks on SINGLE-hash equality across tables
-    (P(candidate) = 1-(1-J)^tables — no AND-banding), so on a
-    small-vocabulary corpus whose baseline pairwise Jaccard is ~0.1 the
-    candidate set grows ~quadratically (measured 21 s at sf0.1 full-corpus
-    vs 1.7 s for the 4×4-banded md5 family). The API path is the coverage
-    target here; dedup_minhash_lsh's banded generator IS the scale path —
-    at 100 TB you would AND-band MLlib's hash columns yourself before any
-    join."""
+    This is the priciest catalog entry BY DESIGN of the stock API, and the
+    cost was measured, not guessed: ~11 s at sf0.1, and ~14 s on a 1-in-3
+    subset — i.e. dominated by MLlib's join machinery (per-table hash
+    explode + vector-equality join + pairwise keyDistance UDF), NOT by
+    candidate volume, so demo-subsetting buys nothing and the entry runs
+    full-corpus. Two structural gaps vs the md5-family generator
+    (dedup_minhash_lsh, ~2 s for identical output semantics): MLlib blocks
+    on SINGLE-hash equality across tables (P(candidate) = 1-(1-J)^tables,
+    no AND-banding), and the candidate join carries full sparse vectors.
+    The API path is the coverage target here; the banded md5 generator IS
+    the scale path — at 100 TB you would AND-band MLlib's hash columns
+    yourself before any join."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    doc = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    )
+    doc = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     grams = F.when(
         F.size(toks) >= 3,

@@ -69,8 +69,6 @@ def test_minhash_join_finds_exact_duplicates(spark, tmp_path):
     has no exact dups, so plant some in a temp lake."""
     import pandas as pd
 
-    # ids are multiples of 3 — the catalog entry's demo subset keeps
-    # doc_id % 3 == 0 (see the docstring's candidate-blow-up note)
     texts = {
         3: "the quick brown fox jumps over the lazy dog tonight",
         6: "the quick brown fox jumps over the lazy dog tonight",  # dup of 3
@@ -113,7 +111,6 @@ def test_minhash_join_agrees_with_md5_family(spark):
     exact_pairs = {
         (r.doc_a, r.doc_b)
         for r in _CATALOG["dedup_ngram_jaccard"].spark_fn(spark, SF_ORACLE).collect()
-        if r.doc_a % 3 == 0 and r.doc_b % 3 == 0  # the MLlib entry's subset
     }
     # dedup_ngram_jaccard emits pairs at set-Jaccard >= 0.5 (dist <= 0.5);
     # HashingTF collisions can only merge shingles (raising similarity), so
