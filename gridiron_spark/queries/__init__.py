@@ -114,6 +114,7 @@ _NEW_R3 = (
     "training_data_pipeline",
     "incremental_dedup_flags",
     "embedding_quantize",
+    "mllib_minhash_banded",
 )
 
 

@@ -86,18 +86,20 @@ def mllib_minhash_sim_join(spark, sf_dir):
     docs (identical vectors ⇒ identical buckets) are found with recall 1.0
     by construction. Emits (doc_a, doc_b) at Jaccard distance ≤ 0.6.
 
-    This is the priciest catalog entry BY DESIGN of the stock API, and the
-    cost was measured, not guessed: ~11 s at sf0.1, and ~14 s on a 1-in-3
-    subset — i.e. dominated by MLlib's join machinery (per-table hash
-    explode + vector-equality join + pairwise keyDistance UDF), NOT by
-    candidate volume, so demo-subsetting buys nothing and the entry runs
-    full-corpus. Two structural gaps vs the md5-family generator
-    (dedup_minhash_lsh, ~2 s for identical output semantics): MLlib blocks
-    on SINGLE-hash equality across tables (P(candidate) = 1-(1-J)^tables,
-    no AND-banding), and the candidate join carries full sparse vectors.
-    The API path is the coverage target here; the banded md5 generator IS
-    the scale path — at 100 TB you would AND-band MLlib's hash columns
-    yourself before any join."""
+    Performance lesson, measured in three steps: the naive form reads
+    11-21 s at sf0.1 and stays ~14 s on a 1-in-3 subset — so NOT candidate
+    volume. Root cause is the repo's recurring no-CSE-under-explode
+    pathology (shingle_rows note 2): approxSimilarityJoin explodes the
+    hash tables internally, and projection collapse re-evaluates the whole
+    shingle → HashingTF → 8-table minhash UDF chain once per exploded row
+    (8×/doc). The fix is a localCheckpoint barrier on the featurized frame
+    (plus fanning the single-file scan out to all cores): ~6 s per fresh
+    invocation (re-featurizing included), ~1 s with features warm — the
+    join itself was never the problem. What remains structural
+    vs the md5-family generator: OR-of-single-hash blocking
+    (P(candidate) = 1-(1-J)^tables, no AND-banding) and full sparse
+    vectors riding the candidate shuffle — at 100 TB band the hash columns
+    first (mllib_minhash_banded) and verify on keys."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     doc = load_table(spark, sf_dir, "documents")
@@ -116,11 +118,15 @@ def mllib_minhash_sim_join(spark, sf_dir):
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    shingled = doc.select("doc_id", grams.alias("shingles"))
+    shingled = doc.select("doc_id", grams.alias("shingles")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(shingled)
+    # the barrier: without it, approxSimilarityJoin's internal posexplode
+    # re-evaluates the whole shingle→TF→minhash chain per exploded row
+    feats = tf.transform(shingled).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", seed=_SEED, numHashTables=8
     )
@@ -133,5 +139,124 @@ def mllib_minhash_sim_join(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "mllib_minhash_banded",
+    survey="NS-dedup(MLlib hash family + manual AND-banding — the 100 TB fix)",
+    oracle=None,
+)
+def mllib_minhash_banded(spark, sf_dir):
+    """The scale fix mllib_minhash_sim_join's docstring prescribes,
+    implemented: keep MLlib's MinHash family (model.transform emits the 8
+    per-table hash values) but AND-band them 2×4 BEFORE any join, so
+    candidates need a full 4-hash band to agree (P = 1-(1-J⁴)²) instead of
+    any single hash (P = 1-(1-J)⁸), and the join moves 32-byte band keys
+    instead of full sparse vectors. Verification is exact set-Jaccard on
+    the word shingles, computed only for candidates. Output schema matches
+    the stock entry; its pair set is a subset of the stock one — the
+    candidate half is a theorem (a band match implies every component hash
+    matched ⇒ the OR condition held), the distance half (set-dist ≤ 0.5 ⇒
+    vector-dist ≤ 0.6) holds unless a 2^-18-rate feature collision merges
+    SHARED shingles, so it is pinned empirically in test_mllib_bridge.
+    Like the stock entry, the hashed frame is checkpoint-barriered before
+    the explode (the no-CSE-under-explode pathology); past that, banding
+    is what keeps the JOIN linear-ish when the corpus — unlike this one —
+    has enough volume for OR-blocked candidates to dominate."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # one materialization of the shingle derivation feeds BOTH the hash
+    # pipeline and the verification joins below (it is referenced 3×)
+    shingled = (
+        doc.select("doc_id", grams.alias("shingles"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", seed=_SEED, numHashTables=8
+    ).fit(feats)
+    # barrier before the posexplode below — see mllib_minhash_sim_join
+    hashed = model.transform(feats).localCheckpoint(eager=False)
+    # hashes: array of 8 one-element vectors -> 8 bigints, banded 2×4
+    hv = hashed.select(
+        "doc_id",
+        "shingles",
+        F.posexplode("hashes").alias("pos", "h"),
+    ).select(
+        "doc_id",
+        "shingles",
+        (F.col("pos") / 4).cast("int").alias("band_idx"),
+        "pos",
+        vector_to_array(F.col("h")).getItem(0).cast("bigint").alias("hval"),
+    )
+    banded = hv.groupBy("doc_id", "band_idx").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("hval")))
+                    ),
+                    lambda s: s["hval"].cast("string"),
+                ),
+            )
+        ).alias("band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = shingled.select(F.col("doc_id"), F.col("shingles"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.lit(1.0) - inter.cast("double") / union, 6).alias(
+                "jaccard_dist"
+            ),
+        )
+        .filter(F.col("jaccard_dist") <= 0.5)
         .orderBy("doc_a", "doc_b")
     )

@@ -117,3 +117,41 @@ def test_minhash_join_agrees_with_md5_family(spark):
     # every exact pair must be found by the MLlib variant
     missing = exact_pairs - mllib_pairs
     assert not missing, f"exact >=0.5 pairs missed: {missing}"
+
+
+def test_banded_subset_of_stock_and_finds_dups(spark, tmp_path):
+    """AND-banded pairs must be a subset of the stock OR-blocked pairs on
+    the real corpus, and exact duplicates must still be found (identical
+    hash values ⇒ identical band keys)."""
+    import pandas as pd
+
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in _CATALOG["mllib_minhash_banded"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    stock = {
+        (r.doc_a, r.doc_b)
+        for r in _CATALOG["mllib_minhash_sim_join"].spark_fn(spark, SF_ORACLE).collect()
+    }
+    assert banded, "banded variant found no pairs on the corpus"
+    assert banded <= stock, f"banded pairs not in stock: {banded - stock}"
+
+    texts = {
+        3: "the quick brown fox jumps over the lazy dog tonight",
+        6: "the quick brown fox jumps over the lazy dog tonight",
+        9: "a completely different singleton about stateful stream windows",
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = _CATALOG["mllib_minhash_banded"].spark_fn(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard_dist for r in rows}
+    assert got.get((3, 6)) == 0.0
+    assert (3, 9) not in got
