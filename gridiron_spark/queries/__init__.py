@@ -115,6 +115,7 @@ _NEW_R3 = (
     "incremental_dedup_flags",
     "embedding_quantize",
     "mllib_minhash_banded",
+    "ann_recall_eval",
 )
 
 

@@ -251,3 +251,152 @@ def embedding_quantize(spark, sf_dir):
             F.zip_with(q, q, lambda a, b: a * b), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("q_norm_sq"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    survey="NS-sim(in-engine ANN quality evaluation: recall@10 of IVF vs exact, per query)",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0
+),
+qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 25 = 0),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding AS v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_COS_AB.format(a="e.embedding", b="c.cvec")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_COS_AB.format(a="c.cvec", b="q.qvec")} DESC, c.cid) AS rn
+        FROM cents c CROSS JOIN qs q
+    ) WHERE rn <= 3
+),
+ivf AS (
+    SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                   ORDER BY {_COS_AB.format(a="a.v", b="q.qvec")} DESC, a.vec_id) AS rn
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        JOIN qs q ON q.qid = p.qid
+        WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 10
+),
+brute AS (
+    SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_COS_AB.format(a="e.embedding", b="q.qvec")} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.qid
+    ) WHERE rn <= 10
+),
+hits AS (
+    SELECT b.qid, COUNT(*) AS n_hits
+    FROM brute b JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+    GROUP BY b.qid
+)
+SELECT allq.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+FROM (SELECT DISTINCT qid FROM qs) allq LEFT JOIN hits h USING (qid)
+""",
+)
+def ann_recall_eval(spark, sf_dir):
+    """In-engine evaluation of the approximate index: recall@10 of the IVF
+    path (stride-50 centroids, 3 probes) against the exact cosine top-10,
+    for every query in the ``vec_id % 25 == 0`` set — the quality gate a
+    vector platform runs before promoting an index build, expressed as one
+    declarative query instead of a driver-side loop.
+
+    Scale shape: the centroid assignment is computed ONCE and shared by all
+    queries (the index build, amortized); centroids, probe lists, and the
+    query set all broadcast; both top-10s go through the Partial
+    WindowGroupLimit tree (bounded shuffles); the final recall join touches
+    |Q|×10 rows. Evaluating recall costs one brute-force pass — exactly
+    what it costs to know an index is safe to ship.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assigned = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    cosine(F.col("v"), F.col("cvec")).desc(), "cid"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    cosine(F.col("cvec"), F.col("qvec")).desc(), "cid"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid")
+    )
+    ivf = (
+        assigned.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    cosine(F.col("v"), F.col("qvec")).desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    brute = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    cosine(F.col("embedding"), F.col("qvec")).desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(ivf, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )

@@ -151,3 +151,19 @@ def test_training_pipeline_joins_stay_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dedup_joins_equi_only(spark):
+    """Incremental screening must stay band-key equi-joins + signature
+    joins — nothing corpus-quadratic, no nested-loop fallback."""
+    plan = _plan_of(spark, "incremental_dedup_flags")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_recall_eval_group_limits(spark):
+    """Both top-10s in the recall evaluation must go through the Partial
+    WindowGroupLimit tree so only bounded candidates shuffle."""
+    plan = _plan_of(spark, "ann_recall_eval")
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+    assert "CartesianProduct" not in plan, plan
