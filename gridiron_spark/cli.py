@@ -124,6 +124,18 @@ def cmd_animate(args, spark: SparkSession) -> int:
     if args.output:
         pool.export_csv(labeled, args.output, single_file=True)
         print(f"wrote animation frames -> {args.output}")
+    if args.html:
+        from gridiron_spark.viz import figure_html, play_figure
+
+        fig = play_figure(labeled)
+        with open(args.html, "w") as fh:
+            fh.write(
+                figure_html(fig, title=f"game {args.game} play {args.play}")
+            )
+        print(
+            f"wrote dashboard figure -> {args.html} "
+            f"({len(fig['data'])} traces, {len(fig['frames'])} frames)"
+        )
     return 0
 
 
@@ -180,6 +192,11 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--game", type=int, required=True)
     pa.add_argument("--play", type=int, required=True)
     pa.add_argument("--output", default=None, help="CSV output dir (optional)")
+    pa.add_argument(
+        "--html", default=None,
+        help="write the animated Plotly dashboard figure to this HTML file "
+        "(reference app/main.py:118-239)",
+    )
     pa.add_argument(
         "--away-offense", action="store_true",
         help="read the away team as the offense (default: home)",

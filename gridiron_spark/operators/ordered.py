@@ -25,26 +25,37 @@ def grouped_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int = 16,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Inclusive running SUM(value_col) per group in (order_cols) order,
     without ever putting a whole group on one task.
 
     repartitionByRange draws sample-based boundaries over (group, ord) so
     partitions stay even; spark_partition_id is materialized immediately
-    after the exchange and the frame is localCheckpoint'd — the plan forks
-    into the local-scan and offsets branches, and two independent executions
-    of the range exchange could draw DIFFERENT boundaries (reliable
-    checkpoint(dir) on a real cluster). The offsets table has
-    |partitions × groups| rows, so its own prefix-sum window is free and its
-    broadcast is bounded.
+    after the exchange and the frame is checkpointed — the plan forks into
+    the local-scan and offsets branches, and two independent executions of
+    the range exchange could draw DIFFERENT boundaries. Default is a lazy
+    localCheckpoint (fast, executor-local blocks — right for local mode and
+    short-lived jobs); pass ``reliable_checkpoint=True`` on a real cluster
+    so executor loss re-reads the pinned frame from the configured
+    ``spark.sparkContext.setCheckpointDir`` storage instead of failing the
+    job mid-query. The offsets table has |partitions × groups| rows, so its
+    own prefix-sum window is free and its broadcast is bounded.
     """
     gcols = list(group_cols)
     ocols = list(order_cols)
-    srt = (
-        df.repartitionByRange(num_partitions, *gcols, *ocols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    exchanged = df.repartitionByRange(
+        num_partitions, *gcols, *ocols
+    ).withColumn("_pid", F.spark_partition_id())
+    if reliable_checkpoint:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "grouped_running_sum(reliable_checkpoint=True) requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+        srt = exchanged.checkpoint(eager=False)
+    else:
+        srt = exchanged.localCheckpoint(eager=False)
     local = srt.withColumn(
         "_local_sum",
         F.sum(value_col).over(

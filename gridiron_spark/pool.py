@@ -55,6 +55,9 @@ class Pool:
         "string": ("string",),
     }
 
+    _INT_FAMILY = frozenset({"boolean", "smallint", "int", "bigint"})
+    _FLOAT_FAMILY = frozenset({"float", "double"})
+
     @classmethod
     def _unify_type(cls, a: str, b: str) -> str:
         if a == b:
@@ -65,6 +68,13 @@ class Pool:
         for t in cls._WIDEN.get(b, ()):
             if t == a:
                 return t
+        # int-family × float-family widens to double (exact for |int| < 2^53;
+        # a bigint season joined with a double season keeps numeric
+        # semantics — aggregations/comparisons still work lake-wide, vs the
+        # old string fallback that silently de-numericized the column).
+        fams = {a, b}
+        if fams & cls._INT_FAMILY and fams & cls._FLOAT_FAMILY:
+            return "double"
         return "string"
 
     def scan_unified(self) -> DataFrame:
@@ -81,9 +91,30 @@ class Pool:
         map-side, and no shuffle is introduced. |seasons| is small and
         known, so the driver-side schema probe reads footers only.
         """
-        seasons = sorted(p for p in Path(self.path).glob("season=*") if p.is_dir())
-        if not seasons:
+        # derive the top-level partition key from the lake layout itself
+        # (any Hive-style `key=value` first level, not a hardcoded season=*),
+        # so lakes partitioned differently still get per-branch schemas.
+        root = Path(self.path)
+        hive_dirs = sorted(
+            p for p in root.glob("*=*") if p.is_dir() and p.name.count("=") == 1
+        )
+        keys = {p.name.split("=", 1)[0] for p in hive_dirs}
+        if len(keys) != 1:
+            # No single first-level partition key (non-local path, flat
+            # layout, or mixed keys): scan_unified's per-branch schema
+            # reconciliation can't apply. Warn instead of silently adopting
+            # one footprint — the exact failure mode the docstring fences.
+            import warnings
+
+            warnings.warn(
+                f"scan_unified: no single first-level Hive partition key "
+                f"under {self.path!r} (found {sorted(keys) or 'none'}); "
+                f"falling back to plain scan() with one adopted schema "
+                f"footprint — heterogeneous branches may fail or misread.",
+                stacklevel=2,
+            )
             return self.scan()
+        seasons = hive_dirs
         branches = [
             self.spark.read.option("basePath", self.path).parquet(str(p))
             for p in seasons

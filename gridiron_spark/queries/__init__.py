@@ -34,7 +34,7 @@ _CATALOG: dict[str, CatalogEntry] = {}
 # modules that register queries on import. ORDER MATTERS for external
 # verification: the driver hash-checks the first 50 catalog entries in
 # catalog order. catalog() additionally floats never-driver-checked
-# queries (anything not in _VERIFIED_R1_R2) to the front, so each round's
+# queries (anything not in _VERIFIED_R1_R3) to the front, so each round's
 # 50-entry window yields the maximum number of new CORRECTNESS rows.
 # dedup precedes scale/tpch_final so round 3's new operators (prefix
 # dedup, star components, corpus pipeline) land inside the window.
@@ -55,13 +55,14 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.pipeline",
 )
 
-# Queries the driver hash-checked in rounds 1/2 (exactly these 50). They
-# yield the verification window to queries that have never produced a row;
-# in-repo pytest (test_oracle_parity) still re-checks every oracle each run,
-# so nothing regresses silently while out of the driver's window. Update
-# after each round's CORRECTNESS file lands.
-_VERIFIED_R1_R2 = frozenset(
+# Queries with a green (or rows-only-by-design) driver CORRECTNESS row in
+# rounds 1-3. They yield the verification window to queries that have never
+# produced a row; in-repo pytest (test_oracle_parity) still re-checks every
+# oracle each run, so nothing regresses silently while out of the driver's
+# window. Update after each round's CORRECTNESS file lands.
+_VERIFIED_R1_R3 = frozenset(
     {
+        # r1/r2 greens
         "filter_project", "agg_summary", "distinct_keys", "sample_join_back",
         "topk_orders", "join_enrich", "semi_join_membership", "union_distinct",
         "scalar_functions", "window_lag_delta", "window_rank_suite",
@@ -78,44 +79,54 @@ _VERIFIED_R1_R2 = frozenset(
         "cogroup_reconcile", "asof_join_events", "range_join_bands",
         "topk_per_group", "rollup_revenue", "multi_join_topk_revenue",
         "string_functions",
+        # r3 greens (CORRECTNESS_r03.json hash_match:true)
+        "dedup_ngram_prefix", "dedup_clusters_star", "corpus_clean_pipeline",
+        "decontaminate_ngram_overlap", "incremental_dedup_flags",
+        "resample_forward_fill", "mixture_token_budget",
+        "sequence_pack_bucketed", "knn_join_topk", "embedding_quantize",
+        "ann_recall_eval", "streaming_sliding_e2e", "multimodal_resize",
+        "training_data_pipeline", "nation_pair_volume", "market_share_ratio",
+        "profit_by_nation_year", "returned_item_topk", "promo_revenue_ratio",
+        "top_revenue_supplier", "small_qty_avg_revenue",
+        "large_volume_customers", "local_supplier_volume",
+        "supplier_part_relation", "stratified_sample_agg",
+        "higher_order_functions", "unpivot_metrics", "paginated_orders",
+        "pricing_summary_q1", "null_functions", "forecast_revenue_change",
+        "multiset_ops", "ranged_global_sort", "generator_outer_expand",
+        "math_functions", "set_intersect_users",
+        # r3 rows-only-by-design (driver records no_oracle — that IS the
+        # intended evidence row for these seeded-JVM / tensor outputs)
+        "mllib_ann_brp_topk", "mllib_minhash_sim_join", "mllib_minhash_banded",
     }
 )
 
-# Red rows in CORRECTNESS_r02 (4 hash-fails from the ts_us truncation, the
-# double-red session window, and the 2 canonicalizer errors). All are fixed
-# this round (commits f3e98cc, 5eb0320); they MUST re-enter the driver's
-# 50-entry window so round 3 records the green rows the round-2 verdict's
-# "Done =" criteria ask for. Highest priority tier.
-_FAILED_R2 = frozenset(
+# Red rows in CORRECTNESS_r03, all fixed this round: two oracle type casts
+# (DuckDB epoch()→DOUBLE, HUGEINT window SUM) and two array-valued outputs
+# scalarized (driver hasher can't digest list cells). Plus json_functions,
+# whose never-checked oracle carried the same HUGEINT hazard (caught by the
+# new test_oracle_types audit before the driver ever saw it). Highest
+# priority tier — they MUST re-enter the 50-entry window for green rows.
+_FAILED_R3 = frozenset(
     {
-        "window_lag_delta", "session_window_agg", "keyed_dedup_earliest",
-        "streaming_join_e2e", "asof_join_events", "multimodal_embed",
-        "grouped_map_tensorize",
+        "rolling_range_revenue", "histogram_quantile_sketch",
+        "nested_collect_agg", "array_functions", "json_functions",
     }
 )
 
-# Round-3 additions (never checked, and this round's headline deliverables):
-# float them ahead of the older never-checked backlog so they get evidence
-# rows the same round they land.
-_NEW_R3 = (
-    "dedup_ngram_prefix",
-    "dedup_clusters_star",
-    "corpus_clean_pipeline",
-    "streaming_sliding_e2e",
-    "multimodal_resize",
-    "resample_forward_fill",
-    "histogram_quantile_sketch",
-    "decontaminate_ngram_overlap",
-    "sequence_pack_bucketed",
-    "knn_join_topk",
-    "mixture_token_budget",
-    "mllib_ann_brp_topk",
-    "mllib_minhash_sim_join",
-    "training_data_pipeline",
-    "incremental_dedup_flags",
-    "embedding_quantize",
-    "mllib_minhash_banded",
-    "ann_recall_eval",
+# The never-driver-checked backlog (26 from the round-3 verdict, minus
+# json_functions which moved to the fixed tier). Tier 1: after three rounds
+# these are the only catalog entries with no external evidence row — round 4
+# should end with 100% driver coverage. New round-4 queries append here.
+_NEW_R4 = (
+    "set_except_users", "sql_api_exists", "datetime_functions",
+    "pivot_event_counts", "sliding_window_agg", "cube_order_stats",
+    "scalar_subquery_idle_rich", "conditional_agg_priority",
+    "outer_join_order_dist", "full_outer_debt_recon", "late_supplier_blame",
+    "groupwise_max_balance", "grouping_sets_mix", "map_functions",
+    "disjunctive_join_revenue", "salted_hot_key_agg", "anti_join_customers",
+    "quantile_stats", "countmin_sketch", "hll_distinct_sketch",
+    "text_regex_tokens", "priority_exists_count", "min_cost_supplier",
+    "important_part_value", "excess_shipped_suppliers", "pandas_udaf_stats",
 )
 
 
@@ -135,18 +146,18 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable four-tier order (registration order within each tier):
-    #   0. red in r2, fixed this round — must be re-verified (_FAILED_R2)
-    #   1. new this round (_NEW_R3)
-    #   2. never driver-checked backlog
-    #   3. green in r1/r2 (re-verification is the lowest-value slot)
-    new_r3 = set(_NEW_R3)
+    #   0. red in r3, fixed this round — must be re-verified (_FAILED_R3)
+    #   1. never driver-checked backlog + new this round (_NEW_R4)
+    #   2. anything else without an evidence row (safety net)
+    #   3. green in r1-r3 (re-verification is the lowest-value slot)
+    new_r4 = set(_NEW_R4)
 
     def tier(name: str) -> int:
-        if name in _FAILED_R2:
+        if name in _FAILED_R3:
             return 0
-        if name in new_r3:
+        if name in new_r4:
             return 1
-        if name not in _VERIFIED_R1_R2:
+        if name not in _VERIFIED_R1_R3:
             return 2
         return 3
 

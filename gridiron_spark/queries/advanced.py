@@ -238,25 +238,40 @@ def string_functions(spark, sf_dir):
     oracle="""
 SELECT vec_id,
        len(embedding) AS dims,
-       embedding[1:4] AS head4,
-       list_min(embedding) AS vmin,
-       list_max(embedding) AS vmax,
-       list_sort(embedding[1:4]) AS head4_sorted
+       CAST(embedding[1] AS DOUBLE) AS h1,
+       CAST(embedding[2] AS DOUBLE) AS h2,
+       CAST(embedding[3] AS DOUBLE) AS h3,
+       CAST(embedding[4] AS DOUBLE) AS h4,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       CAST(list_sort(embedding[1:4])[1] AS DOUBLE) AS s1,
+       CAST(list_sort(embedding[1:4])[4] AS DOUBLE) AS s4
 FROM embeddings
 """,
 )
 def array_functions(spark, sf_dir):
     """Array-function parity over the embedding column — the slice/min/max/
     sort primitives the vector and tensor operators compose; float32
-    elements widen identically in both engines."""
+    elements widen identically in both engines. Outputs are scalar DOUBLE
+    projections of the slice/sort results (element extraction), NOT the
+    arrays themselves: the driver's value hasher can't digest list cells,
+    and float→string array_join would couple the check to each engine's
+    float rendering. Element-wise extraction checks the same slice/sort
+    semantics with exact float64 widening on both sides."""
     emb = load_table(spark, sf_dir, "embeddings")
+    head4 = F.slice("embedding", 1, 4)
+    sorted4 = F.sort_array(head4)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dims"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.array_min("embedding").alias("vmin"),
-        F.array_max("embedding").alias("vmax"),
-        F.sort_array(F.slice("embedding", 1, 4)).alias("head4_sorted"),
+        head4[0].cast("double").alias("h1"),
+        head4[1].cast("double").alias("h2"),
+        head4[2].cast("double").alias("h3"),
+        head4[3].cast("double").alias("h4"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        sorted4[0].cast("double").alias("s1"),
+        sorted4[3].cast("double").alias("s4"),
     )
 
 
@@ -338,15 +353,21 @@ def datetime_functions(spark, sf_dir):
     returns integers (epochs, not timestamps) — timestamp *values* don't
     cross engines safely (timezone rendering), integer time math does."""
     o = load_table(spark, sf_dir, "orders")
+    # trunc() keeps DATE type and datediff*86400 keeps the epoch in pure
+    # day arithmetic — unix_timestamp(date_trunc(...)) would route through
+    # the session timezone and shift on a non-UTC driver host.
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
-        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
-            "month_start_epoch"
-        ),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        (
+            F.datediff(
+                F.trunc("o_orderdate", "month"), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+            * 86400
+        ).alias("month_start_epoch"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
         .cast("int")
         .alias("days_since_95"),
     )
@@ -767,7 +788,7 @@ def groupwise_max_balance(spark, sf_dir):
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)

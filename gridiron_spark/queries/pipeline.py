@@ -137,7 +137,7 @@ def training_data_pipeline(spark, sf_dir):
         .select(
             "source",
             F.expr(
-                "(tot * ((CAST(substring(source, 4, 8) AS INT) % 3) + 1)) div 5"
+                "(tot * ((CAST(substring(source, 4) AS INT) % 3) + 1)) div 5"
             ).alias("budget"),
         )
     )

@@ -324,7 +324,7 @@ cc AS (
            SUM(cnt) OVER (PARTITION BY event_type) AS total
     FROM c
 )
-SELECT event_type, MAX(total) AS n,
+SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
        MIN(CASE WHEN cum >= (total + 1) // 2 THEN bin END) * 10 AS p50_lo,
        MIN(CASE WHEN cum >= (9 * total + 9) // 10 THEN bin END) * 10 AS p90_lo,
        MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN bin END) * 10 AS p99_lo
@@ -432,7 +432,7 @@ def mixture_token_budget(spark, sf_dir):
         .select(
             "source",
             F.expr(
-                "(tot * ((CAST(substring(source, 4, 8) AS INT) % 3) + 1)) div 5"
+                "(tot * ((CAST(substring(source, 4) AS INT) % 3) + 1)) div 5"
             ).alias("budget"),
         )
     )

@@ -607,7 +607,7 @@ SELECT o_orderkey, o_custkey, ts_s,
            OVER (PARTITION BY o_custkey ORDER BY ts_s, o_orderkey
                  ROWS UNBOUNDED PRECEDING) AS second_price
 FROM (SELECT o_orderkey, o_custkey, o_totalprice,
-             epoch(o_orderdate) AS ts_s
+             CAST(epoch(o_orderdate) AS BIGINT) AS ts_s
       FROM orders)
 """,
 )
@@ -623,11 +623,16 @@ def rolling_range_revenue(spark, sf_dir):
     doubles match bit-for-bit."""
     from pyspark.sql import Window as W
 
+    # datediff*86400, NOT unix_timestamp: the latter converts the date at
+    # midnight in the *session* timezone, so a non-UTC driver host would
+    # shift every ts_s by the tz offset. Day arithmetic is tz-independent
+    # and matches DuckDB's epoch(DATE) (UTC midnight) exactly.
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.unix_timestamp("o_orderdate").alias("ts_s"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("long")
+         * 86400).alias("ts_s"),
     )
     wr = (
         W.partitionBy("o_custkey")
@@ -733,8 +738,9 @@ def unpivot_metrics(spark, sf_dir):
     survey="A-nested(collect_list/collect_set with deterministic sort)",
     oracle="""
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+           AS statuses,
        len(list(o_orderkey)) AS n_orders
 FROM orders
 WHERE o_custkey < 100
@@ -749,11 +755,19 @@ def nested_collect_agg(spark, sf_dir):
     be deterministic at scale (same rule a 100 TB pipeline needs for
     reproducible array features). The custkey filter bounds per-group
     array size; unbounded collect_list is the OOM footgun this query
-    deliberately fences."""
+    deliberately fences. Arrays are joined to CSV strings on BOTH sides
+    (int/char elements render identically cross-engine) because the
+    driver's value hasher can't digest list cells — same scalarization
+    convention as the tensor digests (commit 5eb0320)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -1,18 +1,17 @@
 """Catalog-ordering invariants (no Spark session needed).
 
 External verification hash-checks the first 50 catalog entries in catalog
-order, so the ordering is load-bearing: queries that were red in round 2
-(now fixed) must re-enter the window, this round's new operators must get
-their first evidence rows, and only then does the never-checked backlog
-fill the remaining slots.
+order, so the ordering is load-bearing: queries that were red in round 3
+(now fixed) must re-enter the window, the never-driver-checked backlog must
+get its first evidence rows, and only then do re-verification slots fill.
 """
 
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _FAILED_R2,
-    _NEW_R3,
-    _VERIFIED_R1_R2,
+    _FAILED_R3,
+    _NEW_R4,
+    _VERIFIED_R1_R3,
     catalog,
     oracle_sql,
     queries,
@@ -24,22 +23,22 @@ WINDOW = 50
 def test_verified_names_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_VERIFIED_R1_R2, _FAILED_R2, set(_NEW_R3)):
+    for s in (_VERIFIED_R1_R3, _FAILED_R3, set(_NEW_R4)):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
-    # the failed tier is a subset of the driver-checked set by construction
-    assert _FAILED_R2 <= _VERIFIED_R1_R2
+    # fixed-reds and never-checked tiers are disjoint by construction
+    assert not (_FAILED_R3 & set(_NEW_R4))
 
 
 def test_tier_order():
     names = list(catalog().keys())
 
     def tier(n: str) -> int:
-        if n in _FAILED_R2:
+        if n in _FAILED_R3:
             return 0
-        if n in set(_NEW_R3):
+        if n in set(_NEW_R4):
             return 1
-        if n not in _VERIFIED_R1_R2:
+        if n not in _VERIFIED_R1_R3:
             return 2
         return 3
 
@@ -47,12 +46,21 @@ def test_tier_order():
     assert tiers == sorted(tiers), "catalog order violates tier priority"
 
 
-def test_window_contains_fixed_and_new():
-    """Every r2-red (now fixed) query and every round-3 addition must be
-    inside the driver's 50-entry verification window."""
+def test_window_contains_fixed_and_backlog():
+    """Every r3-red (now fixed) query and every never-driver-checked query
+    must be inside the driver's 50-entry verification window — round 4
+    should end with 100% of the catalog carrying a driver evidence row."""
     window = set(list(catalog().keys())[:WINDOW])
-    assert _FAILED_R2 <= window
-    assert set(_NEW_R3) <= window
+    assert _FAILED_R3 <= window
+    assert set(_NEW_R4) <= window
+
+
+def test_full_catalog_has_evidence_plan():
+    """No query may sit outside all three evidence tiers: everything is
+    either already driver-verified or scheduled inside this round's window."""
+    cat = set(catalog().keys())
+    covered = _VERIFIED_R1_R3 | _FAILED_R3 | set(_NEW_R4)
+    assert cat <= covered, f"no evidence plan for: {sorted(cat - covered)}"
 
 
 def test_queries_and_oracles_consistent():

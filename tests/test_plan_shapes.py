@@ -167,3 +167,29 @@ def test_ann_recall_eval_group_limits(spark):
     plan = _plan_of(spark, "ann_recall_eval")
     assert re.search(r"WindowGroupLimit.*Partial", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_timezone_dependent_expressions():
+    """No query may call a session-timezone-dependent time function.
+
+    The driver hands in its own SparkSession, so ``unix_timestamp`` /
+    ``from_unixtime`` / ``current_*`` read whatever timezone that session
+    carries — green-on-UTC queries would flip red on a non-UTC driver
+    host. All epoch math must be day/µs arithmetic (datediff*86400,
+    timestampdiff against an NTZ literal — io/tables.py:56 pattern).
+    Source-level guard: comments are stripped before matching.
+    """
+    import pathlib
+
+    banned = re.compile(
+        r"\b(unix_timestamp|from_unixtime|current_timestamp|current_date|"
+        r"localtimestamp|now)\s*\("
+    )
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "gridiron_spark"
+    hits = []
+    for path in pkg.rglob("*.py"):
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if banned.search(code):
+                hits.append(f"{path.relative_to(pkg.parent)}:{lineno}: {line.strip()}")
+    assert not hits, "timezone-dependent expressions:\n" + "\n".join(hits)

@@ -219,3 +219,74 @@ def test_diagnose_flags_heterogeneous_lake(spark, mixed_lake, capsys):
     assert rc == 0
     assert "heterogeneous lake" in out
     assert "scan_unified" in out
+
+
+def test_2018_play_figure_structure(spark, lake_2018, tmp_path):
+    """Dashboard rendering parity on the REAL 2018 fixture (reference
+    app/main.py:118-239): the figure must carry one ghost trace per player
+    plus a ball ghost, exactly three animated marker traces, one animation
+    frame per tracking frame each re-targeting only the animated traces,
+    and the play/pause + slider controls."""
+    from gridiron_spark.operators.features import side_split
+    from gridiron_spark.viz import figure_html, play_figure
+
+    pool = Pool(spark, lake_2018[0])
+    game = pool.games()[0]
+    play_id = pool.plays(game)[0]
+    play = pool.fetch_play(game, play_id)
+    labeled = side_split(play)
+
+    n_players = (
+        labeled.filter(F.col("nflId").isNotNull())
+        .select("nflId").distinct().count()
+    )
+    n_frames = labeled.select("frameId").distinct().count()
+
+    fig = play_figure(labeled)
+    # traces: players ghosts + 1 ball ghost + 3 animated (off/def/ball)
+    assert len(fig["data"]) == n_players + 1 + 3
+    assert [t.get("name") for t in fig["data"][-3:]] == [
+        "Offense", "Defense", "Ball"
+    ]
+    assert len(fig["frames"]) == n_frames
+    anim_idx = list(range(len(fig["data"]) - 3, len(fig["data"])))
+    assert all(f["traces"] == anim_idx for f in fig["frames"])
+    assert all(len(f["data"]) == 3 for f in fig["frames"])
+    # ghosts are static lines that skip hover
+    for t in fig["data"][: n_players + 1]:
+        assert t["mode"] == "lines" and t["hoverinfo"] == "skip"
+    # controls: play/pause buttons + one slider step per frame
+    buttons = fig["layout"]["updatemenus"][0]["buttons"]
+    assert [b["label"] for b in buttons] == ["▶ Play", "⏸ Pause"]
+    assert len(fig["layout"]["sliders"][0]["steps"]) == n_frames
+    # field layer: pitch rect + 10 yard lines
+    assert len(fig["layout"]["shapes"]) == 11
+    # figure JSON must be serializable and the HTML must embed it verbatim
+    html = figure_html(fig)
+    assert '"frames":' in html and "Plotly.addFrames" in html
+
+
+def test_2018_animate_cli_html(spark, lake_2018, tmp_path, capsys):
+    """--html writes a standalone dashboard document for the play."""
+    import json as _json
+
+    from gridiron_spark.cli import main
+
+    lake, _ = lake_2018
+    pool = Pool(spark, lake)
+    game = pool.games()[0]
+    play = pool.plays(game)[0]
+    out = tmp_path / "play.html"
+    rc = main(
+        ["animate", "--pool", str(lake), "--game", str(game),
+         "--play", str(play), "--html", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    txt = out.read_text()
+    assert txt.startswith("<!DOCTYPE html>")
+    # the embedded figure is one parseable JSON object
+    fig_json = txt.split("const fig = ", 1)[1].split(";\nPlotly.newPlot", 1)[0]
+    fig = _json.loads(fig_json)
+    assert set(fig) == {"data", "layout", "frames"}
+    assert "wrote dashboard figure" in capsys.readouterr().out
