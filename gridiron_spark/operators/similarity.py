@@ -174,3 +174,69 @@ def srp_bucket_sql(vec_expr: str, signs: list[list[float]]) -> str:
             f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance with per-element double widening and ordered
+    left-to-right accumulation (bit-identical to DuckDB's list_sum fold).
+
+    SQL mirror: ``list_sum(list_transform(list_zip(a, b),
+    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))``.
+    """
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lloyd_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """One Lloyd assignment step: each vector to its nearest centroid
+    (squared L2; ties break to the smaller cluster id).
+
+    ``centroids`` is (cluster bigint, cvec array<float>) — k rows, always
+    broadcast. The distance fan-out is map-side (×k per vector), and the
+    argmin is a per-vector WindowGroupLimit (rank-1 over a corpus-cardinality
+    key), so the whole step is one linear pass at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "embedding",
+        "cluster",
+        l2_sq(F.col("embedding"), F.col("cvec")).alias("dist2"),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cluster")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def lloyd_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-cluster dimension-wise mean of member vectors.
+
+    posexplode fans each member into (cluster, dim, value) rows — map-side —
+    and the mean is one map-side-combined aggregate on (cluster, dim):
+    k×dims result rows regardless of corpus size. Double means are
+    shuffle-order-dependent, so this step is pinned by pytest (numpy
+    tolerance), not by the value-hash oracle; the assignment step is the
+    hash-checked half.
+    """
+    return (
+        assigned.select(
+            "cluster", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.tensor",
     "gridiron_spark.queries.mllib",
     "gridiron_spark.queries.pipeline",
+    "gridiron_spark.queries.quality",
 )
 
 # Queries with a green (or rows-only-by-design) driver CORRECTNESS row in
@@ -127,6 +128,10 @@ _NEW_R4 = (
     "quantile_stats", "countmin_sketch", "hll_distinct_sketch",
     "text_regex_tokens", "priority_exists_count", "min_cost_supplier",
     "important_part_value", "excess_shipped_suppliers", "pandas_udaf_stats",
+    # round-4 additions (quality-filter batch)
+    "text_redact_pii", "boilerplate_phrase_flags", "gopher_repetition_flags",
+    "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
+    "kmeans_assign",
 )
 
 

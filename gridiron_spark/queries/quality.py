@@ -1,0 +1,373 @@
+"""Training-data quality filters — the cleaning pass an LLM pipeline runs
+between crawling and mixing (PII redaction, boilerplate pruning, repetition
+flags, temperature-flattened source sampling, table profiling).
+
+Everything is JVM-side Column expressions (regexp/explode/agg) — no Python
+in the hot path — and every query carries a DuckDB oracle. Regexes use
+character classes only (no lookaround, no shorthand classes), the subset on
+which Java regex and RE2 agree match-for-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.dedup import shingle_rows
+from gridiron_spark.operators.profile import profile
+from gridiron_spark.queries import register
+
+# --- PII redaction -----------------------------------------------------------
+
+# The synthetic corpus is clean word soup, so each doc deterministically
+# gains a contact tail derived from its own doc_id — both engines compute
+# the identical derived input, and the redaction math stays hash-checkable.
+_CONTACT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' see https://data.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+_PAT_EMAIL = "[a-z0-9.]+@[a-z0-9.-]+"
+_PAT_PHONE = "[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PAT_URL = "https?://[a-z0-9./-]+"
+
+
+@register(
+    "text_redact_pii",
+    survey="NS-text(PII redaction: email/phone/URL scrubbing, counted)",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_CONTACT_SQL} AS full_text FROM documents),
+r AS (
+    SELECT doc_id,
+           len(regexp_extract_all(full_text, '{_PAT_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(full_text, '{_PAT_PHONE}')) AS n_phones,
+           len(regexp_extract_all(full_text, '{_PAT_URL}')) AS n_urls,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(full_text, '{_PAT_URL}', '<URL>', 'g'),
+                   '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM d
+)
+SELECT doc_id, n_emails, n_phones, n_urls,
+       length(redacted) AS n_chars_redacted,
+       md5(redacted) AS redacted_md5
+FROM r
+""",
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing over the corpus: count and replace emails, phone
+    numbers, and URLs with typed placeholder tokens. Map-only — a pure
+    projection with zero shuffles, so at 100 TB it runs at scan speed and
+    pushes nothing anywhere; the per-pattern counts feed redaction-rate
+    monitoring. URL is redacted before EMAIL so the host part of a URL can
+    never be half-eaten by the email pattern."""
+    doc = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://data.example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, _PAT_URL, "<URL>"), _PAT_EMAIL, "<EMAIL>"
+        ),
+        _PAT_PHONE,
+        "<PHONE>",
+    )
+    return doc.select(
+        "doc_id",
+        F.regexp_count(full, F.lit(_PAT_EMAIL)).alias("n_emails"),
+        F.regexp_count(full, F.lit(_PAT_PHONE)).alias("n_phones"),
+        F.regexp_count(full, F.lit(_PAT_URL)).alias("n_urls"),
+        F.length(redacted).alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- boilerplate pruning ------------------------------------------------------
+
+# non-distinct positional 3-gram stream (one row per gram position)
+_GRAMS_CTE = """
+g AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(0, len(t) - 2),
+                                 i -> array_to_string(t[i+1:i+3], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+)
+""".strip()
+
+# 2-gram stream for corpus-frequency boilerplate (bigrams recur across
+# docs; trigrams in this corpus top out at 7 docs — measured)
+_BIGRAMS_CTE = """
+g AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(0, len(t) - 1),
+                                 i -> array_to_string(t[i+1:i+2], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+)
+""".strip()
+
+_BOILER_DOC_FRAC = 0.08  # a phrase in >=8% of the corpus is boilerplate
+
+
+@register(
+    "boilerplate_phrase_flags",
+    survey="NS-text(boilerplate pruning: corpus-frequent phrase fraction per doc),J1,A3",
+    oracle=f"""
+WITH {_BIGRAMS_CTE},
+freq AS (
+    SELECT shingle FROM g GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) >=
+           (SELECT {_BOILER_DOC_FRAC} * COUNT(*) FROM documents)
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(freq.shingle) AS n_boiler,
+       COUNT(freq.shingle) / COUNT(*) AS boiler_frac,
+       COUNT(freq.shingle) / COUNT(*) < 0.2 AS keep
+FROM g LEFT JOIN freq USING (shingle)
+GROUP BY g.doc_id
+""",
+)
+def boilerplate_phrase_flags(spark, sf_dir):
+    """C4-style boilerplate pruning: phrases (word 2-grams) occurring in
+    ≥ {frac:.0%} of distinct documents are boilerplate; each doc reports
+    its boilerplate-phrase fraction and a keep flag. The threshold is a
+    corpus *fraction* (scalar-subquery count), so the filter means the
+    same thing at every scale factor.
+
+    Scale shape: the frequent-phrase table is bounded by the *language*
+    (phrases repeated across ≥8% of a crawl number in the thousands), not
+    by the corpus — so it broadcasts, and the petabyte gram stream takes a
+    map-side left join straight into its per-doc aggregate. The only
+    corpus-sized shuffles are the linear by-doc_id window of gram assembly
+    and the per-doc agg; the gram-frequency count is map-side combined on
+    the gram key, and the 1-row corpus count broadcasts into its filter.
+    """.format(frac=_BOILER_DOC_FRAC)
+    doc = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(doc, k=2, distinct=False)
+    min_docs = doc.agg(
+        (F.count(F.lit(1)) * _BOILER_DOC_FRAC).alias("min_docs")
+    )
+    freq = (
+        grams.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .join(F.broadcast(min_docs))
+        .filter(F.col("nd") >= F.col("min_docs"))
+        .select("shingle", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(F.broadcast(freq), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler") / F.col("n_grams")).alias("boiler_frac"),
+            (F.col("n_boiler") / F.col("n_grams") < 0.2).alias("keep"),
+        )
+    )
+
+
+# --- repetition / diversity flags --------------------------------------------
+
+
+@register(
+    "gopher_repetition_flags",
+    survey="NS-text(quality: word-repetition & diversity flags per doc),A3-A6",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS top_word_cnt,
+       MAX(cnt) / SUM(cnt) AS top_word_frac,
+       COUNT(*) / SUM(cnt) AS distinct_frac,
+       SUM(length(w) * cnt) / SUM(cnt) AS mean_word_len,
+       MAX(cnt) / SUM(cnt) > 0.1 AS flag_repetitive,
+       COUNT(*) / SUM(cnt) < 0.3 AS flag_low_diversity
+FROM wc GROUP BY doc_id
+""",
+)
+def gopher_repetition_flags(spark, sf_dir):
+    """Gopher-rule word-level quality flags: top-word fraction (repetition),
+    distinct-word fraction (diversity), mean word length — the cheap
+    lexical filters an LLM pipeline applies before any model-based scoring.
+
+    Two linear aggregations, both keyed on doc_id-sized keys with full
+    map-side combine; the fractions are single int/int double divisions at
+    the end, so every value is bit-exact cross-engine (no double sums).
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tok = F.sum("cnt")
+    n_dst = F.count(F.lit(1))
+    top = F.max("cnt")
+    return wc.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        n_dst.alias("n_distinct"),
+        top.alias("top_word_cnt"),
+        (top / n_tok).alias("top_word_frac"),
+        (n_dst / n_tok).alias("distinct_frac"),
+        (F.sum(F.length("w") * F.col("cnt")) / n_tok).alias("mean_word_len"),
+        (top / n_tok > 0.1).alias("flag_repetitive"),
+        (n_dst / n_tok < 0.3).alias("flag_low_diversity"),
+    )
+
+
+@register(
+    "intra_doc_repetition",
+    survey="NS-text(quality: within-doc duplicate n-gram fraction),A3-A4",
+    oracle=f"""
+WITH {_GRAMS_CTE}
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(DISTINCT shingle) AS n_distinct_grams,
+       (COUNT(*) - COUNT(DISTINCT shingle)) / COUNT(*) AS rep_frac,
+       (COUNT(*) - COUNT(DISTINCT shingle)) / COUNT(*) > 0.02
+           AS flag_self_repetitive
+FROM g GROUP BY doc_id
+""",
+)
+def intra_doc_repetition(spark, sf_dir):
+    """Within-document n-gram repetition (the Gopher duplicate-ngram rule):
+    the fraction of 3-gram positions whose phrase already occurred in the
+    same document — high values mean degenerate, loopy text (threshold
+    2%: the corpus max is ~7%, measured). Group-local by
+    construction: one linear shuffle on doc_id (gram assembly) feeds a
+    count/count-distinct aggregate on the same key, so the whole filter is
+    a single exchange at any corpus size."""
+    doc = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(doc, k=3, distinct=False)
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("shingle")
+    return grams.groupBy("doc_id").agg(
+        n.alias("n_grams"),
+        nd.alias("n_distinct_grams"),
+        ((n - nd) / n).alias("rep_frac"),
+        ((n - nd) / n > 0.02).alias("flag_self_repetitive"),
+    )
+
+
+# --- temperature-flattened source sampling ------------------------------------
+
+
+@register(
+    "temperature_mixture_sample",
+    survey="NS-sampling(temperature-flattened per-source downsampling),O5,W2",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents
+),
+b AS (
+    SELECT source, CAST(floor(sqrt(COUNT(*))) AS BIGINT) * 3 AS k
+    FROM d GROUP BY source
+),
+r AS (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY ord, doc_id) AS BIGINT) AS rn
+    FROM d
+)
+SELECT r.doc_id, r.source, r.rn
+FROM r JOIN b USING (source)
+WHERE r.rn <= b.k
+""",
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Temperature-flattened mixture sampling: each source keeps
+    3·⌊√n_docs⌋ documents (budget ∝ n^0.5, i.e. α=0.5 sampling temperature
+    — big sources are downweighted, small sources oversampled relative to
+    their share), selected in deterministic md5 order so the sample is
+    reproducible under retries and identical cross-engine.
+
+    Scale shape: per-source row numbering does NOT use a bare
+    ``PARTITION BY source`` window (few sources ⇒ whole-source single
+    tasks); it reuses grouped_running_sum's range-exchange + broadcast
+    prefix-sum, so parallelism stays |partitions| no matter how few
+    sources exist. Budgets are |sources| rows — broadcast.
+    """
+    from gridiron_spark.operators.ordered import grouped_running_sum
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("ord")
+    )
+    budgets = (
+        doc.groupBy("source")
+        .agg((F.floor(F.sqrt(F.count(F.lit(1)))) * 3).alias("k"))
+    )
+    numbered = grouped_running_sum(
+        doc.withColumn("one", F.lit(1)),
+        ["source"],
+        ["ord", "doc_id"],
+        "one",
+        out_col="rn",
+    )
+    return (
+        numbered.join(F.broadcast(budgets), "source")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source", "rn")
+    )
+
+
+# --- table profiling -----------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        # double bounds render engine-specific; timestamp bounds render
+        # through the Spark session timezone — both profile as NULL strings
+        # (operators/profile.py applies the same dtype gate engine-side)
+        safe = c not in ("o_totalprice", "o_orderdate")
+        mn = f"CAST(MIN({c}) AS VARCHAR)" if safe else "CAST(NULL AS VARCHAR)"
+        mx = f"CAST(MAX({c}) AS VARCHAR)" if safe else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_s, {mx} AS max_s FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile",
+    survey="A-profile(single-pass per-column null/distinct/bounds profile),A3-A6",
+    oracle=_profile_oracle(),
+)
+def table_profile(spark, sf_dir):
+    """Data-quality profile of the orders table: per-column null count,
+    exact distinct count, and stringified min/max bounds — the ingest-time
+    probe that decides whether a new source is trustworthy. ONE scan: the
+    multi-COUNT(DISTINCT) aggregate compiles to a single pass with an
+    Expand (×|cols|), and the wide→long reshape happens on the one
+    aggregated row. See operators/profile.py for the approx_count_distinct
+    variant that drops the Expand at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return profile(o, _PROFILE_COLS)

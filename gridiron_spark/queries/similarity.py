@@ -400,3 +400,57 @@ def ann_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+_KMEANS_K = 8
+
+_L2_AB = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+""".strip()
+
+
+@register(
+    "kmeans_assign",
+    survey="NS-sim(k-means Lloyd assignment — deterministic clustering for curation),J1,W2",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id AS cluster, embedding AS cvec
+    FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+d AS (
+    SELECT e.vec_id, c.cluster,
+           {_L2_AB.format(a="e.embedding", b="c.cvec")} AS dist2
+    FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM d
+) WHERE rn = 1
+""",
+)
+def kmeans_assign(spark, sf_dir):
+    """One deterministic Lloyd assignment step (seed centroids = the first
+    {k} vectors): nearest-centroid by squared L2, ties to the smaller
+    cluster id. Clustering is the curation primitive behind SemDeDup-style
+    semantic dedup and cluster-balanced sampling; the assignment is the
+    hash-checkable half of the iteration (ordered-fold distances are
+    bit-exact cross-engine), the centroid-update mean is pinned by pytest
+    (operators/similarity.lloyd_update — double means are shuffle-order-
+    dependent, never oracle material).
+
+    Scale shape: k×dims centroids broadcast; the distance fan-out is
+    map-side and the argmin is a rank-1 window over vec_id — corpus-
+    cardinality key, Partial WindowGroupLimit prunes to one row per vector
+    before the shuffle. One linear pass end-to-end.
+    """.format(k=_KMEANS_K)
+    from gridiron_spark.operators.similarity import lloyd_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    return lloyd_assign(emb, cents).select("vec_id", "cluster", "dist2")

@@ -193,3 +193,54 @@ def test_no_timezone_dependent_expressions():
             if banned.search(code):
                 hits.append(f"{path.relative_to(pkg.parent)}:{lineno}: {line.strip()}")
     assert not hits, "timezone-dependent expressions:\n" + "\n".join(hits)
+
+
+def test_redact_pii_is_map_only(spark):
+    """PII redaction must stay a pure projection — zero shuffles, zero
+    joins: at 100 TB it runs at scan speed."""
+    plan = _plan_of(spark, "text_redact_pii")
+    assert not re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ), plan
+    assert "Join" not in plan, plan
+
+
+def test_boilerplate_joins_stay_bounded(spark):
+    """The frequent-phrase table must broadcast into the gram stream (the
+    corpus side never shuffles for the join), and nothing may go
+    cartesian. The single BroadcastNestedLoopJoin is the 1-row corpus-count
+    threshold join — constant-size by construction."""
+    plan = _plan_of(spark, "boilerplate_phrase_flags")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_temperature_sample_no_source_window(spark):
+    """Per-source numbering must ride the range-exchange prefix-sum (few
+    sources ⇒ a bare source window would single-task the corpus)."""
+    plan = _plan_of(spark, "temperature_mixture_sample")
+    assert re.search(r"windowspecdefinition\(_pid", plan), plan
+    assert not re.search(
+        r"row_number\(\) windowspecdefinition\(source#\d+,", plan
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_table_profile_single_scan(spark):
+    """The profile must read the table ONCE: multi-COUNT(DISTINCT) compiles
+    to one scan + Expand, never |cols| scans."""
+    plan = _plan_of(spark, "table_profile")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_kmeans_assign_group_limit(spark):
+    """The argmin must ride the Partial WindowGroupLimit tree (rank-1 per
+    vector pruned before the shuffle) with the centroid side broadcast —
+    never a sort-merge or cartesian fan-in."""
+    plan = _plan_of(spark, "kmeans_assign")
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # k-row broadcast fan-out

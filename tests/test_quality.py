@@ -1,0 +1,154 @@
+"""Unit tests for the quality-filter batch (queries/quality.py,
+operators/profile.py) — semantics beyond what oracle parity pins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_profile_exact_counts(spark):
+    from gridiron_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None), (None, "b", 4.5)],
+        "k bigint, s string, v double",
+    )
+    rows = {r.col_name: r for r in profile(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in rows.values())
+    assert (rows["k"].n_nulls, rows["k"].n_distinct) == (1, 2)
+    assert (rows["s"].n_nulls, rows["s"].n_distinct) == (1, 2)
+    assert (rows["k"].min_s, rows["k"].max_s) == ("1", "2")
+    assert (rows["s"].min_s, rows["s"].max_s) == ("a", "b")
+    # double bounds are gated out (engine-specific rendering)
+    assert rows["v"].min_s is None and rows["v"].max_s is None
+    assert rows["v"].n_distinct == 3
+
+
+def test_profile_approx_distinct_drops_expand(spark):
+    from gridiron_spark.operators.profile import profile
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    exact = profile(df)
+    approx = profile(df, approx_distinct=True)
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {r.col_name: r.n_distinct for r in approx.collect()}
+    # HLL++ default rsd=5%: tiny cardinalities resolve exactly or near
+    assert got["m"] == 7
+    assert abs(got["id"] - 1000) <= 50
+
+
+def test_temperature_sample_budgets(spark):
+    """Each source keeps exactly 3*floor(sqrt(n_docs)) docs."""
+    from gridiron_spark.queries.quality import temperature_mixture_sample
+
+    doc = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    n_by_src = {
+        r.source: r.n
+        for r in doc.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.source: r.n
+        for r in temperature_mixture_sample(spark, SF_ORACLE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, n in n_by_src.items():
+        assert got[src] == 3 * math.isqrt(n), src
+
+
+def test_redaction_example(spark):
+    """Hand-checked redaction: patterns hit exactly the planted spans."""
+    from gridiron_spark.queries.quality import (
+        _PAT_EMAIL, _PAT_PHONE, _PAT_URL,
+    )
+
+    s = "hello contact user42@mail.example.com or +1-555-0042 see https://data.example.com/doc/42"
+    df = spark.createDataFrame([(s,)], "t string")
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", _PAT_URL, "<URL>"), _PAT_EMAIL, "<EMAIL>"
+            ),
+            _PAT_PHONE,
+            "<PHONE>",
+        ).alias("r")
+    ).first()
+    assert red.r == "hello contact <EMAIL> or <PHONE> see <URL>"
+
+
+def test_intra_doc_repetition_counts_repeats(spark, tmp_path):
+    """A doc with a repeated trigram reports the right rep fraction."""
+    from gridiron_spark.queries.quality import intra_doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c x"),  # grams: 5, distinct: 4 -> rep 1/5
+            (2, "p q r s"),        # grams: 2, distinct: 2 -> rep 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path)
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r.doc_id: r for r in intra_doc_repetition(spark, out).collect()}
+    assert rows[1].n_grams == 5 and rows[1].n_distinct_grams == 4
+    assert rows[1].rep_frac == pytest.approx(0.2)
+    assert rows[2].rep_frac == 0.0
+
+
+def test_lloyd_update_matches_numpy(spark):
+    """Centroid update (the non-oracle half of the k-means iteration):
+    per-cluster dim-wise means must match numpy within float tolerance,
+    and a second assignment against the updated centroids must not
+    increase total inertia (Lloyd's monotonicity)."""
+    import numpy as np
+
+    from gridiron_spark.operators.similarity import lloyd_assign, lloyd_update
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    assigned = lloyd_assign(emb, cents)
+    rows = assigned.select("vec_id", "cluster", "dist2", "embedding").collect()
+    updated = lloyd_update(assigned)
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(np.array(r.embedding))
+    got = {(r.cluster, r.dim): (r.centroid_val, r.n_members)
+           for r in updated.collect()}
+    for c, vecs in by_cluster.items():
+        mean = np.stack(vecs).astype(np.float64).mean(axis=0)
+        for d in range(len(mean)):
+            val, n = got[(c, d)]
+            assert n == len(vecs)
+            assert val == pytest.approx(mean[d], abs=1e-9), (c, d)
+
+    # monotonicity: reassigning against updated centroids lowers inertia
+    dims = len(rows[0].embedding)
+    new_c = (
+        updated.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val")))
+             .alias("pairs"))
+        .select(
+            "cluster",
+            F.transform("pairs", lambda p: p["centroid_val"].cast("float"))
+            .alias("cvec"),
+        )
+    )
+    inertia0 = sum(r.dist2 for r in rows)
+    inertia1 = sum(
+        r.dist2 for r in lloyd_assign(emb, new_c).select("dist2").collect()
+    )
+    assert inertia1 <= inertia0 + 1e-9
+    assert dims == 32 or dims > 0  # schema sanity
