@@ -746,3 +746,107 @@ def incremental_minhash_flags(
             "max_est",
         )
     )
+
+
+def positional_grams(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gram) — every k-token span WITH its 0-based start
+    position (shingle_rows drops positions; substring-level dedup needs
+    them to reconstruct coverage intervals). Same plan as shingle_rows:
+    posexplode + lead window, one linear by-doc_id shuffle; docs shorter
+    than k contribute no spans (there is no k-token substring to match)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+    exploded = toks.filter(F.size("toks") >= k).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        exploded.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+            ).alias("gram"),
+            F.lead("tok", k - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+
+
+def dup_span_coverage_stats(docs: DataFrame, k: int) -> DataFrame:
+    """Substring-level exact dedup measurement (Lee et al. 2022 style):
+    per document, how many tokens are covered by some k-token span that
+    occurs ≥2 times anywhere in the corpus (incl. within the same doc).
+
+    Plan: positional gram stream (linear) → global gram count (map-side
+    combined; the ≥2 filter shrinks it to the duplicated-span set, which is
+    overlap-sized, not corpus-sized) → join back → per-doc interval union
+    via two windows on doc_id (corpus-cardinality key: scales) → coverage
+    fraction against the doc's token count. Interval union, not position
+    count: overlapping spans must not double-count covered tokens.
+    """
+    from pyspark.sql import Window
+
+    grams = positional_grams(docs, k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            (F.max(F.col("pos") + k) - F.min("pos")).alias("covered"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").alias("covered_tokens"),
+            F.sum("n_pos").alias("n_dup_positions"),
+        )
+    )
+    totals = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_coverage_frac"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+                < 0.5
+            ).alias("keep"),
+        )
+    )

@@ -566,3 +566,80 @@ def incremental_dedup_flags(spark, sf_dir):
     batch = doc.filter(F.col("doc_id") % 10 == 9)
     corpus_sig = minhash_signature_df(shingle_rows(corpus))
     return incremental_minhash_flags(corpus_sig, batch, threshold=0.5)
+
+
+_SPAN_K = 5
+
+
+@register(
+    "dup_span_coverage",
+    survey="NS-dedup(substring-level exact dedup: duplicate-span coverage per doc),W1,A3",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{_SPAN_K}], ' ') AS gram
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         unnest(range(0, len(t) - {_SPAN_K - 1})) AS u(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN MAX(pos + {_SPAN_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+             OR pos > MAX(pos + {_SPAN_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_island
+    FROM hits
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+),
+per_island AS (
+    SELECT doc_id, island,
+           MAX(pos + {_SPAN_K}) - MIN(pos) AS covered,
+           COUNT(*) AS n_pos
+    FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(SUM(n_pos) AS BIGINT) AS n_dup_positions
+    FROM per_island GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(string_split(lower(t.text), ' ')) AS n_tokens,
+       COALESCE(p.n_dup_positions, 0) AS n_dup_positions,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       COALESCE(p.covered_tokens, 0) / len(string_split(lower(t.text), ' '))
+           AS dup_coverage_frac,
+       COALESCE(p.covered_tokens, 0) / len(string_split(lower(t.text), ' '))
+           < 0.5 AS keep
+FROM documents t LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def dup_span_coverage(spark, sf_dir):
+    """Substring-granularity exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a {k}-token span occurring
+    ≥2 times anywhere in the corpus is a duplicate span; each document
+    reports the fraction of its tokens covered by the interval UNION of its
+    duplicate spans (overlaps merged, never double-counted) and a keep flag
+    at 50% coverage. This is the span-level complement of the document-level
+    families (MinHash/SimHash/prefix-Jaccard measure whole-doc similarity;
+    this measures how much of a doc is literally copied from somewhere).
+
+    Scale: the duplicated-span set after the ≥2 filter is overlap-sized;
+    the interval-union windows run per doc_id — a corpus-cardinality key.
+    All shuffles are linear; coverage math is pure integers + one final
+    division.
+    """.format(k=_SPAN_K)
+    from gridiron_spark.operators.dedup import dup_span_coverage_stats
+
+    doc = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage_stats(doc, _SPAN_K)

@@ -418,3 +418,53 @@ def streaming_dedup_e2e(spark, sf_dir):
     return run_available_now(
         deduped, f"dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+@register(
+    "streaming_quality_gate_e2e",
+    survey="§2.10+NS-text(streaming quality gate: stateless per-batch filter + per-source agg, real readStream)",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN len(string_split(lower(text), ' ')) >= 40
+                      AND len(list_distinct(string_split(lower(text), ' ')))
+                          / len(string_split(lower(text), ' ')) >= 0.35
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN len(string_split(lower(text), ' ')) >= 40
+                      AND len(list_distinct(string_split(lower(text), ' ')))
+                          / len(string_split(lower(text), ' ')) >= 0.35
+                THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def streaming_quality_gate_e2e(spark, sf_dir):
+    """REAL Structured Streaming composition with the quality-filter batch:
+    documents staged as a file-source stream, the lexical admission gate
+    (token count ≥40, distinct-word fraction ≥0.35) applied STATELESSLY
+    inside each micro-batch, per-source admission stats as the only
+    streaming state (|sources| rows), drained with availableNow and
+    hash-checked against the batch SQL. This is the arriving-crawl shape:
+    the gate costs zero state at any corpus rate; integer token sums make
+    stream == batch bit-exact.
+    """
+    import os
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        quality_gate_agg,
+        run_available_now,
+        stream_documents,
+    )
+
+    stage = f"/tmp/gridiron_stream_stage/docs_v1_{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+            stage
+        )
+    stream = stream_documents(spark, stage)
+    result = run_available_now(
+        quality_gate_agg(stream), f"qgate_{uuid.uuid4().hex[:8]}"
+    )
+    return result.select("source", "n_docs", "n_kept", "kept_tokens")

@@ -388,3 +388,44 @@ def write_idempotent_partitioned(
         .start()
     )
     q.awaitTermination()
+
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of document rows — the arriving-crawl shape a
+    streaming quality gate consumes."""
+    return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(source_dir)
+
+
+def quality_gate_agg(docs: DataFrame, min_tokens: int = 40,
+                     min_distinct_frac: float = 0.35) -> DataFrame:
+    """Per-source admission stats for a streaming quality gate: the gate
+    itself (token count + lexical diversity) is STATELESS — pure per-row
+    Column math inside each micro-batch — and the only state is the
+    per-source aggregate (|sources| rows). Token sums are integers, so the
+    streaming result is bit-identical to batch backfill."""
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_frac = F.size(F.array_distinct(toks)) / n_tokens
+    keep = (n_tokens >= min_tokens) & (distinct_frac >= min_distinct_frac)
+    return (
+        docs.select("source", n_tokens.alias("n_tokens"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+    )

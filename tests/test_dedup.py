@@ -319,3 +319,40 @@ def test_incremental_flags_planted_near_dup(spark):
     assert got[11].n_matches >= 1 and got[11].min_partner == 1
     assert got[11].max_est == 1.0  # identical text -> identical signature
     assert got[12].n_matches == 0 and got[12].min_partner is None
+
+
+def test_dup_span_coverage_interval_union(spark, tmp_path):
+    """Planted duplicate spans: overlapping spans merge into one interval
+    (no double counting), disjoint islands sum, clean docs report zero."""
+    from gridiron_spark.operators.dedup import dup_span_coverage_stats
+
+    # k=3 spans; doc 1 and doc 2 share "x y z" twice in doc 1 at pos 0 and
+    # pos 2 (overlapping: union covers pos 0..5) and doc 2 carries it once.
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z x y z a b c d"),   # dup span "x y z" at 0 and 3 (also "z x y"? no)
+            (2, "q q q x y z r s t u"),
+            (3, "m n o p e f g h i j"),   # clean
+        ],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path)
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in dup_span_coverage_stats(
+            spark.read.parquet(f"{out}/documents.parquet"), 3
+        ).collect()
+    }
+    # doc 1: "x y z" occurs at pos 0 and 3 (plus once in doc 2 -> >= 2 anyway);
+    # intervals [0,3) and [3,6) are adjacent -> merged island covering 6 tokens
+    assert got[1].n_dup_positions == 2
+    assert got[1].covered_tokens == 6
+    assert got[1].dup_coverage_frac == 0.6
+    assert bool(got[1].keep) is False  # >= 50% copied
+    # doc 2: one hit at pos 3 -> 3 tokens covered
+    assert got[2].n_dup_positions == 1
+    assert got[2].covered_tokens == 3
+    assert bool(got[2].keep) is True
+    # doc 3: clean
+    assert got[3].covered_tokens == 0 and got[3].dup_coverage_frac == 0.0

@@ -136,3 +136,39 @@ def test_compact_pool_restores_one_file_per_partition(spark, tmp_path):
     assert after_files and max(after_files) == 1, f"still fragmented: {after_files}"
     after = sorted(map(tuple, compacted.collect()))
     assert after == before
+
+
+def test_unify_type_cross_family_widens_to_double():
+    """int-family × float-family unifies to double (exact for |int|<2^53),
+    NOT the string fallback that would silently de-numericize a lake-wide
+    column; genuinely incompatible families still fall back to string."""
+    from gridiron_spark.pool import Pool
+
+    assert Pool._unify_type("bigint", "double") == "double"
+    assert Pool._unify_type("float", "int") == "double"
+    assert Pool._unify_type("smallint", "float") == "double"
+    # same-family widening unchanged
+    assert Pool._unify_type("int", "bigint") == "bigint"
+    assert Pool._unify_type("float", "double") == "double"
+    # incompatible families: lossless string render
+    assert Pool._unify_type("string", "double") == "string"
+    assert Pool._unify_type("timestamp", "bigint") == "string"
+
+
+def test_scan_unified_warns_on_non_hive_layout(spark, tmp_path):
+    """A lake without a single first-level Hive partition key cannot get
+    per-branch schema reconciliation — the fallback must WARN, not silently
+    adopt one parquet footprint."""
+    import warnings
+
+    from gridiron_spark.pool import Pool
+
+    flat = tmp_path / "flat"
+    spark.range(10).withColumn("x", F.col("id") * 2).write.parquet(str(flat))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = Pool(spark, str(flat)).scan_unified()
+        assert df.count() == 10
+    assert any("scan_unified" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
