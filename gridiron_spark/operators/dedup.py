@@ -476,12 +476,15 @@ def connected_components_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # no trailing distinct: the follow-up small-star round re-orients
+        # with greatest/least and dedups immediately, so a distinct here is
+        # a pure extra shuffle (duplicate inflation between the stages is
+        # bounded at 2|E| and every dup maps to the same output edge).
         return (
             adj.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
