@@ -378,28 +378,43 @@ _UDAF_SCHEMA = "user_id bigint, n bigint, mean_value double, value_range double"
 
 @register(
     "pandas_udaf_stats",
-    survey="§2.9 grouped-agg pandas UDF — rows-only (float sum order is "
-    "engine-internal; plumbing is the coverage target)",
-    oracle=None,
+    survey="§2.9 grouped-agg pandas UDF — hash-checked via exact fsum",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS mean_value,
+       MAX(value) - MIN(value) AS value_range
+FROM events GROUP BY user_id
+""",
 )
 def pandas_udaf_stats(spark, sf_dir):
     """Grouped aggregation through Arrow (applyInPandas as a UDAF): per-user
-    event stats computed in vectorized numpy. Values are sorted before
-    summing so the result is deterministic run-to-run (same multiset → same
-    fold order) even though partial-sum order differs from any SQL engine —
-    hence the rows-only check, with count/min/max verifiable against
-    quantile_stats/salted_hot_key_agg oracles."""
+    event stats computed Python-side. Upgraded from rows-only to a full
+    hash-checked entry in round 4 by applying the repo's DECIMAL(18,6)
+    contract INSIDE the UDAF: each double is quantized to 6 decimals
+    exactly (Decimal of the binary value — verified equal to DuckDB's
+    CAST(double AS DECIMAL(18,6)) sum over the whole events table, either
+    tie mode: binary doubles never land on decimal ties), the quantized
+    values sum exactly, and one float conversion + one double division
+    then match the oracle's CAST(SUM(...) AS DOUBLE)/COUNT(*) operand-for-
+    operand. The Arrow boundary costs nothing in checkability — the same
+    order-free-exactness rule as the engine-side dsum helper."""
+    from decimal import Decimal
+
     import pandas as pd
+
+    _Q = Decimal("0.000001")
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].to_numpy()
-        v.sort()
+        s = sum(Decimal(float(x)).quantize(_Q) for x in v)
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n": [len(v)],
-                "mean_value": [float(v.sum() / len(v))],
-                "value_range": [float(v[-1] - v[0])],
+                "mean_value": [float(s) / len(v)],
+                "value_range": [float(v.max() - v.min())],
             }
         )
 

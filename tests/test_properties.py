@@ -65,3 +65,50 @@ def test_observe_metrics_single_pass(spark):
     assert obs.get["n_rows"] == 1000
     assert obs.get["v_total"] == 999 * 1000
     assert n_after == 500
+
+
+_DOC_WORDS = st.lists(
+    st.sampled_from(list("abcdef")), min_size=1, max_size=30
+)
+_CORPUS = st.lists(_DOC_WORDS, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS, k=st.integers(2, 4))
+def test_dup_span_coverage_matches_bruteforce(spark, corpus, k):
+    """dup_span_coverage's windowed interval union must equal a direct
+    Python computation (span multiset → duplicated spans → per-doc union of
+    [pos, pos+k) hit intervals) on ANY random corpus — tiny 6-letter vocab
+    forces heavy span collisions, the regime where overlap merging matters."""
+    from collections import Counter
+
+    from gridiron_spark.operators.dedup import dup_span_coverage_stats
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_dup_positions, r.covered_tokens)
+        for r in dup_span_coverage_stats(sdf, k).collect()
+    }
+
+    spans = Counter()
+    per_doc_positions: dict[int, list[int]] = {}
+    for i, words in enumerate(corpus):
+        per_doc_positions[i] = []
+        for p in range(len(words) - k + 1):
+            spans[" ".join(words[p : p + k])] += 1
+    for i, words in enumerate(corpus):
+        for p in range(len(words) - k + 1):
+            if spans[" ".join(words[p : p + k])] >= 2:
+                per_doc_positions[i].append(p)
+    for i, words in enumerate(corpus):
+        covered: set[int] = set()
+        for p in per_doc_positions[i]:
+            covered.update(range(p, p + k))
+        assert got[i] == (len(per_doc_positions[i]), len(covered)), (
+            i, corpus, k,
+        )
