@@ -131,7 +131,7 @@ _NEW_R4 = (
     # round-4 additions (quality-filter batch)
     "text_redact_pii", "boilerplate_phrase_flags", "gopher_repetition_flags",
     "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
-    "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e",
+    "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e", "bpe_pair_counts", "asof_forward_tolerance",
 )
 
 

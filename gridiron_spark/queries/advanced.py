@@ -959,3 +959,61 @@ def disjunctive_join_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "asof_forward_tolerance",
+    survey="J-asof(forward direction + staleness tolerance — the other merge_asof half)",
+    oracle=f"""
+SELECT event_id, user_id, ts_us,
+       CASE WHEN nxt_ts_us IS NOT NULL AND nxt_ts_us - ts_us <= {_ASOF_TOL_US}
+            THEN nxt_ts_us END AS ref_ts_us,
+       CASE WHEN nxt_ts_us IS NOT NULL AND nxt_ts_us - ts_us <= {_ASOF_TOL_US}
+            THEN nxt_value END AS ref_value
+FROM (
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                       IGNORE NULLS) OVER w AS nxt_ts_us,
+           first_value(CASE WHEN event_type = 'view' THEN value END
+                       IGNORE NULLS) OVER w AS nxt_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+WHERE event_type = 'click'
+""",
+)
+def asof_forward_tolerance(spark, sf_dir):
+    """As-of join, FORWARD direction with a staleness tolerance: for each
+    click, the user's next view at-or-after it, nulled when the gap exceeds
+    1 hour — the other half of the merge_asof surface (asof_join_events is
+    backward/unbounded). Same scalable shape: one shuffle on user_id, one
+    sorted window pass with a FOLLOWING frame; the tolerance is a post-hoc
+    null-out, NOT a range join, so nothing goes quadratic. All time math in
+    integer microseconds (tz-free, bit-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_view = F.col("event_type") == "view"
+    nxt_ts = F.first(F.when(is_view, F.col("ts_us")), ignorenulls=True).over(w)
+    nxt_val = F.first(F.when(is_view, F.col("value")), ignorenulls=True).over(w)
+    in_tol = nxt_ts.isNotNull() & (nxt_ts - F.col("ts_us") <= _ASOF_TOL_US)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.when(in_tol, nxt_ts).alias("ref_ts_us"),
+            F.when(in_tol, nxt_val).alias("ref_value"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us", "ref_ts_us", "ref_value")
+    )

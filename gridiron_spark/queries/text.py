@@ -511,3 +511,60 @@ def sequence_pack_bucketed(spark, sf_dir):
             .alias("tail_pad"),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    survey="NS-text(tokenizer induction: BPE merge-candidate pair counts),A3-A4,O1",
+    oracle="""
+WITH wc AS (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+pairs AS (
+    SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+    FROM wc, unnest(range(1, length(word))) AS u(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+""",
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training primitive: the first BPE merge step's candidate
+    table — corpus-weighted counts of adjacent symbol pairs, top 30. The
+    scale trick is aggregation ORDER: the corpus collapses to the
+    (vocabulary-bounded) word-frequency table FIRST, and the character-pair
+    fan-out runs over distinct words only — at 100 TB the pair explosion
+    costs |vocab|·|word| rows, not |corpus|·|word|, and the word-count
+    aggregate is map-side combined on the only corpus-sized shuffle. The
+    real BPE loop re-runs this candidate query per merge over a
+    re-segmented vocab table; one iteration is the checkable unit.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    wc = (
+        doc.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring with a DYNAMIC start position needs the expr form — the
+    # Python F.substring signature only takes literal pos/len. Words
+    # shorter than 2 chars are filtered BEFORE the fan-out: Spark's
+    # sequence(1, 0) is a DESCENDING sequence (not empty like DuckDB's
+    # range), which would fabricate pairs for 1-char words.
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.expr(
+            "explode(transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2)))"
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
