@@ -139,6 +139,31 @@ def cmd_animate(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_prepare_corpus(args, spark: SparkSession) -> int:
+    """Run the composed training-data pipeline (quality gate → benchmark
+    decontamination → per-source token-budget mixture → length-bucketed
+    sequence packing, queries/pipeline.py) and write the packed sequences
+    as Hive-partitioned parquet shards keyed by bucket_len — the artifact
+    a trainer's data loader reads per length bucket."""
+    from gridiron_spark.queries import catalog
+
+    packed = catalog()["training_data_pipeline"].spark_fn(spark, args.sf_dir)
+    (
+        packed.repartition(args.shards, "bucket_len", "seq_idx")
+        .write.mode("overwrite")
+        .partitionBy("bucket_len")
+        .parquet(args.output)
+    )
+    out = spark.read.parquet(args.output)
+    n_seq = out.count()
+    buckets = sorted(
+        r.bucket_len for r in out.select("bucket_len").distinct().collect()
+    )
+    print(f"wrote {n_seq} packed sequences -> {args.output} "
+          f"(buckets: {buckets}, shards/bucket <= {args.shards})")
+    return 0 if n_seq > 0 else 1
+
+
 def cmd_compact(args, spark: SparkSession) -> int:
     from gridiron_spark.io.compact import compact_pool
 
@@ -216,6 +241,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated in-file sort columns (row-group skipping)",
     )
     pc.set_defaults(fn=cmd_compact)
+
+    pp = sub.add_parser(
+        "prepare-corpus",
+        help="run the training-data pipeline and write packed parquet shards",
+    )
+    pp.add_argument("--sf-dir", required=True, help="source tables directory")
+    pp.add_argument("--output", required=True, help="shard output directory")
+    pp.add_argument(
+        "--shards", type=int, default=4,
+        help="max output files per length bucket",
+    )
+    pp.set_defaults(fn=cmd_prepare_corpus)
     return p
 
 

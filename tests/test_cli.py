@@ -139,3 +139,30 @@ def test_cli_compact(spark, tmp_path):
         len(list(p.glob("*.parquet"))) for p in Path(pool).glob("season=*/gameId=*")
     ]
     assert files and max(files) == 1
+
+
+def test_prepare_corpus_cli(spark, tmp_path, capsys):
+    """prepare-corpus writes bucket_len-partitioned parquet shards whose
+    rows equal the training_data_pipeline query output exactly."""
+    from pathlib import Path
+
+    from gridiron_spark.cli import main
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_SMALL
+
+    out = tmp_path / "shards"
+    rc = main(
+        ["prepare-corpus", "--sf-dir", SF_SMALL, "--output", str(out),
+         "--shards", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    bucket_dirs = sorted(p.name for p in Path(out).glob("bucket_len=*"))
+    assert bucket_dirs, "expected Hive bucket_len partitions"
+    got = spark.read.parquet(str(out))
+    want = catalog()["training_data_pipeline"].spark_fn(spark, SF_SMALL)
+    cols = sorted(want.columns)
+    assert sorted(
+        tuple(r) for r in got.select(*cols).collect()
+    ) == sorted(tuple(r) for r in want.select(*cols).collect())

@@ -244,3 +244,40 @@ def test_kmeans_assign_group_limit(spark):
     assert re.search(r"WindowGroupLimit.*Partial", plan), plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # k-row broadcast fan-out
+
+
+def test_dup_span_coverage_shape(spark):
+    """Span dedup: 3 linear shuffles (gram-assembly window, global gram
+    count, per-doc interval-union window) with the duplicated-span set
+    joining back as a broadcast — never a corpus-side shuffle join or a
+    cartesian."""
+    plan = _plan_of(spark, "dup_span_coverage")
+    shuffles = len(re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ))
+    assert shuffles == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_pair_counts_vocab_first(spark):
+    """Tokenizer induction must aggregate corpus→vocab BEFORE the pair
+    fan-out: exactly 2 shuffles (word agg, pair agg) and a tree top-k —
+    a third shuffle would mean the explosion ran over corpus rows."""
+    plan = _plan_of(spark, "bpe_pair_counts")
+    shuffles = len(re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ))
+    assert shuffles == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_forward_single_shuffle(spark):
+    """The forward as-of must stay one user_id exchange + sorted window —
+    the tolerance is a projection, never a range join."""
+    plan = _plan_of(spark, "asof_forward_tolerance")
+    shuffles = len(re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ))
+    assert shuffles == 1, plan
+    assert "Join" not in plan, plan
