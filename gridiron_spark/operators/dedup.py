@@ -369,11 +369,28 @@ def prefix_filtered_pairs(
     )
 
 
+def _pin(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize an iteration frame: localCheckpoint by default (fast,
+    executor-local — right for local mode), reliable checkpoint(dir) when
+    requested so executor loss on a cluster re-reads pinned state instead
+    of failing the job. Same contract as
+    operators/ordered.grouped_running_sum(reliable_checkpoint=...)."""
+    if reliable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable_checkpoint=True requires "
+                "spark.sparkContext.setCheckpointDir(...)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in the pair graph — min-label
     propagation to a fixpoint. This is the *cluster assignment* step a dedup
@@ -392,30 +409,30 @@ def connected_components(
     # lineage on EVERY action otherwise (each convergence check would re-run
     # pair generation — measured 14s → 3s on the sf0.1 corpus). On a cluster
     # use reliable checkpoint(dir) so executor loss can't drop the state.
-    edges = (
+    edges = _pin(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable_checkpoint,
     )
-    labels = (
+    labels = _pin(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        reliable_checkpoint,
     )
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = _pin(
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            reliable_checkpoint,
         )
         changed = (
             new_labels.alias("n")
@@ -435,6 +452,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) via alternating large-star/small-star rounds —
     the O(log² n)-round connected-components algorithm (Kiveris et al.,
@@ -456,17 +474,17 @@ def connected_components_star(
     (groupBy u, then join), localCheckpoint to cut the iterative lineage
     (reliable checkpoint(dir) on a real cluster).
     """
-    edges = (
+    edges = _pin(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable_checkpoint,
     )
-    all_nodes = (
+    all_nodes = _pin(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable_checkpoint,
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -514,7 +532,7 @@ def connected_components_star(
 
     prev_fp = _fp(edges)
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _pin(_small_star(_large_star(edges)), reliable_checkpoint)
         fp = _fp(new_edges)
         stable = fp == prev_fp and (
             new_edges.exceptAll(edges)
