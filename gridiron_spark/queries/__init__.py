@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.mllib",
     "gridiron_spark.queries.pipeline",
     "gridiron_spark.queries.quality",
+    "gridiron_spark.queries.sinks",
 )
 
 # Queries with a green (or rows-only-by-design) driver CORRECTNESS row in
@@ -132,6 +133,7 @@ _NEW_R4 = (
     "text_redact_pii", "boilerplate_phrase_flags", "gopher_repetition_flags",
     "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
     "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e", "bpe_pair_counts", "asof_forward_tolerance",
+    "sink_partitioned_roundtrip", "sink_csv_roundtrip",
 )
 
 

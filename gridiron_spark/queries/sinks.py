@@ -1,0 +1,116 @@
+"""Sink round-trips as driver-checkable queries.
+
+The writer surfaces (Hive-partitioned parquet with dynamic per-partition
+overwrite — reference ingest.py:76-87 semantics — and the CSV export,
+reference src/export.py) were previously pinned only by pytest: a sink has
+no SQL form. These entries make them externally checkable anyway by
+ROUND-TRIPPING: write to a staging directory, read back, aggregate, and
+hash-compare against the oracle aggregating the ORIGINAL table — any row
+lost, duplicated, or corrupted by the writer/reader pair flips the hash.
+
+Staging is version-keyed and _SUCCESS-gated (same convention as the
+streaming stages), so re-runs reuse the artifact; the overwrite-replay in
+the parquet entry re-exercises the dynamic-overwrite path every run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.functions.decimal_safe import dsum
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+
+
+def _stage_root(sf_dir: str, kind: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/gridiron_sink_stage/{kind}_v1_{tag}"
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    survey="S5(partitioned parquet sink, dynamic per-partition overwrite) as a round-trip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sink_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet sink round-trip (reference ingest.py:76-87
+    per-partition upsert semantics): write orders partitioned by
+    o_orderstatus, then DYNAMICALLY OVERWRITE one partition with the same
+    rows (the replay an idempotent ingest must tolerate), read the lake
+    back, and aggregate per status. The hash check proves the
+    writer/reader/overwrite trio preserves every row exactly — a sink bug
+    (dropped partition, double write, non-dynamic truncation) flips the
+    count or the decimal sum. Scale shape: partitionBy writer is
+    shuffle-free (task-local partition files); dynamic overwrite touches
+    only the replayed partition's directory."""
+    stage = _stage_root(sf_dir, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        (
+            o.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(stage)
+        )
+    # replay one partition through the dynamic-overwrite path every run:
+    # same rows in, so the round-trip is only green if overwrite REPLACES
+    # (never appends) and touches ONLY the written partition.
+    (
+        o.filter(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(stage)
+    )
+    back = spark.read.option("basePath", stage).parquet(stage)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "sink_csv_roundtrip",
+    survey="S6(CSV sink) + S1(CSV source) as a lossless round-trip",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+""",
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    """CSV export (reference src/export.py) + CSV scan as one checkable
+    loop: documents → CSV with header → read back under an explicit DDL
+    schema → per-source aggregate. Quoting, header handling, and type
+    round-tripping are exactly what silently corrupts text corpora in CSV
+    sinks; the token and char sums flip on any mangled row. Scale shape:
+    both write and read are partition-parallel, no shuffle until the final
+    aggregate."""
+    stage = _stage_root(sf_dir, "documents_csv")
+    doc = load_table(spark, sf_dir, "documents")
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        doc.write.mode("overwrite").option("header", True).csv(stage)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", True)
+        .csv(stage)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
