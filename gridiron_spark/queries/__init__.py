@@ -134,6 +134,7 @@ _NEW_R4 = (
     "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
     "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e", "bpe_pair_counts", "asof_forward_tolerance",
     "sink_partitioned_roundtrip", "sink_csv_roundtrip",
+    "vocab_encode_checksum",
 )
 
 

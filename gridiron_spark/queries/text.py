@@ -568,3 +568,77 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+_VOCAB_K = 200
+
+
+@register(
+    "vocab_encode_checksum",
+    survey="NS-text(numericalization: token→id encode vs learned top-K vocab, OOV accounting),J1,W2,O5",
+    oracle=f"""
+WITH wc AS (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+vocab AS (
+    SELECT word,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS id
+    FROM wc ORDER BY freq DESC, word LIMIT {_VOCAB_K}
+),
+tok AS (
+    SELECT doc_id, u.i AS pos, t[u.i + 1] AS word
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         unnest(range(0, len(t))) AS u(i)
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(COALESCE(v.id, 0) * (tok.pos + 1)) AS BIGINT) AS ids_checksum
+FROM tok LEFT JOIN vocab v USING (word)
+GROUP BY tok.doc_id
+""",
+)
+def vocab_encode_checksum(spark, sf_dir):
+    """Numericalization — the encode step between cleaning and packing: learn
+    a top-{k} vocabulary (corpus frequency, deterministic (freq desc, word)
+    tie-break), map every token position to its vocab id (OOV → 0/<unk>),
+    and emit per-doc token/OOV counts plus a position-weighted integer
+    checksum of the id sequence. The checksum is ORDER-SENSITIVE (Σ id·pos)
+    yet exact in BIGINT, so the driver hash pins the full encoded sequence,
+    not just its multiset, without shipping arrays.
+
+    Scale shape: the vocab is rank-limited to K rows — its global rank
+    window runs over the already-LIMITed top-K (bounded by K, not by the
+    corpus vocabulary), and it broadcasts into the token stream; the token
+    side is one linear by-doc_id positional explode feeding a map-side
+    broadcast join straight into the per-doc aggregate."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    wc = (
+        doc.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    topk = wc.orderBy(F.col("freq").desc(), "word").limit(_VOCAB_K)
+    vocab = topk.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "word"))
+        .cast("bigint")
+        .alias("id"),
+    )
+    tok = doc.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word")
+    )
+    enc = tok.join(F.broadcast(vocab), "word", "left")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("id").isNull().cast("bigint")).alias("n_oov"),
+        F.sum(F.coalesce(F.col("id"), F.lit(0)) * (F.col("pos") + 1))
+        .cast("bigint")
+        .alias("ids_checksum"),
+    )
