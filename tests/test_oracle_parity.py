@@ -225,3 +225,64 @@ def test_events_ts_us_subsecond(spark):
         con.close()
     row = ev.selectExpr("min(ts_us) AS lo", "max(ts_us) AS hi").first()
     assert (row.lo, row.hi) == (dmin, dmax)
+
+
+def test_tz_hostile_host_parity():
+    """End-to-end timezone-independence: run the formerly tz-sensitive
+    queries on a VANILLA session (no session.timeZone=UTC override) in a
+    subprocess whose host timezone is UTC+14, and compare against DuckDB.
+    This is the driver's actual threat model — it hands in its own session
+    on its own host — and the static guard
+    (test_plan_shapes.test_no_timezone_dependent_expressions) can't see
+    expressions whose tz-dependence hides inside semantics rather than a
+    function name. The full catalog passed this check under UTC+14 when
+    round 4 landed; this subset keeps the property pinned cheaply.
+    """
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    names = [
+        "rolling_range_revenue", "datetime_functions", "asof_join_events",
+        "asof_forward_tolerance", "resample_forward_fill", "table_profile",
+    ]
+    script = textwrap.dedent(f"""
+        import math, sys
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+        import duckdb
+        import __spark_entry__ as e
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM "
+                        f"read_parquet('{SF_ORACLE}/{{t}}.parquet')")
+        def c(v):
+            if isinstance(v, bool): return ("b", v)
+            if isinstance(v, float): return ("f", "NaN" if math.isnan(v) else v)
+            if isinstance(v, int): return ("i", v)
+            return v
+        def canon(rows, cols):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            out = [tuple(c(r[i]) for i in order) for r in rows]
+            out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+            return out
+        qs, os_ = e.queries(), e.oracle_sql()
+        for name in {names!r}:
+            sdf = qs[name](spark, "{SF_ORACLE}")
+            res = con.execute(os_[name])
+            dc = [d[0] for d in res.description]
+            assert canon([tuple(r) for r in sdf.collect()], sdf.columns) == \\
+                   canon([tuple(r) for r in res.fetchall()], dc), name
+        print("TZ_OK")
+    """)
+    env = dict(os.environ, TZ="Pacific/Kiritimati")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "TZ_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
