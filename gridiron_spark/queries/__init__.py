@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.pipeline",
     "gridiron_spark.queries.quality",
     "gridiron_spark.queries.sinks",
+    "gridiron_spark.queries.curation",
 )
 
 # Queries with a green (or rows-only-by-design) driver CORRECTNESS row in
@@ -134,7 +135,8 @@ _NEW_R4 = (
     "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
     "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e", "bpe_pair_counts", "asof_forward_tolerance",
     "sink_partitioned_roundtrip", "sink_csv_roundtrip",
-    "vocab_encode_checksum",
+    "vocab_encode_checksum", "cluster_balanced_sample",
+    "source_contamination_matrix", "minhash_estimate_error",
 )
 
 

@@ -1,0 +1,251 @@
+"""Curation analytics — the queries a data team runs ON the dedup/cluster
+machinery itself: cluster-balanced sampling, a cross-source contamination
+matrix, and an estimator-error evaluation of the MinHash signatures. All
+composed from the existing operators (lloyd_assign, minhash signatures,
+candidate verification) with the same exactness conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+from gridiron_spark.queries.dedup import _JACCARD_SQL, _SHINGLES_CTE
+
+_BAL_K = 8          # clusters (seed vectors)
+_BAL_PER_CLUSTER = 20
+
+_L2_AB = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+""".strip()
+
+
+@register(
+    "cluster_balanced_sample",
+    survey="NS-sampling(cluster-balanced curation sample: k-means assign + per-cluster quota),O5,W2",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id AS cluster, embedding AS cvec
+    FROM embeddings WHERE vec_id < {_BAL_K}
+),
+a AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_L2_AB.format(a="e.embedding", b="c.cvec")}, c.cluster
+               ) AS arn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE arn = 1
+),
+r AS (
+    SELECT vec_id, cluster,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+    FROM a
+)
+SELECT vec_id, cluster, rn FROM r WHERE rn <= {_BAL_PER_CLUSTER}
+""",
+)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced curation sampling (the SemDeDup/DoReMi-adjacent
+    move): assign every embedding to its nearest seed centroid, then keep
+    an equal quota per cluster in deterministic md5 order — an embedding-
+    diversity-preserving sample, where a uniform sample would mirror the
+    corpus's cluster imbalance.
+
+    Scale shape: assignment is the kmeans_assign plan (broadcast
+    centroids, ordered-fold L2, rank-1 WindowGroupLimit); the per-cluster
+    quota numbering reuses grouped_running_sum's range-exchange prefix-sum
+    — k is small, so a bare cluster window would single-task the corpus.
+    """
+    from gridiron_spark.operators.ordered import grouped_running_sum
+    from gridiron_spark.operators.similarity import lloyd_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _BAL_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    assigned = lloyd_assign(emb, cents).select(
+        "vec_id",
+        "cluster",
+        F.md5(F.col("vec_id").cast("string")).alias("ord"),
+        F.lit(1).alias("one"),
+    )
+    numbered = grouped_running_sum(
+        assigned, ["cluster"], ["ord", "vec_id"], "one", out_col="rn"
+    )
+    return numbered.filter(F.col("rn") <= _BAL_PER_CLUSTER).select(
+        "vec_id", "cluster", "rn"
+    )
+
+
+# MinHash LSH candidate CTE — identical parameters to dedup_minhash_lsh
+# (16 hashes, 4 bands of 4), so the estimator evaluation and the matrix
+# grade the exact production configuration.
+_LSH_CAND_CTE = f"""
+{_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, ub.b AS band_idx,
+           md5(array_to_string(sig[ub.b*4+1 : ub.b*4+4], '|')) AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+""".strip()
+
+
+@register(
+    "source_contamination_matrix",
+    survey="NS-dedup(cross-source contamination matrix over near-dup pairs),J1,A3",
+    oracle=f"""
+WITH {_LSH_CAND_CTE},
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE {_JACCARD_SQL} >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""",
+)
+def source_contamination_matrix(spark, sf_dir):
+    """WHO copies from WHOM: near-duplicate pairs (the production MinHash
+    LSH config, exact-Jaccard verified at 0.5) rolled up into an unordered
+    source×source matrix — the report that tells a data team which feeds
+    share boilerplate or mirror each other before mixing weights are set.
+
+    Scale shape: pair generation is the audited LSH plan; the roll-up
+    joins each (tiny, overlap-sized) pair side to the doc→source map and
+    aggregates |sources|² rows at most. Sources are canonically ordered
+    with least/greatest so A→B and B→A collapse into one cell.
+    """
+    from gridiron_spark.operators.dedup import minhash_lsh_pairs
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(doc, threshold=0.5)
+    src = doc.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "src_a"),
+                   pairs["doc_a"] == src["doc_id"])
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "src_b").alias("s2"),
+              F.col("doc_b") == F.col("s2.doc_id"))
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    survey="NS-dedup(estimator evaluation: signature Jaccard vs exact, per candidate pair),J1,F",
+    oracle=f"""
+WITH {_LSH_CAND_CTE}
+SELECT c.doc_a, c.doc_b,
+       list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0
+           AS est_jaccard,
+       {_JACCARD_SQL} AS jaccard,
+       abs(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0
+           - {_JACCARD_SQL}) AS abs_err
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+""",
+)
+def minhash_estimate_error(spark, sf_dir):
+    """Estimator evaluation IN the engine (the signature analog of
+    ann_recall_eval): for every LSH candidate pair, the signature-estimated
+    Jaccard (matching positions / 16 — a k/16 grid, bit-exact) against the
+    exact shingle-set Jaccard, with the absolute error. This is how a
+    pipeline owner decides whether 16 hashes suffice before trusting
+    signature-only incremental screening at 100 TB. Candidates and the
+    exact verification reuse the production operators; signatures join
+    back by doc_id, so nothing is recomputed per pair."""
+    from gridiron_spark.operators.dedup import (
+        minhash_signature_df,
+        pair_intersection_counts,
+        shingle_rows,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(doc)
+    sig = minhash_signature_df(sh)
+    from gridiron_spark.operators.dedup import band_keys
+
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = pair_intersection_counts(sh, candidates=cand)
+    est = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b",
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(16.0)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )
