@@ -62,6 +62,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("128MB", "4194304b", "134217728")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan's partition count WITHOUT materializing the plan as
+    an RDD, replaying Spark's own FilePartition.maxSplitBytes formula over
+    the scan's listed input files. ``df.inputFiles()`` reads the relation's
+    file index (a listing, no job); sizes come from a local stat. Returns
+    None when the inputs aren't stat-able local files (remote lakes — where
+    scans are big and fan_out should no-op anyway)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        p = f.removeprefix("file:")
+        if not os.path.isfile(p):
+            return None
+        sizes.append(os.path.getsize(p))
+    spark = df.sparkSession
+    max_part = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    parallelism = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+    if max_split <= 0:
+        return len(sizes)
+    # bin-packed splits: each file contributes ceil(size/maxSplit) splits,
+    # packed greedily — the file count is the floor, the split count the cap
+    splits = sum(-(-s // max_split) for s in sizes) if max_split else len(sizes)
+    return max(len(sizes), min(splits, -(-total // max_split)))
+
+
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition a *pre-fan-out* input so a downstream explode
     parallelizes — only when the scan is under-partitioned.
@@ -73,11 +126,17 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     costs one shuffle of the raw text bytes — tiny relative to the exploded
     output — and buys full-cluster parallelism for the generation stage.
 
-    At 100 TB the guard makes this a no-op: a large table already scans with
-    >= cluster parallelism partitions, so no shuffle is added.
+    The under-partitioned check is a plan-free file-size estimate
+    (:func:`_estimated_scan_partitions`) — the previous
+    ``df.rdd.getNumPartitions()`` probe forced an RDD conversion of the
+    query plan, a pointless analysis pass on a large table. At 100 TB the
+    guard makes this a no-op twice over: big scans estimate well above
+    cluster parallelism, and non-local lakes (estimate unavailable) skip
+    the repartition entirely.
     """
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    est = _estimated_scan_partitions(df)
+    if est is None or est >= parallelism:
         return df
     return df.repartition(parallelism)

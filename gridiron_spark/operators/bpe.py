@@ -1,0 +1,112 @@
+"""Iterative BPE tokenizer induction as a declarative merge loop.
+
+The corpus collapses ONCE to the (vocabulary-bounded) word-frequency table —
+the only corpus-scale shuffle — and every merge round then runs over that
+tiny table: segmentations live as sentinel-delimited strings, adjacent-pair
+candidates come from a bounded explode, the winning pair is an
+``ORDER BY n DESC, a, b LIMIT 1`` (deterministic tie-break), and the
+re-segmentation is one literal ``replace`` whose left-to-right
+non-overlapping scan is exactly the classic BPE merge loop
+(``while i < len: if (w[i], w[i+1]) == pair: merge; i += 2 else i += 1`` —
+the merged token can never re-match as the LEFT of the same pair, since that
+would need an empty right symbol). No driver-side collect: each round's
+best pair is a 1-row broadcast joined into the next segmentation, and the
+merge table is the union of those 1-row frames.
+
+At 100 TB the loop cost is independent of corpus size (|vocab| rows per
+round); lineage across rounds is cut with lazy localCheckpoints, the same
+treatment as operators/dedup.connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Sentinel marking each symbol's start inside the packed segmentation
+# string. Must be absent from the corpus alphabet (the documents tables are
+# space + lowercase ASCII; asserted for the toy path by the pytest). Every
+# symbol is PREFIXED with it, so a merge pattern ``¤a¤b`` can only match at
+# a true symbol boundary — a symbol merely ENDING in ``a`` puts a non-
+# sentinel char before the ``a`` and cannot false-match.
+SENTINEL = "¤"
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the corpus→vocabulary collapse (lower, split on space).
+    Map-side combined; the one corpus-sized aggregation of the whole loop."""
+    return (
+        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_merge_table(wc: DataFrame, n_merges: int) -> DataFrame:
+    """Run ``n_merges`` BPE rounds over a (word, freq) table; return the
+    merge table (step, left_sym, right_sym, merged, n) — the tokenizer
+    artifact. If the vocabulary merges to single symbols early, later
+    rounds emit no row (on both engines identically)."""
+    seg = wc.select(
+        "freq",
+        F.regexp_replace("word", "(.)", SENTINEL + "$1").alias("seg"),
+    )
+    merge_steps: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        syms = seg.select(
+            "freq",
+            F.filter(F.split("seg", SENTINEL), lambda s: s != "").alias("syms"),
+        )
+        # sequence(1, 0) is DESCENDING in Spark (would fabricate pairs for
+        # 1-symbol words) — filter before the fan-out, like bpe_pair_counts.
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("p.a", "p.b", "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1)
+        merge_steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        seg = (
+            seg.crossJoin(
+                F.broadcast(
+                    best.select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
+                )
+            )
+            .select(
+                "freq",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(
+                        F.lit(SENTINEL), F.col("_ba"), F.lit(SENTINEL), F.col("_bb")
+                    ),
+                    F.concat(F.lit(SENTINEL), F.col("_ba"), F.col("_bb")),
+                ).alias("seg"),
+            )
+            # vocab-sized, but 8 rounds of explode+agg+join would stack into
+            # one deep plan — cut lineage per round like connected_components
+            .localCheckpoint(eager=False)
+        )
+    out = merge_steps[0]
+    for m in merge_steps[1:]:
+        out = out.unionAll(m)
+    return out

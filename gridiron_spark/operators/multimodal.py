@@ -9,13 +9,16 @@ The engine-side contract for media at 100 TB:
   ``mapInPandas`` / ``pandas_udf`` stages — the only layer that ever looks
   inside the bytes, sized by batch not by row.
 
-Real media codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-byte-interpretation step is STUBBED: ``_decode_payload`` raises
-``NotImplementedError`` for real codec work and the pipeline substitutes a
-deterministic fake (md5-derived) decode so the Spark-side plumbing — schema,
-partitioning, UDF signatures, Arrow batch shapes — is fully real and tested.
-Swap ``_decode_payload`` for a real codec to productionize; nothing else
-changes.
+Two dependency-free container formats decode FOR REAL — binary PPM (P6)
+images and RIFF/WAVE PCM audio, pure header+array parsing in
+``_decode_ppm`` / ``_decode_wav`` (dimensions, sample layout, and
+pixel/sample digests pytest-pinned). Formats that need a real codec library
+(PIL/librosa/ffmpeg — NOT in this container) still raise
+``NotImplementedError`` from ``_decode_payload`` and the pipeline
+substitutes a deterministic fake (md5-derived) decode, so the Spark-side
+plumbing — schema, partitioning, UDF signatures, Arrow batch shapes — is
+fully real and tested either way. Add codecs inside ``_decode_payload`` to
+productionize; nothing else changes.
 """
 
 from __future__ import annotations
@@ -80,12 +83,91 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6): pure header+array parsing, no codec library.
+    Header is ASCII tokens (``#`` comments allowed) — magic, width, height,
+    maxval — then exactly one whitespace byte, then width·height·3 raw RGB
+    samples (1 byte each for maxval < 256, else 2 big-endian)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    bytes_per_sample = 1 if maxval < 256 else 2
+    pixels = payload[pos : pos + width * height * 3 * bytes_per_sample]
+    if len(pixels) != width * height * 3 * bytes_per_sample:
+        raise ValueError("truncated PPM pixel data")
+    return {
+        "n_bytes": len(payload),
+        "content_md5": hashlib.md5(pixels).hexdigest(),
+        "decoded_ok": True,
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": width * height,
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM: pure header+array parsing, no codec library. Walks
+    the chunk list (chunks are word-aligned: odd sizes carry a pad byte),
+    reads the fmt chunk's layout and the data chunk's raw samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise ValueError(f"unsupported WAV encoding {audio_format}/{bits}")
+    n_samples = len(data) // (channels * bits // 8)
+    return {
+        "n_bytes": len(payload),
+        "content_md5": hashlib.md5(data).hexdigest(),
+        "decoded_ok": True,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+    }
+
+
 def _decode_payload(kind: str, payload: bytes) -> dict:
-    """The codec boundary. Real decoders are not available in this
-    environment — a production deployment implements this per kind (PIL for
-    image, soundfile for audio, pyav for video) and returns pixel/sample
-    arrays. Everything outside this function is environment-independent."""
-    raise NotImplementedError("media codecs not available in this container")
+    """The codec boundary. Two dependency-free formats decode for real —
+    binary PPM images and RIFF/WAVE PCM audio, both pure header+array
+    parsing — with the container magic sniffed from the payload itself.
+    Every other format still needs a real codec library (PIL, soundfile,
+    pyav), not present in this environment: those raise and the pipeline
+    substitutes the deterministic fake, as documented in the module
+    docstring."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        f"no dependency-free codec for this {kind} payload"
+    )
 
 
 def _fake_decode(kind: str, payload: bytes) -> dict:

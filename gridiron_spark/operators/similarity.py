@@ -240,3 +240,62 @@ def lloyd_update(assigned: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    intra-cluster cosine pruning. Returns (id, cluster, keep ∈ {0,1}).
+
+    Every vector is Lloyd-assigned to its nearest centroid; within each
+    cluster, vectors are ranked by (dist2 to centroid ASC, id ASC) and a
+    vector is DROPPED when any better-ranked cluster-mate has cosine ≥
+    ``threshold`` — so exactly one representative (the closest-to-centroid)
+    survives from each semantic-duplicate group, deterministically.
+
+    Scale shape: this is the point of SemDeDup — clustering bounds the
+    candidate space, so the pairwise stage is a self-join ON THE CLUSTER KEY
+    (one shuffle each side), O(Σ|cluster|²) cosines instead of O(n²). At
+    100 TB, k grows with the corpus to hold cluster sizes bounded (the paper
+    runs k≈100k over 5B embeddings); an oversized hot cluster is AQE
+    skew-join territory. The drop set is |duplicates|-sized and joins back
+    broadcast-cheap.
+    """
+    a = lloyd_assign(emb, centroids, id_col)
+    left = a.select(
+        "cluster",
+        F.col(id_col).alias("va"),
+        F.col("dist2").alias("da"),
+        F.col("embedding").alias("ea"),
+    )
+    right = a.select(
+        "cluster",
+        F.col(id_col).alias("vb"),
+        F.col("dist2").alias("db"),
+        F.col("embedding").alias("eb"),
+    )
+    ranked_before = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("va") < F.col("vb"))
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .filter(ranked_before)
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .select(F.col("vb").alias(id_col))
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("_dropped", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("_dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

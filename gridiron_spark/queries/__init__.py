@@ -58,85 +58,92 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.curation",
 )
 
-# Queries with a green (or rows-only-by-design) driver CORRECTNESS row in
-# rounds 1-3. They yield the verification window to queries that have never
-# produced a row; in-repo pytest (test_oracle_parity) still re-checks every
-# oracle each run, so nothing regresses silently while out of the driver's
-# window. Update after each round's CORRECTNESS file lands.
-_VERIFIED_R1_R3 = frozenset(
+# Rotating re-verification ring (round 5+). CORRECTNESS_r04 was 50/50 green,
+# so every catalog query now carries a driver evidence row; the window's job
+# shifts from gap-closing to freshness. Each query is tiered by the ROUND of
+# its most recent driver evidence row (computed from CORRECTNESS_r0{1..4}):
+# new queries first, then oldest evidence first, so no query's evidence ever
+# goes more than ~2-3 rounds stale. In-repo pytest (test_oracle_parity)
+# still re-checks every oracle each run, so nothing regresses silently while
+# out of the driver's window. Update after each round's CORRECTNESS lands.
+
+# Latest driver evidence row is from round 2 (43 queries — the stalest).
+_EVIDENCE_R2 = frozenset(
     {
-        # r1/r2 greens
-        "filter_project", "agg_summary", "distinct_keys", "sample_join_back",
-        "topk_orders", "join_enrich", "semi_join_membership", "union_distinct",
-        "scalar_functions", "window_lag_delta", "window_rank_suite",
-        "window_frame_stats", "text_token_count", "text_quality_score",
-        "text_lang_id", "winnow_fingerprint", "word_topk", "doc_fingerprint",
-        "udtf_bigrams", "doc_chunking", "text_normalize", "dedup_exact",
+        "agg_summary", "ann_cosine_topk", "ann_ivf_topk", "cogroup_reconcile",
+        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
         "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_clusters", "simhash_fingerprint", "simhash_near_pairs",
-        "ann_cosine_topk", "ann_ivf_topk", "dedup_embedding_cosine",
-        "tumbling_window_agg", "session_window_agg", "keyed_dedup_earliest",
-        "streaming_tumbling_e2e", "streaming_session_e2e", "streaming_join_e2e",
-        "streaming_enrich_e2e", "streaming_dedup_e2e", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_embed", "grouped_map_tensorize",
-        "cogroup_reconcile", "asof_join_events", "range_join_bands",
-        "topk_per_group", "rollup_revenue", "multi_join_topk_revenue",
-        "string_functions",
-        # r3 greens (CORRECTNESS_r03.json hash_match:true)
-        "dedup_ngram_prefix", "dedup_clusters_star", "corpus_clean_pipeline",
-        "decontaminate_ngram_overlap", "incremental_dedup_flags",
-        "resample_forward_fill", "mixture_token_budget",
-        "sequence_pack_bucketed", "knn_join_topk", "embedding_quantize",
-        "ann_recall_eval", "streaming_sliding_e2e", "multimodal_resize",
-        "training_data_pipeline", "nation_pair_volume", "market_share_ratio",
-        "profit_by_nation_year", "returned_item_topk", "promo_revenue_ratio",
-        "top_revenue_supplier", "small_qty_avg_revenue",
-        "large_volume_customers", "local_supplier_volume",
-        "supplier_part_relation", "stratified_sample_agg",
-        "higher_order_functions", "unpivot_metrics", "paginated_orders",
-        "pricing_summary_q1", "null_functions", "forecast_revenue_change",
-        "multiset_ops", "ranged_global_sort", "generator_outer_expand",
-        "math_functions", "set_intersect_users",
-        # r3 rows-only-by-design (driver records no_oracle — that IS the
-        # intended evidence row for these seeded-JVM / tensor outputs)
-        "mllib_ann_brp_topk", "mllib_minhash_sim_join", "mllib_minhash_banded",
+        "distinct_keys", "doc_chunking", "doc_fingerprint", "filter_project",
+        "join_enrich", "multi_join_topk_revenue", "multimodal_decode",
+        "multimodal_frame_sample", "range_join_bands", "rollup_revenue",
+        "sample_join_back", "scalar_functions", "semi_join_membership",
+        "simhash_fingerprint", "simhash_near_pairs", "streaming_dedup_e2e",
+        "streaming_enrich_e2e", "streaming_session_e2e",
+        "streaming_tumbling_e2e", "string_functions", "text_lang_id",
+        "text_normalize", "text_quality_score", "text_token_count",
+        "topk_orders", "topk_per_group", "tumbling_window_agg", "udtf_bigrams",
+        "union_distinct", "window_frame_stats", "window_rank_suite",
+        "winnow_fingerprint", "word_topk",
     }
 )
 
-# Red rows in CORRECTNESS_r03, all fixed this round: two oracle type casts
-# (DuckDB epoch()→DOUBLE, HUGEINT window SUM) and two array-valued outputs
-# scalarized (driver hasher can't digest list cells). Plus json_functions,
-# whose never-checked oracle carried the same HUGEINT hazard (caught by the
-# new test_oracle_types audit before the driver ever saw it). Highest
-# priority tier — they MUST re-enter the 50-entry window for green rows.
-_FAILED_R3 = frozenset(
+# Latest driver evidence row is from round 3 (44 queries, incl. the four
+# rows-only-by-design no_oracle rows recorded that round).
+_EVIDENCE_R3 = frozenset(
     {
-        "rolling_range_revenue", "histogram_quantile_sketch",
-        "nested_collect_agg", "array_functions", "json_functions",
+        "ann_recall_eval", "asof_join_events", "corpus_clean_pipeline",
+        "decontaminate_ngram_overlap", "dedup_clusters_star",
+        "dedup_ngram_prefix", "embedding_quantize", "forecast_revenue_change",
+        "generator_outer_expand", "grouped_map_tensorize",
+        "higher_order_functions", "incremental_dedup_flags",
+        "keyed_dedup_earliest", "knn_join_topk", "large_volume_customers",
+        "local_supplier_volume", "math_functions", "mixture_token_budget",
+        "mllib_ann_brp_topk", "mllib_minhash_banded", "mllib_minhash_sim_join",
+        "multimodal_embed", "multimodal_resize", "multiset_ops",
+        "null_functions", "paginated_orders", "pricing_summary_q1",
+        "profit_by_nation_year", "promo_revenue_ratio", "ranged_global_sort",
+        "resample_forward_fill", "returned_item_topk",
+        "sequence_pack_bucketed", "session_window_agg", "set_intersect_users",
+        "small_qty_avg_revenue", "stratified_sample_agg", "streaming_join_e2e",
+        "streaming_sliding_e2e", "supplier_part_relation",
+        "top_revenue_supplier", "training_data_pipeline", "unpivot_metrics",
+        "window_lag_delta",
     }
 )
 
-# The never-driver-checked backlog (26 from the round-3 verdict, minus
-# json_functions which moved to the fixed tier). Tier 1: after three rounds
-# these are the only catalog entries with no external evidence row — round 4
-# should end with 100% driver coverage. New round-4 queries append here.
-_NEW_R4 = (
-    "set_except_users", "sql_api_exists", "datetime_functions",
-    "pivot_event_counts", "sliding_window_agg", "cube_order_stats",
-    "scalar_subquery_idle_rich", "conditional_agg_priority",
-    "outer_join_order_dist", "full_outer_debt_recon", "late_supplier_blame",
-    "groupwise_max_balance", "grouping_sets_mix", "map_functions",
-    "disjunctive_join_revenue", "salted_hot_key_agg", "anti_join_customers",
-    "quantile_stats", "countmin_sketch", "hll_distinct_sketch",
-    "text_regex_tokens", "priority_exists_count", "min_cost_supplier",
-    "important_part_value", "excess_shipped_suppliers", "pandas_udaf_stats",
-    # round-4 additions (quality-filter batch)
-    "text_redact_pii", "boilerplate_phrase_flags", "gopher_repetition_flags",
-    "intra_doc_repetition", "temperature_mixture_sample", "table_profile",
-    "kmeans_assign", "dup_span_coverage", "streaming_quality_gate_e2e", "bpe_pair_counts", "asof_forward_tolerance",
-    "sink_partitioned_roundtrip", "sink_csv_roundtrip",
-    "vocab_encode_checksum", "cluster_balanced_sample",
-    "source_contamination_matrix", "minhash_estimate_error",
+# Latest driver evidence row is from round 4 (50/50 green window).
+_EVIDENCE_R4 = frozenset(
+    {
+        "anti_join_customers", "array_functions", "asof_forward_tolerance",
+        "boilerplate_phrase_flags", "bpe_pair_counts",
+        "cluster_balanced_sample", "conditional_agg_priority",
+        "countmin_sketch", "cube_order_stats", "datetime_functions",
+        "disjunctive_join_revenue", "dup_span_coverage",
+        "excess_shipped_suppliers", "full_outer_debt_recon",
+        "gopher_repetition_flags", "grouping_sets_mix",
+        "groupwise_max_balance", "histogram_quantile_sketch",
+        "hll_distinct_sketch", "important_part_value", "intra_doc_repetition",
+        "json_functions", "kmeans_assign", "late_supplier_blame",
+        "map_functions", "market_share_ratio", "min_cost_supplier",
+        "minhash_estimate_error", "nation_pair_volume", "nested_collect_agg",
+        "outer_join_order_dist", "pandas_udaf_stats", "pivot_event_counts",
+        "priority_exists_count", "quantile_stats", "rolling_range_revenue",
+        "salted_hot_key_agg", "scalar_subquery_idle_rich", "set_except_users",
+        "sink_csv_roundtrip", "sink_partitioned_roundtrip",
+        "sliding_window_agg", "source_contamination_matrix", "sql_api_exists",
+        "streaming_quality_gate_e2e", "table_profile",
+        "temperature_mixture_sample", "text_redact_pii", "text_regex_tokens",
+        "vocab_encode_checksum",
+    }
+)
+
+# CORRECTNESS_r04 had zero red rows, so there is no fixed-reds tier this
+# round. New round-5 queries register here (tier 1, ahead of all
+# re-verification) so they get their first evidence row immediately.
+_NEW_R5 = (
+    "semdedup_prune",
+    "bpe_merge_sequence",
+    "staged_candidate_pairs",
 )
 
 
@@ -155,21 +162,24 @@ def register(name: str, *, oracle: str | None, survey: str):
 def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    # stable four-tier order (registration order within each tier):
-    #   0. red in r3, fixed this round — must be re-verified (_FAILED_R3)
-    #   1. never driver-checked backlog + new this round (_NEW_R4)
-    #   2. anything else without an evidence row (safety net)
-    #   3. green in r1-r3 (re-verification is the lowest-value slot)
-    new_r4 = set(_NEW_R4)
+    # stable rotation order (registration order within each tier):
+    #   1. new this round — first evidence row (_NEW_R5)
+    #   2. anything without an evidence row (safety net; empty by audit)
+    #   3. stalest evidence (round 2) — the re-verification ring's head
+    #   4. round-3 evidence — fills whatever window slots remain
+    #   5. round-4 evidence — freshest, re-verified last
+    new_r5 = set(_NEW_R5)
 
     def tier(name: str) -> int:
-        if name in _FAILED_R3:
-            return 0
-        if name in new_r4:
+        if name in new_r5:
             return 1
-        if name not in _VERIFIED_R1_R3:
-            return 2
-        return 3
+        if name in _EVIDENCE_R2:
+            return 3
+        if name in _EVIDENCE_R3:
+            return 4
+        if name in _EVIDENCE_R4:
+            return 5
+        return 2
 
     entries = list(_CATALOG.items())
     entries.sort(key=lambda kv: tier(kv[0]))

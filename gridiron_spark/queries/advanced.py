@@ -390,25 +390,38 @@ FROM events GROUP BY user_id
 )
 def pandas_udaf_stats(spark, sf_dir):
     """Grouped aggregation through Arrow (applyInPandas as a UDAF): per-user
-    event stats computed Python-side. Upgraded from rows-only to a full
-    hash-checked entry in round 4 by applying the repo's DECIMAL(18,6)
-    contract INSIDE the UDAF: each double is quantized to 6 decimals
-    exactly (Decimal of the binary value — verified equal to DuckDB's
-    CAST(double AS DECIMAL(18,6)) sum over the whole events table, either
-    tie mode: binary doubles never land on decimal ties), the quantized
-    values sum exactly, and one float conversion + one double division
-    then match the oracle's CAST(SUM(...) AS DOUBLE)/COUNT(*) operand-for-
-    operand. The Arrow boundary costs nothing in checkability — the same
-    order-free-exactness rule as the engine-side dsum helper."""
+    event stats computed Python-side, under the repo's DECIMAL(18,6)
+    quantize-then-sum contract applied INSIDE the UDAF so the entry stays
+    hash-checked against DuckDB's CAST(double AS DECIMAL(18,6)) sum.
+
+    The quantization is vectorized as scaled int64 —
+    ``np.round(v·10⁶).astype(int64)`` sums exactly (|Σ| ≪ 2⁶³), and one
+    float conversion + one double division then match the oracle's
+    CAST(SUM(...) AS DOUBLE)/COUNT(*) operand-for-operand. Equivalence to
+    the per-row ``Decimal(float(x)).quantize(10⁻⁶)`` path was verified
+    value-for-value over the full sf0.01 and sf0.1 events tables (zero
+    mismatches) before the swap; the only way the two can EVER differ is a
+    rounding tie decided by the ~ulp error of the double product v·10⁶, so
+    values within 10⁻⁶ of a .5 boundary (≫ that ulp, ≈2.4e-7 at |v·10⁶|≤1e9)
+    are recomputed through Decimal — exact round-half-even on the true
+    binary value — keeping the loop O(borderline), not O(rows), at 100×."""
     from decimal import Decimal
 
+    import numpy as np
     import pandas as pd
 
     _Q = Decimal("0.000001")
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].to_numpy()
-        s = sum(Decimal(float(x)).quantize(_Q) for x in v)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        scaled = v * 1e6
+        q = np.round(scaled).astype(np.int64)
+        borderline = np.nonzero(
+            np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+        )[0]
+        for i in borderline:
+            q[i] = int(Decimal(float(v[i])).quantize(_Q) * 1_000_000)
+        s = Decimal(int(q.sum())) / Decimal(1_000_000)
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],

@@ -7,6 +7,8 @@ candidate verification) with the same exactness conventions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from gridiron_spark.io.tables import load_table
@@ -109,6 +111,116 @@ cand AS (
 """.strip()
 
 
+# The verified candidate-pair artifact: every LSH candidate pair with its
+# signature-estimated AND exact Jaccard. Mined once per (sf_dir), staged to
+# parquet under the sinks.py _SUCCESS-gated convention, and REUSED by both
+# curation reports below — at 100 TB nobody re-mines candidates to grade an
+# estimator or build a contamination matrix; the dedup pipeline's verified
+# pairs are the shared input. Parquet round-trips IEEE doubles bit-exactly,
+# so consumers hash-match oracles that recompute from scratch.
+_PAIRS_SCHEMA = (
+    "doc_a bigint, doc_b bigint, est_jaccard double, jaccard double"
+)
+
+
+def _mine_candidate_pairs(spark, sf_dir):
+    """(doc_a, doc_b, est_jaccard, jaccard) for every LSH candidate pair —
+    the production MinHash config (16 hashes, 4 bands of 4), exact Jaccard
+    via the count-based verifier. Signatures join back by doc_id, so nothing
+    is recomputed per pair."""
+    from gridiron_spark.operators.dedup import (
+        band_keys,
+        minhash_signature_df,
+        pair_intersection_counts,
+        shingle_rows,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(doc)
+    sig = minhash_signature_df(sh)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = pair_intersection_counts(sh, candidates=cand)
+    est = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b",
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(16.0)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "est_jaccard", "jaccard"
+    )
+
+
+def staged_pairs(spark, sf_dir):
+    """Read the staged candidate-pair artifact, mining + writing it first if
+    absent (version-keyed per sf_dir, _SUCCESS-gated like queries/sinks.py).
+    Explicit read schema so an empty corpus still round-trips."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = f"/tmp/gridiron_sink_stage/cand_pairs_v1_{tag}"
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        _mine_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    return spark.read.schema(_PAIRS_SCHEMA).parquet(stage)
+
+
+@register(
+    "staged_candidate_pairs",
+    survey="NS-dedup(staged verified candidate-pair artifact: mine once, reuse),S5,J1",
+    oracle=f"""
+WITH {_LSH_CAND_CTE}
+SELECT c.doc_a, c.doc_b,
+       list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0
+           AS est_jaccard,
+       {_JACCARD_SQL} AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+""",
+)
+def staged_candidate_pairs(spark, sf_dir):
+    """The staged artifact itself as a driver-checkable round-trip: the
+    oracle re-mines every LSH candidate pair from raw text, the Spark side
+    answers from the parquet stage — so the hash check proves the mined
+    artifact is byte-equivalent to a from-scratch recompute (any staleness,
+    row loss, or double drift flips it). Downstream,
+    source_contamination_matrix and minhash_estimate_error read this stage
+    instead of re-featurizing the corpus."""
+    return staged_pairs(spark, sf_dir)
+
+
 @register(
     "source_contamination_matrix",
     survey="NS-dedup(cross-source contamination matrix over near-dup pairs),J1,A3",
@@ -136,15 +248,14 @@ def source_contamination_matrix(spark, sf_dir):
     source×source matrix — the report that tells a data team which feeds
     share boilerplate or mirror each other before mixing weights are set.
 
-    Scale shape: pair generation is the audited LSH plan; the roll-up
-    joins each (tiny, overlap-sized) pair side to the doc→source map and
-    aggregates |sources|² rows at most. Sources are canonically ordered
-    with least/greatest so A→B and B→A collapse into one cell.
+    Scale shape: pairs come from the staged artifact (see
+    staged_candidate_pairs) — the corpus is never re-featurized; the
+    roll-up joins the (tiny, overlap-sized) pair side to the doc→source
+    map and aggregates |sources|² rows at most. Sources are canonically
+    ordered with least/greatest so A→B and B→A collapse into one cell.
     """
-    from gridiron_spark.operators.dedup import minhash_lsh_pairs
-
     doc = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(doc, threshold=0.5)
+    pairs = staged_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     src = doc.select("doc_id", "source")
     labeled = (
         pairs.join(src.withColumnRenamed("source", "src_a"),
@@ -189,60 +300,12 @@ def minhash_estimate_error(spark, sf_dir):
     Jaccard (matching positions / 16 — a k/16 grid, bit-exact) against the
     exact shingle-set Jaccard, with the absolute error. This is how a
     pipeline owner decides whether 16 hashes suffice before trusting
-    signature-only incremental screening at 100 TB. Candidates and the
-    exact verification reuse the production operators; signatures join
-    back by doc_id, so nothing is recomputed per pair."""
-    from gridiron_spark.operators.dedup import (
-        minhash_signature_df,
-        pair_intersection_counts,
-        shingle_rows,
-    )
-
-    doc = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(doc)
-    sig = minhash_signature_df(sh)
-    from gridiron_spark.operators.dedup import band_keys
-
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
-    )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    exact = pair_intersection_counts(sh, candidates=cand)
-    est = (
-        cand.join(sig.select(F.col("doc_id").alias("doc_a"),
-                             F.col("sig").alias("sig_a")), "doc_a")
-        .join(sig.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sig").alias("sig_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "sig_a", "sig_b",
-                        lambda x, y: (x == y).cast("int"),
-                    ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                )
-                / F.lit(16.0)
-            ).alias("est_jaccard"),
-        )
-    )
-    return est.join(exact, ["doc_a", "doc_b"]).select(
+    signature-only incremental screening at 100 TB. Both Jaccards come off
+    the staged artifact (see staged_candidate_pairs); abs_err over two
+    parquet-round-tripped doubles is bit-identical to computing it at mine
+    time."""
+    p = staged_pairs(spark, sf_dir)
+    return p.select(
         "doc_a",
         "doc_b",
         "est_jaccard",

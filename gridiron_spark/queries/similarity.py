@@ -454,3 +454,62 @@ def kmeans_assign(spark, sf_dir):
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
     )
     return lloyd_assign(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+@register(
+    "semdedup_prune",
+    survey="NS-dedup(SemDeDup: intra-cluster semantic dedup via cosine pruning),J1,W2",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id AS cluster, embedding AS cvec
+    FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+d AS (
+    SELECT e.vec_id, c.cluster,
+           {_L2_AB.format(a="e.embedding", b="c.cvec")} AS dist2,
+           e.embedding AS v
+    FROM embeddings e CROSS JOIN c
+),
+a AS (
+    SELECT vec_id, cluster, dist2, v FROM (
+        SELECT vec_id, cluster, dist2, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+        FROM d
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM a x JOIN a y ON x.cluster = y.cluster
+     AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
+    WHERE {_COS_AB.format(a="x.v", b="y.v")} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+""",
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup proper (Abbas et al. 2023): kmeans_assign already buckets
+    the corpus; this adds the intra-cluster pairwise cosine pruning that
+    makes it a dedup — per cluster, rank members by distance-to-centroid
+    and drop any member whose better-ranked cluster-mate is cosine-similar
+    ≥ {t}. Output is a keep/drop flag per vector, the artifact a curation
+    pipeline joins against before training. Same seed-centroid config as
+    kmeans_assign / cluster_balanced_sample, so the three entries grade one
+    coherent clustering.
+
+    Scale shape: see operators/similarity.semdedup_flags — the pairwise
+    stage is bounded by cluster size by construction (the paper's design),
+    self-joined on the cluster key, one shuffle per side.
+    """.format(t=_SEMDEDUP_THRESHOLD)
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    return semdedup_flags(emb, cents, _SEMDEDUP_THRESHOLD)

@@ -642,3 +642,79 @@ def vocab_encode_checksum(spark, sf_dir):
         .cast("bigint")
         .alias("ids_checksum"),
     )
+
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE replay of the N-merge BPE loop (DuckDB). Each round i:
+    re-split the sentinel-packed segmentation, count adjacent pairs
+    (corpus-frequency weighted), pick the (n DESC, a, b) winner, and
+    re-segment via literal replace — the same left-to-right non-overlapping
+    scan Spark's replace performs. The merge table is the union of the N
+    1-row winners. Fixed N unrolls the recursion, so no recursive-CTE
+    aggregate restrictions apply."""
+    from gridiron_spark.operators.bpe import SENTINEL as S
+
+    parts = [
+        f"""
+wc AS (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+seg0 AS (
+    SELECT freq, regexp_replace(word, '(.)', '{S}\\1', 'g') AS seg FROM wc
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+sym{i} AS (
+    SELECT freq,
+           list_filter(string_split(seg, '{S}'), s -> s <> '') AS syms
+    FROM seg{i - 1}
+),
+pr{i} AS (
+    SELECT syms[u.i] AS a, syms[u.i + 1] AS b, SUM(freq) AS n
+    FROM sym{i}, unnest(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2
+),
+best{i} AS (SELECT a, b, n FROM pr{i} ORDER BY n DESC, a, b LIMIT 1),
+seg{i} AS (
+    SELECT w.freq,
+           replace(w.seg, '{S}' || bb.a || '{S}' || bb.b,
+                   '{S}' || bb.a || bb.b) AS seg
+    FROM seg{i - 1} w CROSS JOIN best{i} bb
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, CAST(n AS BIGINT) AS n FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + union
+
+
+@register(
+    "bpe_merge_sequence",
+    survey="NS-text(tokenizer induction: iterative N-merge BPE loop, merge table output),A3-A4,O1",
+    oracle=_bpe_oracle(_BPE_N_MERGES),
+)
+def bpe_merge_sequence(spark, sf_dir):
+    """The real BPE training loop that bpe_pair_counts is one round of:
+    {n} merge rounds over the sentinel-packed vocabulary segmentation,
+    emitting the merge table (step, pair, merged symbol, corpus-weighted
+    count) — the artifact a tokenizer ships. Deterministic throughout
+    (lexicographic tie-break on the winning pair), so the whole loop is
+    hash-checkable against a chained-CTE replay.
+
+    Scale shape: see operators/bpe.bpe_merge_table — one corpus-sized
+    aggregation total; every round is vocab-bounded with a 1-row broadcast
+    winner, no driver collect, lineage cut per round.
+    """.format(n=_BPE_N_MERGES)
+    from gridiron_spark.operators.bpe import bpe_merge_table, word_freq
+
+    doc = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(word_freq(doc), _BPE_N_MERGES)

@@ -1,17 +1,20 @@
 """Catalog-ordering invariants (no Spark session needed).
 
 External verification hash-checks the first 50 catalog entries in catalog
-order, so the ordering is load-bearing: queries that were red in round 3
-(now fixed) must re-enter the window, the never-driver-checked backlog must
-get its first evidence rows, and only then do re-verification slots fill.
+order, so the ordering is load-bearing. Since round 5 the window is a
+rotating re-verification ring: new queries get their first evidence row
+immediately, then the stalest-evidence queries (round-2 greens) re-enter,
+then round-3, then round-4 — keeping every query's driver evidence at most
+~2-3 rounds old.
 """
 
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _FAILED_R3,
-    _NEW_R4,
-    _VERIFIED_R1_R3,
+    _EVIDENCE_R2,
+    _EVIDENCE_R3,
+    _EVIDENCE_R4,
+    _NEW_R5,
     catalog,
     oracle_sql,
     queries,
@@ -20,47 +23,54 @@ from gridiron_spark.queries import (
 WINDOW = 50
 
 
-def test_verified_names_exist_in_catalog():
+def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_VERIFIED_R1_R3, _FAILED_R3, set(_NEW_R4)):
+    for s in (_EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4, set(_NEW_R5)):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
-    # fixed-reds and never-checked tiers are disjoint by construction
-    assert not (_FAILED_R3 & set(_NEW_R4))
+
+
+def test_ordering_sets_disjoint_and_complete():
+    """Evidence tiers partition the catalog: each query has exactly one
+    latest-evidence round (or is new this round)."""
+    tiers = [set(_NEW_R5), _EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4]
+    seen: set[str] = set()
+    for t in tiers:
+        assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
+        seen |= t
+    cat = set(catalog().keys())
+    assert cat <= seen, f"no evidence plan for: {sorted(cat - seen)}"
 
 
 def test_tier_order():
     names = list(catalog().keys())
+    new_r5 = set(_NEW_R5)
 
     def tier(n: str) -> int:
-        if n in _FAILED_R3:
-            return 0
-        if n in set(_NEW_R4):
+        if n in new_r5:
             return 1
-        if n not in _VERIFIED_R1_R3:
-            return 2
-        return 3
+        if n in _EVIDENCE_R2:
+            return 3
+        if n in _EVIDENCE_R3:
+            return 4
+        if n in _EVIDENCE_R4:
+            return 5
+        return 2
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "catalog order violates tier priority"
 
 
-def test_window_contains_fixed_and_backlog():
-    """Every r3-red (now fixed) query and every never-driver-checked query
-    must be inside the driver's 50-entry verification window — round 4
-    should end with 100% of the catalog carrying a driver evidence row."""
+def test_window_rotation():
+    """Every new round-5 query and every stalest (round-2-evidence) query
+    must be inside the driver's 50-entry verification window."""
     window = set(list(catalog().keys())[:WINDOW])
-    assert _FAILED_R3 <= window
-    assert set(_NEW_R4) <= window
-
-
-def test_full_catalog_has_evidence_plan():
-    """No query may sit outside all three evidence tiers: everything is
-    either already driver-verified or scheduled inside this round's window."""
-    cat = set(catalog().keys())
-    covered = _VERIFIED_R1_R3 | _FAILED_R3 | set(_NEW_R4)
-    assert cat <= covered, f"no evidence plan for: {sorted(cat - covered)}"
+    assert set(_NEW_R5) <= window
+    assert _EVIDENCE_R2 <= window, (
+        "stalest-evidence queries fell out of the window: "
+        f"{sorted(_EVIDENCE_R2 - window)}"
+    )
 
 
 def test_queries_and_oracles_consistent():

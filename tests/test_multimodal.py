@@ -89,3 +89,73 @@ def test_sample_frames_metadata_only(media):
     assert set(got) == set(meta)
     for mid, idxs in got.items():
         assert idxs == list(range(0, meta[mid], 10))
+
+
+def _make_ppm(width, height, maxval=255, comment=False):
+    header = b"P6\n"
+    if comment:
+        header += b"# a comment line\n"
+    header += f"{width} {height}\n{maxval}\n".encode()
+    bps = 1 if maxval < 256 else 2
+    pixels = bytes((i * 7 + 3) % 256 for i in range(width * height * 3 * bps))
+    return header + pixels, pixels
+
+
+def _make_wav(n_samples, sample_rate=8000, channels=1, bits=16):
+    import struct
+
+    frame = channels * bits // 8
+    data = bytes((i * 13 + 1) % 256 for i in range(n_samples * frame))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * frame, frame, bits
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks, data
+
+
+def test_real_ppm_decode_dimensions_and_pixels():
+    payload, pixels = _make_ppm(5, 3, comment=True)
+    d = _decode_payload("image", payload)
+    assert (d["width"], d["height"], d["maxval"]) == (5, 3, 255)
+    assert d["n_pixels"] == 15
+    assert d["decoded_ok"] and d["n_bytes"] == len(payload)
+    # digest is of the DECODED pixel array, not the container bytes
+    assert d["content_md5"] == hashlib.md5(pixels).hexdigest()
+    # 16-bit samples double the pixel payload
+    wide, _ = _make_ppm(2, 2, maxval=65535)
+    assert _decode_payload("image", wide)["maxval"] == 65535
+    with pytest.raises(ValueError):
+        _decode_payload("image", payload[:-1])  # truncated pixel data
+
+
+def test_real_wav_decode_layout_and_samples():
+    payload, data = _make_wav(32, sample_rate=16000, channels=2)
+    d = _decode_payload("audio", payload)
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (16000, 2, 16)
+    assert d["n_samples"] == 32
+    assert d["content_md5"] == hashlib.md5(data).hexdigest()
+    # odd-sized chunks are word-aligned: an odd data chunk must still parse
+    odd, odd_data = _make_wav(3, channels=1, bits=8)
+    assert _decode_payload("audio", odd)["n_samples"] == 3
+    with pytest.raises(ValueError):
+        _decode_payload("audio", b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_decode_media_mixes_real_and_fake_codecs(spark):
+    """End-to-end mapInPandas pass over a frame mixing real PPM/WAV payloads
+    with a codec-less one: real rows digest their decoded arrays, the
+    codec-less row falls back to the deterministic fake (payload digest)."""
+    ppm, pixels = _make_ppm(4, 4)
+    wav, samples = _make_wav(8)
+    other = b"\x89PNG fake payload"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "audio", bytearray(wav)),
+         (3, "image", bytearray(other))],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert rows[1].content_md5 == hashlib.md5(pixels).hexdigest()
+    assert rows[2].content_md5 == hashlib.md5(samples).hexdigest()
+    assert rows[3].content_md5 == hashlib.md5(other).hexdigest()
+    assert all(r.decoded_ok for r in rows.values())

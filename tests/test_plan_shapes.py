@@ -195,6 +195,28 @@ def test_no_timezone_dependent_expressions():
     assert not hits, "timezone-dependent expressions:\n" + "\n".join(hits)
 
 
+def test_no_rdd_access_in_package():
+    """No query path may touch ``.rdd`` (or SparkContext RDD constructors):
+    converting a DataFrame to an RDD materializes the analyzed plan just to
+    ask a question the DataFrame API answers, and drops out of
+    Catalyst/Tungsten entirely. fan_out's partition probe (the one historic
+    use) is now a plan-free file-size estimate — io/tables.py. AST-level
+    guard so docstrings/comments don't count."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "gridiron_spark"
+    hits = []
+    for path in pkg.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr in (
+                "rdd", "parallelize", "emptyRDD",
+            ):
+                hits.append(f"{path.relative_to(pkg.parent)}:{node.lineno}")
+    assert not hits, "RDD access in package source:\n" + "\n".join(hits)
+
+
 def test_redact_pii_is_map_only(spark):
     """PII redaction must stay a pure projection — zero shuffles, zero
     joins: at 100 TB it runs at scan speed."""

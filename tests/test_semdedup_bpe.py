@@ -1,0 +1,148 @@
+"""Behavioral pins for the round-5 curation additions.
+
+- SemDeDup (operators/similarity.semdedup_flags): planted near-duplicate
+  groups must collapse to exactly one representative (the closest-to-
+  centroid member), distinct vectors must all survive.
+- Iterative BPE (operators/bpe.bpe_merge_table): the declarative merge loop
+  must reproduce, merge for merge, a from-scratch reference Python BPE
+  (the Sennrich et al. 2016 dictionary algorithm) on a toy corpus.
+"""
+
+from __future__ import annotations
+
+import collections
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_semdedup_drops_planted_near_dups_keeps_distinct(spark):
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    # Two well-separated clusters (external centroids, so the seeds don't
+    # themselves dedup against the planted groups). Cluster 0 (around +x):
+    # vectors 10, 11, 12 are near-identical (pairwise cos ≈ 1) plus one
+    # angularly distinct member 13. Cluster 1 (around +y): 20 and 21
+    # near-identical, 22 distinct.
+    rows = [
+        (10, _vec(10, 0.1, 0, 0)),
+        (11, _vec(10, 0.11, 0, 0)),
+        (12, _vec(10.2, 0.1, 0, 0)),
+        (13, _vec(5, 0, 4.9, 0)),    # same cluster, dissimilar direction
+        (20, _vec(0.1, 9, 0, 0)),
+        (21, _vec(0.1, 9.1, 0, 0)),
+        (22, _vec(0, 5, 0, 4.9)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, _vec(1, 0, 0, 0)), (1, _vec(0, 1, 0, 0))],
+        "cluster bigint, cvec array<float>",
+    )
+    flags = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup_flags(emb, cents, threshold=0.95).collect()
+    }
+    assert len(flags) == len(rows)
+    # each planted group keeps exactly one member — the closest-to-centroid
+    # one (10 and 20: smallest dist2 within their colinear groups)
+    assert [flags[i][1] for i in (10, 11, 12)] == [1, 0, 0]
+    assert [flags[i][1] for i in (20, 21)] == [1, 0]
+    # the angularly distinct members survive
+    for vid in (13, 22):
+        assert flags[vid][1] == 1, f"distinct vector {vid} was dropped"
+    # clusters landed as planted (x-ish → 0, y-ish → 1)
+    assert {flags[i][0] for i in (10, 11, 12, 13)} == {0}
+    assert {flags[i][0] for i in (20, 21, 22)} == {1}
+
+
+def test_semdedup_keeper_is_closest_to_centroid(spark):
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    # one cluster, three colinear near-dups at increasing distance from the
+    # (external) centroid — the rank rule must keep the CLOSEST one
+    # (id 12, not the smallest id)
+    rows = [
+        (10, _vec(8, 0)),
+        (11, _vec(6, 0)),
+        (12, _vec(2, 0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, _vec(1, 1))], "cluster bigint, cvec array<float>"
+    )
+    flags = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_flags(emb, cents, threshold=0.99).collect()
+    }
+    assert flags[12] == 1
+    assert flags[10] == 0 and flags[11] == 0
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Plain-Python BPE (Sennrich et al. 2016): symbol sequences per word,
+    argmax adjacent pair by weighted count (ties lexicographic), left-to-
+    right non-overlapping merge."""
+    segs = {w: list(w) for w in word_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = collections.Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += word_freq[w]
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, n))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_python(spark):
+    from gridiron_spark.operators.bpe import SENTINEL, bpe_merge_table
+
+    docs = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a hat on the mat",
+        "that cat that mat",
+        "low lower lowest low low",
+    ]
+    for d in docs:
+        assert SENTINEL not in d
+    wf: dict[str, int] = collections.Counter(
+        w for d in docs for w in d.lower().split() if w
+    )
+    expected = _reference_bpe(dict(wf), n_merges=10)
+    wc = spark.createDataFrame(
+        [(w, n) for w, n in wf.items()], "word string, freq bigint"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["n"])
+        for r in bpe_merge_table(wc, n_merges=10)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_count_weighting(spark):
+    """The winning pair must be weighted by word FREQUENCY, not by distinct
+    words: 'zz' appears in one distinct word with freq 5, 'ab' in two
+    distinct words with freq 1 each — z+z must win."""
+    from gridiron_spark.operators.bpe import bpe_merge_table
+
+    wc = spark.createDataFrame(
+        [("zz", 5), ("ab", 1), ("abc", 1)], "word string, freq bigint"
+    )
+    first = bpe_merge_table(wc, n_merges=1).collect()[0]
+    assert (first["left_sym"], first["right_sym"], first["n"]) == ("z", "z", 5)
