@@ -175,6 +175,15 @@ def cmd_compact(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_serve(args, spark: SparkSession) -> int:
+    """Serve the game/play-dropdown dashboard over the animate data path
+    (gridiron_spark.serve — the Streamlit shell of reference
+    app/main.py:27-60 on the stdlib HTTP server)."""
+    from gridiron_spark.serve import serve
+
+    return serve(spark, args.pool, args.port)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gridiron_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +262,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="max output files per length bucket",
     )
     pp.set_defaults(fn=cmd_prepare_corpus)
+
+    pv = sub.add_parser(
+        "serve",
+        help="interactive play dashboard (reference app/main.py:27-60 shell)",
+    )
+    pv.add_argument("--pool", required=True, help="tracking pool directory")
+    pv.add_argument("--port", type=int, default=8501)
+    pv.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -265,7 +265,13 @@ def semdedup_flags(
     skew-join territory. The drop set is |duplicates|-sized and joins back
     broadcast-cheap.
     """
-    a = lloyd_assign(emb, centroids, id_col)
+    # The assignment is referenced three times (pair-left, pair-right, and
+    # the final flag join-back); without a lineage cut Spark re-runs the
+    # broadcast-distance fan-out + argmin window per reference — three
+    # corpus passes. localCheckpoint materializes it once (the staged
+    # "cluster assignment" artifact a real curation pipeline would persist
+    # anyway).
+    a = lloyd_assign(emb, centroids, id_col).localCheckpoint(eager=False)
     left = a.select(
         "cluster",
         F.col(id_col).alias("va"),

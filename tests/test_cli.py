@@ -166,3 +166,53 @@ def test_prepare_corpus_cli(spark, tmp_path, capsys):
     assert sorted(
         tuple(r) for r in got.select(*cols).collect()
     ) == sorted(tuple(r) for r in want.select(*cols).collect())
+
+
+def test_serve_dashboard_endpoints(spark, lake):
+    """Drive the serve shell end-to-end over HTTP: dropdown feeds
+    (/api/games, /api/plays) and the figure page, same data path as
+    ``animate --html``; the memoized second fetch must be byte-identical."""
+    import json
+    import threading
+    import urllib.request
+
+    from gridiron_spark.serve import make_server
+
+    srv = make_server(spark, str(lake), port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status, r.read().decode()
+            except urllib.error.HTTPError as e:
+                return e.code, e.read().decode()
+
+        status, body = get("/")
+        assert status == 200 and "gridiron play dashboard" in body
+
+        status, body = get("/api/games")
+        games = json.loads(body)
+        # >= the fixture's 2 games: earlier tests in this module may have
+        # ingested more into the shared lake
+        assert status == 200 and len(games) >= 2
+
+        status, body = get(f"/api/plays?game={games[0]}")
+        plays = json.loads(body)
+        assert status == 200 and len(plays) >= 1
+
+        status, fig = get(f"/fig?game={games[0]}&play={plays[0]}")
+        assert status == 200
+        assert "frames" in fig and "Offense" in fig and "Defense" in fig
+        _, fig2 = get(f"/fig?game={games[0]}&play={plays[0]}")
+        assert fig2 == fig  # memoized
+
+        assert get("/nope")[0] == 404
+        assert get("/api/plays?game=zzz")[0] == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()

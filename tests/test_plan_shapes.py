@@ -195,6 +195,44 @@ def test_no_timezone_dependent_expressions():
     assert not hits, "timezone-dependent expressions:\n" + "\n".join(hits)
 
 
+def test_staged_pair_consumers_reuse_artifact(spark):
+    """The curation reports must answer from the staged candidate-pair
+    parquet, not re-mine candidates: minhash_estimate_error is a pure
+    scan+project (ZERO exchanges, zero joins — nobody re-featurizes a
+    100 TB corpus to grade an estimator), and the contamination matrix
+    broadcasts the (overlap-sized) pair side into the doc→source map with
+    exactly one aggregation exchange."""
+    est = _plan_of(spark, "minhash_estimate_error")
+    assert "Exchange" not in est, est
+    assert "Join" not in est, est
+    mat = _plan_of(spark, "source_contamination_matrix")
+    assert "SortMergeJoin" not in mat, mat
+    assert "CartesianProduct" not in mat, mat
+    assert mat.count("BroadcastHashJoin") == 2, mat
+
+
+def test_semdedup_single_assignment_pass(spark):
+    """SemDeDup references the cluster assignment three times; the lineage
+    cut must hold it to ONE materialized pass — no broadcast-distance
+    fan-out (BroadcastNestedLoopJoin) may survive into the outer plan, and
+    the pairwise stage self-joins on the cluster key (bounded SMJs), never
+    cartesian."""
+    plan = _plan_of(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_bpe_loop_stays_vocab_bounded(spark):
+    """Each BPE round must pick its winner through TakeOrderedAndProject
+    (limit-1 top-k, never a full sort) and join nothing corpus-sized: no
+    sort-merge joins, no cartesian products anywhere in the 8-round plan."""
+    plan = _plan_of(spark, "bpe_merge_sequence")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") == 8, plan
+
+
 def test_no_rdd_access_in_package():
     """No query path may touch ``.rdd`` (or SparkContext RDD constructors):
     converting a DataFrame to an RDD materializes the analyzed plan just to
