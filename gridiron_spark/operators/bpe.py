@@ -43,12 +43,11 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_merge_table(wc: DataFrame, n_merges: int) -> DataFrame:
-    """Run ``n_merges`` BPE rounds over a (word, freq) table; return the
-    merge table (step, left_sym, right_sym, merged, n) — the tokenizer
-    artifact. If the vocabulary merges to single symbols early, later
-    rounds emit no row (on both engines identically)."""
+def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
+    """The shared merge loop: returns (per-step 1-row winner frames, the
+    final per-word segmentation (word, freq, seg))."""
     seg = wc.select(
+        "word",
         "freq",
         F.regexp_replace("word", "(.)", SENTINEL + "$1").alias("seg"),
     )
@@ -93,6 +92,7 @@ def bpe_merge_table(wc: DataFrame, n_merges: int) -> DataFrame:
                 )
             )
             .select(
+                "word",
                 "freq",
                 F.replace(
                     F.col("seg"),
@@ -106,7 +106,30 @@ def bpe_merge_table(wc: DataFrame, n_merges: int) -> DataFrame:
             # one deep plan — cut lineage per round like connected_components
             .localCheckpoint(eager=False)
         )
+    return merge_steps, seg
+
+
+def bpe_merge_table(wc: DataFrame, n_merges: int) -> DataFrame:
+    """Run ``n_merges`` BPE rounds over a (word, freq) table; return the
+    merge table (step, left_sym, right_sym, merged, n) — the tokenizer
+    artifact. If the vocabulary merges to single symbols early, later
+    rounds emit no row (on both engines identically)."""
+    merge_steps, _ = _run_bpe(wc, n_merges)
     out = merge_steps[0]
     for m in merge_steps[1:]:
         out = out.unionAll(m)
     return out
+
+
+def bpe_segmentations(wc: DataFrame, n_merges: int) -> DataFrame:
+    """The ENCODE side of the trained tokenizer: each vocabulary word's
+    final segmentation after ``n_merges`` merges, as (word, n_syms) — the
+    lookup a corpus encode broadcasts against (vocab-sized, like the top-K
+    table in vocab_encode_checksum)."""
+    _, seg = _run_bpe(wc, n_merges)
+    return seg.select(
+        "word",
+        F.size(
+            F.filter(F.split("seg", SENTINEL), lambda s: s != "")
+        ).cast("bigint").alias("n_syms"),
+    )

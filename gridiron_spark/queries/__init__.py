@@ -143,6 +143,7 @@ _EVIDENCE_R4 = frozenset(
 _NEW_R5 = (
     "semdedup_prune",
     "bpe_merge_sequence",
+    "bpe_encode_tokens",
     "staged_candidate_pairs",
 )
 

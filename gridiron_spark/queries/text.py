@@ -647,14 +647,14 @@ def vocab_encode_checksum(spark, sf_dir):
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int) -> str:
     """Chained-CTE replay of the N-merge BPE loop (DuckDB). Each round i:
     re-split the sentinel-packed segmentation, count adjacent pairs
     (corpus-frequency weighted), pick the (n DESC, a, b) winner, and
     re-segment via literal replace — the same left-to-right non-overlapping
-    scan Spark's replace performs. The merge table is the union of the N
-    1-row winners. Fixed N unrolls the recursion, so no recursive-CTE
-    aggregate restrictions apply."""
+    scan Spark's replace performs. Fixed N unrolls the recursion, so no
+    recursive-CTE aggregate restrictions apply. Returns the WITH-chain up
+    to seg{N}; callers append their final SELECT."""
     from gridiron_spark.operators.bpe import SENTINEL as S
 
     parts = [
@@ -665,7 +665,9 @@ wc AS (
     WHERE w <> '' GROUP BY w
 ),
 seg0 AS (
-    SELECT freq, regexp_replace(word, '(.)', '{S}\\1', 'g') AS seg FROM wc
+    SELECT word, freq,
+           regexp_replace(word, '(.)', '{S}\\1', 'g') AS seg
+    FROM wc
 )"""
     ]
     for i in range(1, n_merges + 1):
@@ -683,18 +685,22 @@ pr{i} AS (
 ),
 best{i} AS (SELECT a, b, n FROM pr{i} ORDER BY n DESC, a, b LIMIT 1),
 seg{i} AS (
-    SELECT w.freq,
+    SELECT w.word, w.freq,
            replace(w.seg, '{S}' || bb.a || '{S}' || bb.b,
                    '{S}' || bb.a || bb.b) AS seg
     FROM seg{i - 1} w CROSS JOIN best{i} bb
 )"""
         )
+    return "WITH " + "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, CAST(n AS BIGINT) AS n FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + "".join(parts) + "\n" + union
+    return _bpe_ctes(n_merges) + "\n" + union
 
 
 @register(
@@ -718,3 +724,62 @@ def bpe_merge_sequence(spark, sf_dir):
 
     doc = load_table(spark, sf_dir, "documents")
     return bpe_merge_table(word_freq(doc), _BPE_N_MERGES)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    from gridiron_spark.operators.bpe import SENTINEL as S
+
+    return _bpe_ctes(n_merges) + f""",
+wsyms AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(seg, '{S}'), s -> s <> ''))
+               AS BIGINT) AS n_syms
+    FROM seg{n_merges}
+),
+tok AS (
+    SELECT doc_id, u.i AS pos, t[u.i + 1] AS word
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         unnest(range(0, len(t))) AS u(i)
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(w.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(w.n_syms * (tok.pos + 1)) AS BIGINT) AS tokens_checksum
+FROM tok JOIN wsyms w USING (word)
+GROUP BY tok.doc_id
+"""
+
+
+@register(
+    "bpe_encode_tokens",
+    survey="NS-text(tokenizer apply: encode the corpus with the learned BPE merges),J1,A3",
+    oracle=_bpe_encode_oracle(_BPE_N_MERGES),
+)
+def bpe_encode_tokens(spark, sf_dir):
+    """The ENCODE half of the tokenizer loop bpe_merge_sequence trains:
+    apply the learned {n}-merge segmentation to every token position and
+    emit per-doc BPE accounting — word count, total BPE token count, and a
+    position-weighted checksum (Σ n_syms·pos, order-sensitive yet exact in
+    BIGINT, the vocab_encode_checksum trick) that pins the entire encoded
+    sequence without shipping arrays.
+
+    Scale shape: the trained segmentation table is vocab-sized and
+    BROADCASTS into the positional token stream — the corpus side is one
+    linear explode feeding a map-side join straight into the per-doc
+    aggregate; training cost is the (corpus-independent) merge loop.
+    """.format(n=_BPE_N_MERGES)
+    from gridiron_spark.operators.bpe import bpe_segmentations, word_freq
+
+    doc = load_table(spark, sf_dir, "documents")
+    wsyms = bpe_segmentations(word_freq(doc), _BPE_N_MERGES)
+    tok = doc.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word")
+    )
+    enc = tok.join(F.broadcast(wsyms), "word")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.col("n_syms") * (F.col("pos") + 1))
+        .cast("bigint")
+        .alias("tokens_checksum"),
+    )

@@ -8,14 +8,19 @@ session, and reports per-query scaling exponents
 
 Corpus construction keeps the STATISTICS of the original while making
 replicas genuinely distinct, so pair-generating operators scale the way a
-real bigger corpus would instead of degenerating into 10 exact copies of
-every document (which would quadratically explode every near-dup operator
-by construction):
+real bigger corpus would instead of degenerating into k near-identical
+copies of every document (which would quadratically explode every near-dup
+operator by construction — a first attempt that ROTATED each word sequence
+failed exactly this way: rotation preserves ~95% of a doc's word 3-grams,
+so every replica was a 0.9-Jaccard near-dup of its source):
 
-- documents: replica r rotates each doc's word sequence by 7·r words
-  (word frequencies, doc lengths, and per-doc shingle counts preserved;
-  cross-replica shingle overlap reduced to chance), doc_id offset per
-  replica.
+- documents: replica r suffixes every word with a per-replica tag built
+  from letters ABSENT from the corpus alphabet ('z' + letter(r)) — a
+  bijective vocabulary rename, so each replica's internal shingle/dup
+  structure is exactly the original corpus's while cross-replica shingle
+  overlap is zero. Word-frequency distribution, doc lengths, and per-doc
+  shingle counts are preserved up to the constant suffix; doc_id offset
+  per replica.
 - embeddings: replica copies with vec_id offsets (timing-neutral for the
   scoring kernels; the knn query set vec_id % 25 == 0 grows with the
   corpus, which the report calls out).
@@ -64,24 +69,24 @@ def build_corpus(k: int) -> str:
     n_vecs = con.execute(
         f"SELECT MAX(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
     ).fetchone()[0]
+    # per-replica word tag: 'z' (absent from the corpus alphabet) + a
+    # replica letter — a bijective vocab rename per replica
     con.execute(
         f"""
 COPY (
-  SELECT d.doc_id + r.r * {n_docs} AS doc_id,
-         CASE WHEN r.r = 0 THEN d.text
-              ELSE array_to_string(
-                     t[1 + ((r.r * 7) % greatest(len(t), 1)) + 1 :]
-                     || t[1 : 1 + ((r.r * 7) % greatest(len(t), 1))], ' ')
-         END AS text,
-         d.lang, d.source,
-         CAST(len(CASE WHEN r.r = 0 THEN d.text
-              ELSE array_to_string(
-                     t[1 + ((r.r * 7) % greatest(len(t), 1)) + 1 :]
-                     || t[1 : 1 + ((r.r * 7) % greatest(len(t), 1))], ' ')
-         END) AS BIGINT) AS n_chars
-  FROM (SELECT *, string_split(text, ' ') AS t
-        FROM read_parquet('{SRC}/documents.parquet')) d
-  CROSS JOIN range(0, {k}) r(r)
+  SELECT doc_id, text, lang, source,
+         CAST(len(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT d.doc_id + r.r * {n_docs} AS doc_id,
+           CASE WHEN r.r = 0 THEN d.text
+                ELSE array_to_string(list_transform(t,
+                       w -> w || 'z' || chr(CAST(97 + (r.r % 26) AS INTEGER))), ' ')
+           END AS text,
+           d.lang, d.source
+    FROM (SELECT *, string_split(text, ' ') AS t
+          FROM read_parquet('{SRC}/documents.parquet')) d
+    CROSS JOIN range(0, {k}) r(r)
+  )
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """
     )

@@ -146,3 +146,36 @@ def test_bpe_merge_count_weighting(spark):
     )
     first = bpe_merge_table(wc, n_merges=1).collect()[0]
     assert (first["left_sym"], first["right_sym"], first["n"]) == ("z", "z", 5)
+
+
+def test_bpe_segmentations_match_reference(spark):
+    """The encode side: final per-word symbol counts after N merges must
+    equal replaying the reference Python BPE's segmentation state."""
+    from gridiron_spark.operators.bpe import bpe_segmentations
+
+    docs = ["the cat sat on the mat", "that cat that mat", "low lower lowest"]
+    wf: dict[str, int] = collections.Counter(
+        w for d in docs for w in d.lower().split() if w
+    )
+    # replay the reference loop to its final segmentation
+    segs = {w: list(w) for w in wf}
+    for step, a, b, _m, _n in _reference_bpe(dict(wf), n_merges=6):
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    expected = {w: len(s) for w, s in segs.items()}
+    wc = spark.createDataFrame(
+        [(w, n) for w, n in wf.items()], "word string, freq bigint"
+    )
+    got = {
+        r["word"]: r["n_syms"]
+        for r in bpe_segmentations(wc, n_merges=6).collect()
+    }
+    assert got == expected
