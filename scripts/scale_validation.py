@@ -54,10 +54,30 @@ ALL_TABLES = (
 ).split()
 
 
-def build_corpus(k: int) -> str:
+# Hot-shingle regime for the prefix-vs-naive crossover: the rename corpus
+# keeps per-shingle document frequency CONSTANT (each replica is a disjoint
+# vocabulary), which is precisely the regime where the naive inverted-index
+# variant stays linear. Real corpora carry boilerplate whose document
+# frequency grows WITH n — so phase 2 appends one fixed sentence to a
+# constant fraction of docs (SCALE_BP_MOD=m -> 1/m of docs; same sentence
+# across replicas, so its shingle DF is n/m). Those pairs sit far below the
+# 0.5 Jaccard threshold, so outputs stay identical between the two
+# variants — only the naive candidate generator pays the (n/m)² blow-up;
+# the prefix filter never indexes hot shingles (they are nobody's rarest).
+# Measured (BASELINE.md round-5 section): at m=20 the quadratic term is
+# visible but not dominant by x10; at m=4 the crossover flips (naive
+# alpha 1.68 vs prefix 0.96, 3x apart at x10).
+BOILERPLATE = (
+    "all rights reserved contact us for more information terms of service"
+)
+
+
+def build_corpus(k: int, boilerplate_mod: int | None = None) -> str:
+    """boilerplate_mod=m appends the fixed sentence to docs with
+    doc_id % m == 0 (fraction 1/m)."""
     import duckdb
 
-    out = f"{ROOT}/x{k}"
+    out = f"{ROOT}/x{k}b{boilerplate_mod}" if boilerplate_mod else f"{ROOT}/x{k}"
     os.makedirs(out, exist_ok=True)
     marker = f"{out}/.complete"
     if os.path.isfile(marker):
@@ -71,11 +91,16 @@ def build_corpus(k: int) -> str:
     ).fetchone()[0]
     # per-replica word tag: 'z' (absent from the corpus alphabet) + a
     # replica letter — a bijective vocab rename per replica
+    bp = (
+        f" || CASE WHEN doc_id % {boilerplate_mod} = 0 THEN ' {BOILERPLATE}' ELSE '' END"
+        if boilerplate_mod
+        else ""
+    )
     con.execute(
         f"""
 COPY (
-  SELECT doc_id, text, lang, source,
-         CAST(len(text) AS BIGINT) AS n_chars
+  SELECT doc_id, text{bp} AS text, lang, source,
+         CAST(len(text{bp}) AS BIGINT) AS n_chars
   FROM (
     SELECT d.doc_id + r.r * {n_docs} AS doc_id,
            CASE WHEN r.r = 0 THEN d.text
@@ -135,13 +160,21 @@ def main() -> None:
                 spark.catalog.dropTempView(tbl.name)
         spark._jvm.System.gc()
 
-    kmax = max(ks)
-    header = "| query | " + " | ".join(f"t(x{k}) s" for k in [1] + ks) + " | alpha(x{}) |".format(kmax)
+    # exponent over the two LARGEST scales: the x1 pass runs on a cold JVM
+    # (first queries of the session), so t(x1) carries warm-up that would
+    # understate alpha; the larger scales are both warm and dominate any
+    # fixed overhead.
+    klo, khi = sorted(ks)[-2:] if len(ks) >= 2 else (1, ks[0])
+    header = (
+        "| query | "
+        + " | ".join(f"t(x{k}) s" for k in [1] + ks)
+        + f" | alpha(x{klo}->x{khi}) |"
+    )
     sep = "|---" * (len(ks) + 3) + "|"
     lines = [header, sep]
     for q in HEAVY:
         r = results[q]
-        alpha = math.log(r[kmax] / r[1]) / math.log(kmax)
+        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
         lines.append(
             f"| {q} | "
             + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)
@@ -149,8 +182,41 @@ def main() -> None:
         )
     table = "\n".join(lines)
     print(table)
+
+    # phase 2: the hot-shingle crossover (naive vs prefix only)
+    bp_mod = int(os.environ.get("SCALE_BP_MOD", "4"))
+    bp_dirs = {}
+    for k in [1] + ks:
+        print(f"# building x{k}b{bp_mod} (boilerplate) corpus ...", file=sys.stderr)
+        bp_dirs[k] = build_corpus(k, boilerplate_mod=bp_mod)
+    bp_results: dict[str, dict[int, float]] = {
+        q: {} for q in ("dedup_ngram_jaccard", "dedup_ngram_prefix")
+    }
+    for k in [1] + ks:
+        for q in bp_results:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, bp_dirs[k]).count()
+            dt = time.perf_counter() - t0
+            bp_results[q][k] = round(dt, 3)
+            print(f"# x{k}b {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nhot-shingle (5% boilerplate) crossover:")
+    lines = [header, sep]
+    for q, r in bp_results.items():
+        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
+        lines.append(
+            f"| {q} | "
+            + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)
+            + f" | {alpha:.2f} |"
+        )
+    print("\n".join(lines))
+
     with open(f"{ROOT}/report.json", "w") as f:
-        json.dump({"scales": [1] + ks, "timings": results}, f, indent=1)
+        json.dump(
+            {"scales": [1] + ks, "timings": results, "boilerplate": bp_results},
+            f,
+            indent=1,
+        )
     spark.stop()
 
 
