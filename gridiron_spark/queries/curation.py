@@ -186,8 +186,11 @@ def staged_pairs(spark, sf_dir):
     """Read the staged candidate-pair artifact, mining + writing it first if
     absent (version-keyed per sf_dir, _SUCCESS-gated like queries/sinks.py).
     Explicit read schema so an empty corpus still round-trips."""
+    from gridiron_spark.queries.sinks import source_fingerprint
+
     tag = sf_dir.strip("/").replace("/", "_")
-    stage = f"/tmp/gridiron_sink_stage/cand_pairs_v1_{tag}"
+    stage = (f"/tmp/gridiron_sink_stage/cand_pairs_v1_{tag}"
+             f"_{source_fingerprint(sf_dir, 'documents')}")
     if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
         _mine_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(stage)
     return spark.read.schema(_PAIRS_SCHEMA).parquet(stage)

@@ -24,9 +24,24 @@ from gridiron_spark.io.tables import load_table
 from gridiron_spark.queries import register
 
 
-def _stage_root(sf_dir: str, kind: str) -> str:
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint (size + mtime) of a source parquet file.
+    Folded into stage keys so a REGENERATED source (same path, new data —
+    e.g. the driver refreshing testdata between rounds) can never alias a
+    stale staged artifact: the key changes, the stage rebuilds."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        return "nostat"
+
+
+def _stage_root(sf_dir: str, kind: str, table: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/gridiron_sink_stage/{kind}_v1_{tag}"
+    return (
+        f"/tmp/gridiron_sink_stage/{kind}_v1_{tag}"
+        f"_{source_fingerprint(sf_dir, table)}"
+    )
 
 
 @register(
@@ -51,7 +66,7 @@ def sink_partitioned_roundtrip(spark, sf_dir):
     count or the decimal sum. Scale shape: partitionBy writer is
     shuffle-free (task-local partition files); dynamic overwrite touches
     only the replayed partition's directory."""
-    stage = _stage_root(sf_dir, "orders_by_status")
+    stage = _stage_root(sf_dir, "orders_by_status", "orders")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -98,7 +113,7 @@ def sink_csv_roundtrip(spark, sf_dir):
     sinks; the token and char sums flip on any mangled row. Scale shape:
     both write and read are partition-parallel, no shuffle until the final
     aggregate."""
-    stage = _stage_root(sf_dir, "documents_csv")
+    stage = _stage_root(sf_dir, "documents_csv", "documents")
     doc = load_table(spark, sf_dir, "documents")
     if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
         doc.write.mode("overwrite").option("header", True).csv(stage)
