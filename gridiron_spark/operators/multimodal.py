@@ -116,6 +116,7 @@ def _decode_ppm(payload: bytes) -> dict:
         "height": height,
         "maxval": maxval,
         "n_pixels": width * height,
+        "pixels": pixels,  # raw decoded sample array (RGB interleaved)
     }
 
 
@@ -150,6 +151,7 @@ def _decode_wav(payload: bytes) -> dict:
         "channels": channels,
         "bits": bits,
         "n_samples": n_samples,
+        "pcm": data,  # raw decoded sample bytes (little-endian PCM)
     }
 
 
@@ -259,4 +261,66 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> Column | DataFrame:
                 )
             ).alias("frame_idx"),
         )
+    )
+
+
+def wav_roundtrip_stats(ids: DataFrame, n_samples: int = 256) -> DataFrame:
+    """Codec-proving round-trip: synthesize a deterministic int16 PCM signal
+    per id (s_i = (id·31 + i·17) mod 65536 − 32768), PACK it into a real
+    RIFF/WAVE container, decode it back through ``_decode_payload`` (the
+    production codec boundary), and emit integer stats computed from the
+    DECODED samples — energy (Σs²), zero crossings, min/max. Every stat is
+    exact integer math, so an oracle that computes the same stats straight
+    from the formula hash-matches IFF the WAV encode→decode loop is
+    lossless: any container, endianness, or slicing bug flips the sum.
+
+    Arrow-batched mapInPandas; vectorized numpy per batch (the only Python
+    loop is per-row container packing, bounded by the row count like every
+    decode stage). Map-only plan — no shuffle."""
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["media_id"]:
+                mid = int(raw_id)
+                i = np.arange(n_samples, dtype=np.int64)
+                s = (mid * 31 + i * 17) % 65536 - 32768
+                pcm = s.astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                chunks = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+                d = _decode_payload("audio", wav)
+                dec = np.frombuffer(d["pcm"], dtype="<i2").astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        int(d["sample_rate"]),
+                        int(d["n_samples"]),
+                        int((dec * dec).sum()),
+                        int(((dec[:-1] * dec[1:]) < 0).sum()),
+                        int(dec.min()),
+                        int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_sq", "n_zero_cross", "s_min", "s_max",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _roundtrip,
+        schema=(
+            "media_id bigint, sample_rate int, n_samples bigint,"
+            " sum_sq bigint, n_zero_cross bigint, s_min bigint, s_max bigint"
+        ),
     )

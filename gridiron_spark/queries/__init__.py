@@ -145,6 +145,7 @@ _NEW_R5 = (
     "bpe_merge_sequence",
     "bpe_encode_tokens",
     "staged_candidate_pairs",
+    "multimodal_wav_roundtrip",
 )
 
 

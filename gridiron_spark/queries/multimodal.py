@@ -112,3 +112,42 @@ def multimodal_embed(spark, sf_dir):
         F.size("embedding").alias("emb_dim"),
         F.md5(F.concat_ws(",", rounded)).alias("emb_md5"),
     )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    survey="NS-multimodal(REAL audio codec proof: WAV pack -> decode -> integer sample stats)",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+           list_transform(range(0, 256),
+               i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS v
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(len(list_filter(range(0, 255),
+           i -> v[CAST(i + 1 AS INT)] * v[CAST(i + 2 AS INT)] < 0))
+           AS BIGINT) AS n_zero_cross,
+       CAST(list_min(v) AS BIGINT) AS s_min,
+       CAST(list_max(v) AS BIGINT) AS s_max
+FROM s
+""",
+)
+def multimodal_wav_roundtrip(spark, sf_dir):
+    """The real audio codec, driver-checked (not just pytest-pinned): a
+    deterministic int16 signal per doc packs into an actual RIFF/WAVE
+    container, travels the production decode boundary
+    (operators/multimodal._decode_payload -> _decode_wav), and integer
+    stats of the DECODED samples are hash-compared against an oracle that
+    computes the same stats from the generating formula — green iff the
+    encode->decode loop reproduces every sample bit-exactly. Upgrades the
+    codec evidence from unit tests to an external CORRECTNESS row."""
+    from gridiron_spark.operators.multimodal import wav_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_roundtrip_stats(
+        docs.select(F.col("doc_id").alias("media_id"))
+    )
