@@ -324,3 +324,59 @@ def wav_roundtrip_stats(ids: DataFrame, n_samples: int = 256) -> DataFrame:
             " sum_sq bigint, n_zero_cross bigint, s_min bigint, s_max bigint"
         ),
     )
+
+
+def ppm_roundtrip_stats(ids: DataFrame) -> DataFrame:
+    """Image-codec twin of :func:`wav_roundtrip_stats`: deterministic RGB
+    pixels per id (p_i = (id·7 + i·13) mod 256) packed into a real binary
+    PPM whose DIMENSIONS also vary per id (width 8 + id mod 9, height
+    6 + id mod 5 — so header parsing is exercised, not just the array
+    copy), decoded back through ``_decode_payload``, with exact integer
+    stats of the decoded pixels: count, sum, min/max, and a
+    position-weighted checksum that pins sample ORDER (a byte-order or
+    offset bug flips it even when the multiset survives)."""
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["media_id"]:
+                mid = int(raw_id)
+                w, h = 8 + mid % 9, 6 + mid % 5
+                n = w * h * 3
+                i = np.arange(n, dtype=np.int64)
+                p = (mid * 7 + i * 13) % 256
+                payload = f"P6\n{w} {h}\n255\n".encode() + p.astype(
+                    np.uint8
+                ).tobytes()
+                d = _decode_payload("image", payload)
+                dec = np.frombuffer(d["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                out.append(
+                    (
+                        mid,
+                        int(d["width"]),
+                        int(d["height"]),
+                        int(dec.size),
+                        int(dec.sum()),
+                        int((dec * (np.arange(dec.size) + 1)).sum()),
+                        int(dec.min()),
+                        int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_samples",
+                    "sum_val", "pos_checksum", "p_min", "p_max",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _roundtrip,
+        schema=(
+            "media_id bigint, width int, height int, n_samples bigint,"
+            " sum_val bigint, pos_checksum bigint, p_min bigint, p_max bigint"
+        ),
+    )

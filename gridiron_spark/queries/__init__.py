@@ -146,6 +146,7 @@ _NEW_R5 = (
     "bpe_encode_tokens",
     "staged_candidate_pairs",
     "multimodal_wav_roundtrip",
+    "multimodal_ppm_roundtrip",
 )
 
 

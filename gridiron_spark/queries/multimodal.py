@@ -151,3 +151,41 @@ def multimodal_wav_roundtrip(spark, sf_dir):
     return wav_roundtrip_stats(
         docs.select(F.col("doc_id").alias("media_id"))
     )
+
+
+@register(
+    "multimodal_ppm_roundtrip",
+    survey="NS-multimodal(REAL image codec proof: PPM pack -> decode -> integer pixel stats)",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           8 + doc_id % 9 AS w,
+           6 + doc_id % 5 AS h,
+           list_transform(range(0, (8 + doc_id % 9) * (6 + doc_id % 5) * 3),
+               i -> (doc_id * 7 + i * 13) % 256) AS v
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(len(v) AS BIGINT) AS n_samples,
+       CAST(list_sum(v) AS BIGINT) AS sum_val,
+       CAST(list_sum(list_transform(range(0, len(v)),
+           i -> v[CAST(i + 1 AS INT)] * (i + 1))) AS BIGINT) AS pos_checksum,
+       CAST(list_min(v) AS BIGINT) AS p_min,
+       CAST(list_max(v) AS BIGINT) AS p_max
+FROM p
+""",
+)
+def multimodal_ppm_roundtrip(spark, sf_dir):
+    """The real image codec, driver-checked (the PPM twin of
+    multimodal_wav_roundtrip): per-doc deterministic RGB pixels with
+    per-doc VARYING dimensions pack into a real P6 container, travel the
+    production decode boundary, and integer pixel stats (incl. a
+    position-weighted checksum pinning sample order) hash-match an oracle
+    replaying the generating formula — green iff header parsing AND the
+    pixel array copy are both bit-exact."""
+    from gridiron_spark.operators.multimodal import ppm_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppm_roundtrip_stats(docs.select(F.col("doc_id").alias("media_id")))
