@@ -233,6 +233,16 @@ def test_bpe_loop_stays_vocab_bounded(spark):
     assert plan.count("TakeOrderedAndProject") == 8, plan
 
 
+def test_codec_roundtrips_map_only(spark):
+    """Both codec-proof entries are synth→pack→decode→stats per row: pure
+    Arrow-batched map stages over the id scan — zero shuffles, zero joins.
+    At 100 TB a decode pass runs at scan speed or it doesn't run."""
+    for q in ("multimodal_wav_roundtrip", "multimodal_ppm_roundtrip"):
+        plan = _plan_of(spark, q)
+        assert "Exchange" not in plan, (q, plan)
+        assert "Join" not in plan, (q, plan)
+
+
 def test_no_rdd_access_in_package():
     """No query path may touch ``.rdd`` (or SparkContext RDD constructors):
     converting a DataFrame to an RDD materializes the analyzed plan just to

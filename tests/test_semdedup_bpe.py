@@ -179,3 +179,23 @@ def test_bpe_segmentations_match_reference(spark):
         for r in bpe_segmentations(wc, n_merges=6).collect()
     }
     assert got == expected
+
+
+def test_source_fingerprint_tracks_content(tmp_path):
+    """Stage keys must change when a source file is regenerated (same
+    path, new bytes/mtime) — the guard against stale /tmp artifacts."""
+    import os
+    import time
+
+    from gridiron_spark.queries.sinks import source_fingerprint
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"v1")
+    fp1 = source_fingerprint(str(tmp_path), "documents")
+    assert fp1 != "nostat"
+    time.sleep(1.05)  # mtime granularity
+    f.write_bytes(b"v2+")
+    fp2 = source_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
+    os.remove(f)
+    assert source_fingerprint(str(tmp_path), "documents") == "nostat"
