@@ -159,3 +159,45 @@ def test_decode_media_mixes_real_and_fake_codecs(spark):
     assert rows[2].content_md5 == hashlib.md5(samples).hexdigest()
     assert rows[3].content_md5 == hashlib.md5(other).hexdigest()
     assert all(r.decoded_ok for r in rows.values())
+
+
+def test_codec_parsers_reject_garbage_without_crashing():
+    """Hostile-input behavior at the codec boundary: random/truncated
+    payloads must raise (ValueError for recognized-but-broken containers,
+    NotImplementedError for unrecognized magic) — never IndexError,
+    struct.error, or a silent wrong decode."""
+    import random
+
+    rng = random.Random(7)
+    ppm, _ = _make_ppm(3, 3)
+    wav, _ = _make_wav(6)
+    for payload in (ppm, wav):
+        # every truncation point of a valid container
+        for cut in range(len(payload)):
+            try:
+                d = _decode_payload("x", payload[:cut])
+                # a shorter prefix that still parses must be internally
+                # consistent, never a silent half-decode of the original
+                assert d["decoded_ok"] and d["n_bytes"] == cut
+            except (ValueError, NotImplementedError):
+                pass
+    # random byte soup (seeded): unrecognized → NotImplementedError;
+    # soup behind valid magic → ValueError
+    for _ in range(200):
+        soup = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        for prefix in (b"", b"P6", b"RIFF" + soup[:4].ljust(4) + b"WAVE"):
+            try:
+                _decode_payload("x", prefix + soup)
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_codec_parser_bounds():
+    """Header edge values parse exactly: 1x1 image, 0-sample WAV."""
+    tiny, pix = _make_ppm(1, 1)
+    d = _decode_payload("image", tiny)
+    assert (d["width"], d["height"], d["n_pixels"]) == (1, 1, 1)
+    assert len(pix) == 3
+    empty, data = _make_wav(0)
+    d = _decode_payload("audio", empty)
+    assert d["n_samples"] == 0 and data == b""
