@@ -263,7 +263,12 @@ def semdedup_flags(
     100 TB, k grows with the corpus to hold cluster sizes bounded (the paper
     runs k≈100k over 5B embeddings); an oversized hot cluster is AQE
     skew-join territory. The drop set is |duplicates|-sized and joins back
-    broadcast-cheap.
+    broadcast-cheap. Caveat measured at ×10 scale: once k grows with n, the
+    BRUTE-FORCE assignment's n×k distance fan-out becomes the dominant
+    (quadratic) term before the pairwise stage does — at large k, swap
+    ``lloyd_assign`` for coarse-quantized assignment (the ann_ivf_topk
+    two-level pattern: assign to √k super-centroids, then only that
+    branch's centroids) to keep assignment sub-quadratic.
     """
     # The assignment is referenced three times (pair-left, pair-right, and
     # the final flag join-back); without a lineage cut Spark re-runs the
