@@ -147,6 +147,7 @@ _NEW_R5 = (
     "staged_candidate_pairs",
     "multimodal_wav_roundtrip",
     "multimodal_ppm_roundtrip",
+    "winnow_overlap_pairs",
 )
 
 

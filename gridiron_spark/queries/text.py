@@ -135,10 +135,9 @@ _WIN_K = 8  # character k-gram length
 _WIN_W = 4  # winnowing window (hashes per window)
 
 
-@register(
-    "winnow_fingerprint",
-    survey="NS-text(rolling-hash fingerprinting — winnowing over char k-grams)",
-    oracle=f"""
+# shared winnowing CTE chain: also the candidate source for
+# winnow_overlap_pairs
+_WINNOW_SQL = f"""
 WITH grams AS (
     SELECT doc_id, u.pos,
            substring(lower(text), u.pos, {_WIN_K}) AS gram
@@ -162,7 +161,13 @@ win AS (
 SELECT DISTINCT doc_id, m AS fingerprint
 FROM win
 WHERE pos <= greatest(nh - {_WIN_W - 1}, 1)
-""",
+""".strip()
+
+
+@register(
+    "winnow_fingerprint",
+    survey="NS-text(rolling-hash fingerprinting — winnowing over char k-grams)",
+    oracle=_WINNOW_SQL,
 )
 def winnow_fingerprint(spark, sf_dir):
     """Winnowing (MOSS) fingerprints: hash every character {k}-gram, keep
@@ -805,4 +810,65 @@ def bpe_encode_tokens(spark, sf_dir):
         F.sum(F.col("n_syms") * (F.col("pos") + 1))
         .cast("bigint")
         .alias("tokens_checksum"),
+    )
+
+
+_WIN_DF_CAP = 10   # fingerprints seen in more docs than this are boilerplate
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "winnow_overlap_pairs",
+    survey="NS-dedup(substring-overlap doc pairs via winnowing fingerprints, DF-capped),J1,A3",
+    oracle=f"""
+WITH wf AS (SELECT * FROM ({_WINNOW_SQL}) t),
+freq AS (
+    SELECT fingerprint FROM wf
+    GROUP BY fingerprint HAVING COUNT(*) <= {_WIN_DF_CAP}
+),
+kept AS (SELECT wf.doc_id, wf.fingerprint FROM wf JOIN freq USING (fingerprint))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+""",
+)
+def winnow_overlap_pairs(spark, sf_dir):
+    """The MOSS report over the winnowing fingerprints: document pairs
+    sharing ≥ {m} fingerprints — i.e. at least {m} substrings of length
+    ≥ k+w-1 — with the shared count, the substring-granular complement to
+    the shingle-Jaccard near-dup family (catches partial plagiarism and
+    template reuse that whole-doc Jaccard dilutes below threshold).
+
+    Scale shape: the standard MOSS mitigation is built in, not bolted on —
+    fingerprints whose document frequency exceeds {cap} are dropped as
+    boilerplate BEFORE the inverted-index self-join, so each surviving
+    fingerprint contributes at most {cap}²/2 candidate pairs and the join
+    is linear in corpus size by construction (exactly the hot-shingle
+    failure mode BASELINE.md measured on the naive n-gram variant, here
+    excluded up front). Fingerprinting itself is the audited
+    winnow_fingerprint plan: one explode + one windowed min per doc.
+    """.format(m=_WIN_MIN_SHARED, cap=_WIN_DF_CAP)
+    wf = winnow_fingerprint(spark, sf_dir)
+    freq = (
+        wf.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("fingerprint")
+    )
+    kept = wf.join(freq, "fingerprint")
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
