@@ -150,6 +150,17 @@ _NEW_R5 = (
     "winnow_overlap_pairs",
 )
 
+# Built after the round-5 window froze at exactly 50 (7 new + all 43
+# stalest): these sort LAST this round — in-repo oracle parity checks them
+# every pytest run now, and round 6 promotes them into the window's new
+# tier for their first driver evidence row. Without this tier a
+# late-round addition would land in the "no evidence row" safety net and
+# evict a stale entry from the ring.
+_DEFER_R6 = (
+    "corpus_rank_quality",
+    "ingest_normalize_roundtrip",
+)
+
 
 def register(name: str, *, oracle: str | None, survey: str):
     """Decorator: add a query to the catalog."""
@@ -172,11 +183,13 @@ def catalog() -> dict[str, CatalogEntry]:
     #   3. stalest evidence (round 2) — the re-verification ring's head
     #   4. round-3 evidence — fills whatever window slots remain
     #   5. round-4 evidence — freshest, re-verified last
-    new_r5 = set(_NEW_R5)
+    new_r5, defer_r6 = set(_NEW_R5), set(_DEFER_R6)
 
     def tier(name: str) -> int:
         if name in new_r5:
             return 1
+        if name in defer_r6:
+            return 6
         if name in _EVIDENCE_R2:
             return 3
         if name in _EVIDENCE_R3:

@@ -371,3 +371,77 @@ def table_profile(spark, sf_dir):
     variant that drops the Expand at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
     return profile(o, _PROFILE_COLS)
+
+
+@register(
+    "corpus_rank_quality",
+    survey="NS-text(quality: per-doc mean corpus-frequency rank — rare-word-heavy docs score high),A3,W2,O1",
+    oracle="""
+WITH wc AS (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+rk AS (
+    SELECT word,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank
+    FROM wc
+),
+tok AS (
+    SELECT doc_id, t[u.i + 1] AS word
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         unnest(range(0, len(t))) AS u(i)
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(rk.rank) AS BIGINT) AS sum_rank,
+       CAST(SUM(rk.rank) AS DOUBLE) / COUNT(*) AS mean_rank,
+       CAST(MAX(rk.rank) AS BIGINT) AS max_rank
+FROM tok JOIN rk USING (word)
+GROUP BY tok.doc_id
+""",
+)
+def corpus_rank_quality(spark, sf_dir):
+    """Model-free quality scoring against the CORPUS's own statistics: rank
+    every vocabulary word by global frequency (1 = most common), then score
+    each doc by the mean/max rank of its tokens — a rare-word-heavy doc
+    (OCR noise, codes, word salad) scores high, boilerplate scores low.
+    This is the corpus-global complement to the per-doc lexical flags
+    (gopher_repetition_flags) and the top-K encode (vocab_encode_checksum,
+    whose rank window is K-bounded): here the rank runs over the ENTIRE
+    vocabulary. mean_rank is one IEEE division of two exact integers, so
+    it hash-matches cross-engine.
+
+    Scale shape: a bare ``row_number() over (order by freq)`` would drag
+    the whole vocabulary (∝ corpus at web scale) onto ONE task — the rank
+    is a grouped_running_sum over (−freq, word) range-exchange instead
+    (sample-based boundaries, per-partition local scan, broadcast offset
+    table). The ranked vocabulary then joins the token stream on the word
+    key (one shuffle each side; at this sf AQE turns it into a broadcast)
+    and aggregates per doc.
+    """
+    from gridiron_spark.operators.bpe import word_freq
+    from gridiron_spark.operators.ordered import grouped_running_sum
+
+    doc = load_table(spark, sf_dir, "documents")
+    wc = word_freq(doc)
+    rk = grouped_running_sum(
+        wc.select("word", (-F.col("freq")).alias("nf"), F.lit(1).alias("one")),
+        group_cols=[],
+        order_cols=["nf", "word"],
+        value_col="one",
+        out_col="rank",
+    ).select("word", F.col("rank").cast("bigint").alias("rank"))
+    tok = doc.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return (
+        tok.join(rk, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").cast("bigint").alias("sum_rank"),
+            (F.sum("rank").cast("double") / F.count(F.lit(1))).alias("mean_rank"),
+            F.max("rank").cast("bigint").alias("max_rank"),
+        )
+    )

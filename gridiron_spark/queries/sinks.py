@@ -129,3 +129,75 @@ def sink_csv_roundtrip(spark, sf_dir):
         F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# Canonical-target / aliased-source schema for the normalize round-trip —
+# built in code via TableSchema.from_dict (same model as configs/*.yaml).
+_ORDERS_RT_SCHEMA = {
+    "table": "orders_rt",
+    "columns": {
+        "o_orderkey": {"type": "long", "aliases": ["OrderKey"]},
+        "o_custkey": {"type": "long", "aliases": ["CustKey"]},
+        "o_orderstatus": {"type": "string", "aliases": ["Status"]},
+        "o_totalprice": {"type": "double", "aliases": ["TotalPrice"]},
+        # not present in the source at all → constant default applies
+        "o_channel": {"type": "string", "default": "batch"},
+    },
+}
+
+
+@register(
+    "ingest_normalize_roundtrip",
+    survey="S1,S2(schema probe: alias resolution + permissive cast + constant default) as an external round-trip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_defaulted
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def ingest_normalize_roundtrip(spark, sf_dir):
+    """The reference's CORE ingest feature — YAML-driven alias resolution,
+    permissive casts, and constant defaults (reference src/ingest.py:27-43)
+    — externally evidenced by round-trip: orders is re-spelled into
+    camelCase alias headers and written to CSV, then re-ingested through
+    the REAL LakeIngestor.load_and_normalize path (inferred-schema
+    permissive scan → canonical projection), and the per-status aggregate
+    is hash-compared against the ORIGINAL table. Any mis-resolved alias,
+    lossy cast, or missing default flips a count, the decimal sum, or
+    n_defaulted (o_channel is absent from the source, so every row must
+    carry the schema's constant default). Scale shape: both the export and
+    the normalize scan are partition-parallel projections; the aggregate
+    is the only shuffle."""
+    from gridiron_spark.ingest import LakeIngestor
+    from gridiron_spark.schema.registry import TableSchema
+
+    stage = _stage_root(sf_dir, "orders_alias_csv", "orders")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        (
+            o.select(
+                F.col("o_orderkey").alias("OrderKey"),
+                F.col("o_custkey").alias("CustKey"),
+                F.col("o_orderstatus").alias("Status"),
+                F.col("o_totalprice").alias("TotalPrice"),
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(stage)
+        )
+    ing = LakeIngestor(
+        spark,
+        TableSchema.from_dict(_ORDERS_RT_SCHEMA),
+        pool=os.path.join(stage, "_unused_pool"),
+    )
+    norm = ing.load_and_normalize(stage)
+    return norm.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.sum((F.col("o_channel") == "batch").cast("bigint")).alias(
+            "n_defaulted"
+        ),
+    )

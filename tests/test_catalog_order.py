@@ -11,6 +11,7 @@ then round-3, then round-4 — keeping every query's driver evidence at most
 from __future__ import annotations
 
 from gridiron_spark.queries import (
+    _DEFER_R6,
     _EVIDENCE_R2,
     _EVIDENCE_R3,
     _EVIDENCE_R4,
@@ -26,7 +27,8 @@ WINDOW = 50
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4, set(_NEW_R5)):
+    for s in (_EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4, set(_NEW_R5),
+              set(_DEFER_R6)):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -34,7 +36,8 @@ def test_ordering_sets_exist_in_catalog():
 def test_ordering_sets_disjoint_and_complete():
     """Evidence tiers partition the catalog: each query has exactly one
     latest-evidence round (or is new this round)."""
-    tiers = [set(_NEW_R5), _EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4]
+    tiers = [set(_NEW_R5), _EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4,
+             set(_DEFER_R6)]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -45,11 +48,13 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r5 = set(_NEW_R5)
+    new_r5, defer_r6 = set(_NEW_R5), set(_DEFER_R6)
 
     def tier(n: str) -> int:
         if n in new_r5:
             return 1
+        if n in defer_r6:
+            return 6
         if n in _EVIDENCE_R2:
             return 3
         if n in _EVIDENCE_R3:
@@ -79,3 +84,12 @@ def test_queries_and_oracles_consistent():
     assert set(o) <= set(q)
     # every oracle is a non-empty SQL string
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_deferred_entries_sort_last():
+    """Round-6-deferred entries must never consume round-5 window slots."""
+    names = list(catalog().keys())
+    window = set(names[:WINDOW])
+    assert not (set(_DEFER_R6) & window), (
+        "deferred entry leaked into the verification window"
+    )
