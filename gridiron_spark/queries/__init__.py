@@ -159,6 +159,8 @@ _NEW_R5 = (
 _DEFER_R6 = (
     "corpus_rank_quality",
     "ingest_normalize_roundtrip",
+    "shingle_novelty_score",
+    "scan_unified_drift_roundtrip",
 )
 
 

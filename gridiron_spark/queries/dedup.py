@@ -643,3 +643,53 @@ def dup_span_coverage(spark, sf_dir):
 
     doc = load_table(spark, sf_dir, "documents")
     return dup_span_coverage_stats(doc, _SPAN_K)
+
+
+@register(
+    "shingle_novelty_score",
+    survey="NS-dedup(per-doc shingle novelty: fraction of n-grams unique to the doc),A3,J1",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+df AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle)
+SELECT inv.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS novelty,
+       CAST(MAX(df.df) AS BIGINT) AS max_df
+FROM inv JOIN df USING (shingle)
+GROUP BY inv.doc_id
+""",
+)
+def shingle_novelty_score(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the fraction of a doc's word 3-grams
+    that appear nowhere else in the corpus (document frequency 1), plus
+    the doc's hottest shingle's DF. The inverse view of the dedup family:
+    near-dups and template text score near 0, genuinely unique content
+    near 1 — the signal a curation pass uses to up-weight novel data and
+    to spot memorization-risk boilerplate (max_df spikes). novelty is one
+    IEEE division of exact integers.
+
+    Scale shape: shingle DF is one map-side-combined aggregate on the
+    shingle key; joining it back to the inverted index is a same-key
+    shuffle join (no pair fan-out anywhere — unlike the pair generators,
+    novelty never multiplies rows), then one per-doc aggregate. Three
+    linear shuffles total at any corpus size.
+    """
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    inv = sh  # shingle_rows is already (doc_id, shingle) exploded
+    df = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        inv.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+            (
+                F.sum((F.col("df") == 1).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+    )

@@ -201,3 +201,77 @@ def ingest_normalize_roundtrip(spark, sf_dir):
             "n_defaulted"
         ),
     )
+
+
+@register(
+    "scan_unified_drift_roundtrip",
+    survey="S3(scan_unified: schema-drifted multi-era lake — widening casts + null-fill) as an external round-trip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 1
+            THEN FLOOR(o_totalprice)
+            ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prioritized,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def scan_unified_drift_roundtrip(spark, sf_dir):
+    """Pool.scan_unified's schema-drift contract, externally evidenced:
+    orders is staged as a two-era Hive lake whose subtrees were ingested
+    under DIFFERENT schema versions — era=old stores o_orderkey as INT and
+    o_totalprice as FLOAT (the narrow legacy footprint) and lacks
+    o_orderpriority entirely; era=new stores BIGINT/DOUBLE and carries the
+    extra column. scan_unified must widen int→bigint and float→double up
+    the lattice and null-fill the missing column through unionByName; the
+    oracle replays the float narrowing (CAST(CAST(x AS REAL) AS DOUBLE) —
+    IEEE-identical in both engines) on exactly the old-era rows, so a
+    wrong widening, a dropped column, or a mis-branched row flips the
+    decimal sum, the priority count, or max_key. A plain scan() would
+    silently adopt one footprint (the failure mode scan_unified exists
+    for). Scale shape: per-branch scans keep partition pruning; casts are
+    map-side; the aggregate is the only shuffle."""
+    from gridiron_spark.pool import Pool
+
+    stage = _stage_root(sf_dir, "orders_drift_lake_v2", "orders")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.isfile(os.path.join(stage, "_STAGED")):
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_orderstatus",
+                # the legacy footprint stores whole-unit prices as FLOAT.
+                # Values are floored to integers (float-exact < 2^24) on
+                # purpose: arbitrary float-narrowed fractions are ulp
+                # multiples that land EXACTLY on decimal rounding ties,
+                # where Spark rounds half-up and DuckDB half-even — the
+                # TYPE drift is the contract under test, not float
+                # re-rounding.
+                F.floor("o_totalprice").cast("float").alias("o_totalprice"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "era=old"))
+        )
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "era=new"))
+        )
+        open(os.path.join(stage, "_STAGED"), "w").close()
+    unified = Pool(spark, stage).scan_unified()
+    return unified.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("bigint")).alias(
+            "n_prioritized"
+        ),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
