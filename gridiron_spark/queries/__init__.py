@@ -161,6 +161,8 @@ _DEFER_R6 = (
     "ingest_normalize_roundtrip",
     "shingle_novelty_score",
     "scan_unified_drift_roundtrip",
+    "dedup_keep_best",
+    "ingest_json_roundtrip",
 )
 
 

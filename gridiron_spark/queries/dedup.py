@@ -693,3 +693,95 @@ def shingle_novelty_score(spark, sf_dir):
             F.max("df").cast("bigint").alias("max_df"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    survey="NS-dedup(quality-aware keep-best-of-cluster: near-dup clusters keep the content-richest member),J1,W2",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT * FROM (
+        SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+    SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl USING (doc_id)
+),
+q AS (
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+               AS uniq
+    FROM documents
+)
+SELECT a.doc_id, a.cluster_id, q.uniq AS n_unique_tokens,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY a.cluster_id ORDER BY q.uniq DESC, a.doc_id
+            ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM allc a JOIN q USING (doc_id)
+""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster collapse — the curation form of keep-one:
+    near-dup clusters (prefix-filtered pairs → star connected components,
+    the 100 TB generators) keep their CONTENT-RICHEST member (most unique
+    tokens, ties to the smaller doc_id) instead of corpus_clean_pipeline's
+    positional min-doc_id. Singletons are their own cluster and always
+    keep. This is how production pipelines actually collapse duplicate
+    groups: preserve the best copy, not the first-crawled one.
+
+    Scale shape: pair generation and clustering are the audited lossless
+    scale paths; the representative choice is a rank-1 window on
+    cluster_id — key cardinality ≈ corpus (every doc belongs to exactly
+    one cluster), so the Partial WindowGroupLimit prunes map-side and no
+    single task ever holds more than a cluster.
+    """
+    from gridiron_spark.operators.dedup import connected_components_star
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_pairs(doc, threshold=0.5, shingle_k=3)
+    cl = connected_components_star(pairs)
+    allc = doc.select("doc_id").join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    q = doc.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+        .cast("bigint")
+        .alias("n_unique_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_unique_tokens").desc(), "doc_id"
+    )
+    return (
+        allc.join(q, "doc_id")
+        .withColumn(
+            "keep",
+            (F.row_number().over(w) == 1).cast("bigint"),
+        )
+        .select("doc_id", "cluster_id", "n_unique_tokens", "keep")
+    )

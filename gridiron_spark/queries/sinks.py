@@ -275,3 +275,72 @@ def scan_unified_drift_roundtrip(spark, sf_dir):
         ),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+_DOCS_RT_SCHEMA = {
+    "table": "documents_rt",
+    "columns": {
+        "doc_id": {"type": "long", "aliases": ["id"]},
+        "text": {"type": "string", "aliases": ["body"]},
+        "lang": {"type": "string", "aliases": ["language"]},
+        "source": {"type": "string", "aliases": ["src"]},
+        "ingest_tag": {"type": "string", "default": "jsonl"},
+    },
+}
+
+
+@register(
+    "ingest_json_roundtrip",
+    survey="S1(JSON-lines source branch through the same alias/cast/default normalize pipeline) as a round-trip",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_tagged
+FROM documents
+GROUP BY source
+""",
+)
+def ingest_json_roundtrip(spark, sf_dir):
+    """The JSON-lines intake branch — the common raw shape for crawled
+    document corpora — through the SAME normalize pipeline as CSV,
+    externally evidenced: documents re-keyed to alias field names
+    ({"id", "body", "language", "src"}) and written as JSON lines, then
+    re-ingested via LakeIngestor.load_and_normalize(source_format="json")
+    (permissive scan → alias resolution → casts → the ingest_tag constant
+    default for a field absent from the source) and aggregated per source
+    against the original table. JSON escaping of the text payload is
+    exactly what silently corrupts document corpora; the token sums flip
+    on any mangled row. Scale shape: export and scan are partition-
+    parallel; one aggregation shuffle."""
+    from gridiron_spark.ingest import LakeIngestor
+    from gridiron_spark.schema.registry import TableSchema
+
+    stage = _stage_root(sf_dir, "documents_alias_jsonl", "documents")
+    doc = load_table(spark, sf_dir, "documents")
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        (
+            doc.select(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("body"),
+                F.col("lang").alias("language"),
+                F.col("source").alias("src"),
+            )
+            .write.mode("overwrite")
+            .json(stage)
+        )
+    ing = LakeIngestor(
+        spark,
+        TableSchema.from_dict(_DOCS_RT_SCHEMA),
+        pool=os.path.join(stage, "_unused_pool"),
+    )
+    norm = ing.load_and_normalize(stage, source_format="json")
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "sum_tokens"
+        ),
+        F.sum((F.col("ingest_tag") == "jsonl").cast("bigint")).alias(
+            "n_tagged"
+        ),
+    )
