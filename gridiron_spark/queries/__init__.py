@@ -163,6 +163,7 @@ _DEFER_R6 = (
     "scan_unified_drift_roundtrip",
     "dedup_keep_best",
     "ingest_json_roundtrip",
+    "cluster_split_assign",
 )
 
 

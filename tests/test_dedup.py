@@ -384,3 +384,27 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
             for r in fn(pairs, reliable_checkpoint=True).collect()
         }
         assert got >= want - {(12, 12)}, (fn.__name__, got)
+
+
+def test_cluster_split_never_straddles(spark):
+    """Leakage-free split invariant: every near-dup cluster maps to exactly
+    one split, and all three splits actually occur at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_ORACLE
+
+    df = catalog()["cluster_split_assign"].spark_fn(spark, SF_ORACLE).cache()
+    straddlers = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.8  # ~90/5/5 by construction
+    df.unpersist()
