@@ -351,3 +351,23 @@ def test_asof_forward_single_shuffle(spark):
     ))
     assert shuffles == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_novelty_has_no_pair_fanout(spark):
+    """shingle_novelty_score must never multiply rows: no self-join on the
+    shingle key (that's the pair generators' job), no cartesian — just the
+    DF aggregate, the join-back, and the per-doc aggregate."""
+    plan = _plan_of(spark, "shingle_novelty_score")
+    assert "CartesianProduct" not in plan, plan
+    # one shuffle join (inverted index ⋈ DF) + two aggregation exchanges
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_corpus_rank_no_single_task_window(spark):
+    """The vocabulary-wide frequency rank must go through the range-exchange
+    running sum — a bare global row_number would single-task the corpus
+    vocabulary. Guard: no Exchange SinglePartition feeding a Window."""
+    import re
+
+    plan = _plan_of(spark, "corpus_rank_quality")
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan), plan
