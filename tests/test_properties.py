@@ -112,3 +112,35 @@ def test_dup_span_coverage_matches_bruteforce(spark, corpus, k):
         assert got[i] == (len(per_doc_positions[i]), len(covered)), (
             i, corpus, k,
         )
+
+
+_WORD = st.text(alphabet="abcd", min_size=1, max_size=6)
+_WORD_FREQ = st.dictionaries(_WORD, st.integers(1, 9), min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wf=_WORD_FREQ, n_merges=st.integers(1, 5))
+def test_bpe_loop_matches_reference_on_random_vocab(spark, wf, n_merges):
+    """The declarative BPE merge loop must reproduce the reference Python
+    BPE merge-for-merge on ANY random (word, freq) table — a 4-letter
+    alphabet with short words forces dense pair collisions and frequent
+    ties, the regime where the (n DESC, a, b) tie-break and the
+    left-to-right non-overlap scan actually matter. Early-converging
+    vocabularies (fewer emitted merges than requested) must truncate
+    identically on both sides."""
+    from gridiron_spark.operators.bpe import bpe_merge_table
+    from tests.test_semdedup_bpe import _reference_bpe
+
+    expected = _reference_bpe(dict(wf), n_merges=n_merges)
+    wc = spark.createDataFrame(
+        [(w, n) for w, n in wf.items()], "word string, freq bigint"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["n"])
+        for r in bpe_merge_table(wc, n_merges=n_merges).orderBy("step").collect()
+    ]
+    assert got == expected
