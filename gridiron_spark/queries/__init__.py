@@ -58,37 +58,23 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.curation",
 )
 
-# Rotating re-verification ring (round 5+). CORRECTNESS_r04 was 50/50 green,
-# so every catalog query now carries a driver evidence row; the window's job
-# shifts from gap-closing to freshness. Each query is tiered by the ROUND of
-# its most recent driver evidence row (computed from CORRECTNESS_r0{1..4}):
+# Rotating re-verification ring (round 5+). CORRECTNESS_r04 and _r05 were
+# both 50/50 green, so every catalog query carries a driver evidence row;
+# the window's job is freshness. Each query is tiered by the ROUND of its
+# most recent driver evidence row (computed from CORRECTNESS_r0{1..5}):
 # new queries first, then oldest evidence first, so no query's evidence ever
 # goes more than ~2-3 rounds stale. In-repo pytest (test_oracle_parity)
 # still re-checks every oracle each run, so nothing regresses silently while
 # out of the driver's window. Update after each round's CORRECTNESS lands.
-
-# Latest driver evidence row is from round 2 (43 queries — the stalest).
-_EVIDENCE_R2 = frozenset(
-    {
-        "agg_summary", "ann_cosine_topk", "ann_ivf_topk", "cogroup_reconcile",
-        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "distinct_keys", "doc_chunking", "doc_fingerprint", "filter_project",
-        "join_enrich", "multi_join_topk_revenue", "multimodal_decode",
-        "multimodal_frame_sample", "range_join_bands", "rollup_revenue",
-        "sample_join_back", "scalar_functions", "semi_join_membership",
-        "simhash_fingerprint", "simhash_near_pairs", "streaming_dedup_e2e",
-        "streaming_enrich_e2e", "streaming_session_e2e",
-        "streaming_tumbling_e2e", "string_functions", "text_lang_id",
-        "text_normalize", "text_quality_score", "text_token_count",
-        "topk_orders", "topk_per_group", "tumbling_window_agg", "udtf_bigrams",
-        "union_distinct", "window_frame_stats", "window_rank_suite",
-        "winnow_fingerprint", "word_topk",
-    }
-)
+# Round 6: _EVIDENCE_R2 emptied into _EVIDENCE_R5 (all 43 re-verified green
+# in r5) and was retired.
 
 # Latest driver evidence row is from round 3 (44 queries, incl. the four
-# rows-only-by-design no_oracle rows recorded that round).
+# rows-only-by-design no_oracle rows recorded that round) — now the stalest
+# tier. The four rows-only entries (no hash to refresh — the driver records
+# the same weaker rows-only check every time) sort AFTER the 40
+# oracle-bearing ones, so oracle hash evidence is refreshed first when the
+# window can't fit all 44.
 _EVIDENCE_R3 = frozenset(
     {
         "ann_recall_eval", "asof_join_events", "corpus_clean_pipeline",
@@ -108,6 +94,15 @@ _EVIDENCE_R3 = frozenset(
         "streaming_sliding_e2e", "supplier_part_relation",
         "top_revenue_supplier", "training_data_pipeline", "unpivot_metrics",
         "window_lag_delta",
+    }
+)
+
+# The rows-only subset of _EVIDENCE_R3 (seeded-JVM MLlib family + 3-D
+# tensor output): re-verified last within the tier (see note above).
+_ROWS_ONLY_R3 = frozenset(
+    {
+        "grouped_map_tensorize", "mllib_ann_brp_topk", "mllib_minhash_banded",
+        "mllib_minhash_sim_join",
     }
 )
 
@@ -137,26 +132,37 @@ _EVIDENCE_R4 = frozenset(
     }
 )
 
-# CORRECTNESS_r04 had zero red rows, so there is no fixed-reds tier this
-# round. New round-5 queries register here (tier 1, ahead of all
-# re-verification) so they get their first evidence row immediately.
-_NEW_R5 = (
-    "semdedup_prune",
-    "bpe_merge_sequence",
-    "bpe_encode_tokens",
-    "staged_candidate_pairs",
-    "multimodal_wav_roundtrip",
-    "multimodal_ppm_roundtrip",
-    "winnow_overlap_pairs",
+# Latest driver evidence row is from round 5 (50/50 green window: the 7
+# round-5 additions' first rows + all 43 then-stalest round-2 entries).
+_EVIDENCE_R5 = frozenset(
+    {
+        "agg_summary", "ann_cosine_topk", "ann_ivf_topk",
+        "bpe_encode_tokens", "bpe_merge_sequence", "cogroup_reconcile",
+        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "distinct_keys", "doc_chunking", "doc_fingerprint", "filter_project",
+        "join_enrich", "multi_join_topk_revenue", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_ppm_roundtrip",
+        "multimodal_wav_roundtrip", "range_join_bands", "rollup_revenue",
+        "sample_join_back", "scalar_functions", "semdedup_prune",
+        "semi_join_membership", "simhash_fingerprint", "simhash_near_pairs",
+        "staged_candidate_pairs", "streaming_dedup_e2e",
+        "streaming_enrich_e2e", "streaming_session_e2e",
+        "streaming_tumbling_e2e", "string_functions", "text_lang_id",
+        "text_normalize", "text_quality_score", "text_token_count",
+        "topk_orders", "topk_per_group", "tumbling_window_agg",
+        "udtf_bigrams", "union_distinct", "window_frame_stats",
+        "window_rank_suite", "winnow_fingerprint", "winnow_overlap_pairs",
+        "word_topk",
+    }
 )
 
-# Built after the round-5 window froze at exactly 50 (7 new + all 43
-# stalest): these sort LAST this round — in-repo oracle parity checks them
-# every pytest run now, and round 6 promotes them into the window's new
-# tier for their first driver evidence row. Without this tier a
-# late-round addition would land in the "no evidence row" safety net and
-# evict a stale entry from the ring.
-_DEFER_R6 = (
+# CORRECTNESS_r05 had zero red rows, so there is no fixed-reds tier this
+# round. Tier 1 = first-driver-row queue: the 7 entries banked behind the
+# frozen round-5 window (built + in-repo parity-green in r5, promoted here
+# for their first driver evidence rows) followed by the genuinely-new
+# round-6 queries as they land.
+_NEW_R6 = (
     "corpus_rank_quality",
     "ingest_normalize_roundtrip",
     "shingle_novelty_score",
@@ -183,24 +189,25 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. new this round — first evidence row (_NEW_R5)
+    #   1. first-driver-row queue (_NEW_R6: r5-banked promotions + new r6)
     #   2. anything without an evidence row (safety net; empty by audit)
-    #   3. stalest evidence (round 2) — the re-verification ring's head
-    #   4. round-3 evidence — fills whatever window slots remain
-    #   5. round-4 evidence — freshest, re-verified last
-    new_r5, defer_r6 = set(_NEW_R5), set(_DEFER_R6)
+    #   3. stalest evidence (round 3, oracle-bearing) — the ring's head
+    #   4. round-3 rows-only (no hash to refresh) — after the oracles
+    #   5. round-4 evidence — fills whatever window slots remain
+    #   6. round-5 evidence — freshest, re-verified last
+    new_r6 = set(_NEW_R6)
 
     def tier(name: str) -> int:
-        if name in new_r5:
+        if name in new_r6:
             return 1
-        if name in defer_r6:
-            return 6
-        if name in _EVIDENCE_R2:
-            return 3
-        if name in _EVIDENCE_R3:
+        if name in _ROWS_ONLY_R3:
             return 4
+        if name in _EVIDENCE_R3:
+            return 3
         if name in _EVIDENCE_R4:
             return 5
+        if name in _EVIDENCE_R5:
+            return 6
         return 2
 
     entries = list(_CATALOG.items())

@@ -3,19 +3,19 @@
 External verification hash-checks the first 50 catalog entries in catalog
 order, so the ordering is load-bearing. Since round 5 the window is a
 rotating re-verification ring: new queries get their first evidence row
-immediately, then the stalest-evidence queries (round-2 greens) re-enter,
-then round-3, then round-4 — keeping every query's driver evidence at most
-~2-3 rounds old.
+immediately, then the stalest-evidence queries re-enter (oracle-bearing
+before rows-only), then fresher rounds — keeping every query's driver
+evidence at most ~2-3 rounds old.
 """
 
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _DEFER_R6,
-    _EVIDENCE_R2,
     _EVIDENCE_R3,
     _EVIDENCE_R4,
-    _NEW_R5,
+    _EVIDENCE_R5,
+    _NEW_R6,
+    _ROWS_ONLY_R3,
     catalog,
     oracle_sql,
     queries,
@@ -27,40 +27,42 @@ WINDOW = 50
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4, set(_NEW_R5),
-              set(_DEFER_R6)):
+    for s in (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5, set(_NEW_R6),
+              _ROWS_ONLY_R3):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
 
 def test_ordering_sets_disjoint_and_complete():
     """Evidence tiers partition the catalog: each query has exactly one
-    latest-evidence round (or is new this round)."""
-    tiers = [set(_NEW_R5), _EVIDENCE_R2, _EVIDENCE_R3, _EVIDENCE_R4,
-             set(_DEFER_R6)]
+    latest-evidence round (or is in the first-driver-row queue).
+    _ROWS_ONLY_R3 is a sub-tier of _EVIDENCE_R3, not a partition member."""
+    assert _ROWS_ONLY_R3 <= _EVIDENCE_R3
+    tiers = [set(_NEW_R6), _EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
         seen |= t
     cat = set(catalog().keys())
     assert cat <= seen, f"no evidence plan for: {sorted(cat - seen)}"
+    assert seen <= cat, f"stale tier names: {sorted(seen - cat)}"
 
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r5, defer_r6 = set(_NEW_R5), set(_DEFER_R6)
+    new_r6 = set(_NEW_R6)
 
     def tier(n: str) -> int:
-        if n in new_r5:
+        if n in new_r6:
             return 1
-        if n in defer_r6:
-            return 6
-        if n in _EVIDENCE_R2:
-            return 3
-        if n in _EVIDENCE_R3:
+        if n in _ROWS_ONLY_R3:
             return 4
+        if n in _EVIDENCE_R3:
+            return 3
         if n in _EVIDENCE_R4:
             return 5
+        if n in _EVIDENCE_R5:
+            return 6
         return 2
 
     tiers = [tier(n) for n in names]
@@ -68,14 +70,21 @@ def test_tier_order():
 
 
 def test_window_rotation():
-    """Every new round-5 query and every stalest (round-2-evidence) query
-    must be inside the driver's 50-entry verification window."""
-    window = set(list(catalog().keys())[:WINDOW])
-    assert set(_NEW_R5) <= window
-    assert _EVIDENCE_R2 <= window, (
-        "stalest-evidence queries fell out of the window: "
-        f"{sorted(_EVIDENCE_R2 - window)}"
-    )
+    """Every first-driver-row queue entry must be inside the driver's
+    50-entry verification window, and the window's remainder must be
+    filled from the stalest (round-3) evidence tier."""
+    names = list(catalog().keys())
+    window = set(names[:WINDOW])
+    assert set(_NEW_R6) <= window
+    # the window fills with round-3-evidence entries after the queue;
+    # no round-4/round-5 entry may leapfrog a round-3 oracle entry
+    r3_oracle = _EVIDENCE_R3 - _ROWS_ONLY_R3
+    fresher_in_window = window & (_EVIDENCE_R4 | _EVIDENCE_R5)
+    if r3_oracle - window:
+        assert not fresher_in_window, (
+            "fresh-evidence entries in the window while stale round-3 "
+            f"oracle entries wait outside: {sorted(fresher_in_window)}"
+        )
 
 
 def test_queries_and_oracles_consistent():
@@ -86,10 +95,11 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_deferred_entries_sort_last():
-    """Round-6-deferred entries must never consume round-5 window slots."""
+def test_rows_only_r3_sort_after_r3_oracles():
+    """Within the stalest tier, rows-only entries (nothing hashable to
+    refresh) must not consume window slots ahead of oracle entries."""
     names = list(catalog().keys())
-    window = set(names[:WINDOW])
-    assert not (set(_DEFER_R6) & window), (
-        "deferred entry leaked into the verification window"
-    )
+    pos = {n: i for i, n in enumerate(names)}
+    last_oracle = max(pos[n] for n in _EVIDENCE_R3 - _ROWS_ONLY_R3)
+    first_rows_only = min(pos[n] for n in _ROWS_ONLY_R3)
+    assert last_oracle < first_rows_only
