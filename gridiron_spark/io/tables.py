@@ -109,10 +109,29 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
     if max_split <= 0:
         return len(sizes)
-    # bin-packed splits: each file contributes ceil(size/maxSplit) splits,
-    # packed greedily — the file count is the floor, the split count the cap
-    splits = sum(-(-s // max_split) for s in sizes) if max_split else len(sizes)
-    return max(len(sizes), min(splits, -(-total // max_split)))
+    # Replay Spark's ACTUAL packing (FilePartition.getFilePartitions), not a
+    # ceil(total/maxSplit) bound — greedy packing closes a partition early
+    # whenever the next split would overflow it, so the true count can
+    # exceed the ceiling (many-small-files) or undershoot the file count
+    # (files pack together). Split each file into ≤maxSplit pieces, sort
+    # pieces descending, then accumulate: close when cur + piece > maxSplit;
+    # each added piece weighs length + openCost.
+    pieces: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            pieces.append(max_split)
+            s -= max_split
+        pieces.append(s)
+    pieces.sort(reverse=True)
+    parts, cur = 0, 0
+    for p in pieces:
+        if cur + p > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += p + open_cost
+    if cur > 0:
+        parts += 1
+    return max(1, parts)
 
 
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:

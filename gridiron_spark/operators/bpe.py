@@ -86,20 +86,34 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
             )
         )
         seg = (
-            seg.crossJoin(
+            # LEFT join against the (≤1-row) winner, not a crossJoin: if a
+            # round finds no candidate pair (vocabulary fully merged / all
+            # single-symbol words) the winner frame is EMPTY, and a cross
+            # join would wipe every remaining segmentation. With the left
+            # join the null pattern makes replace() null and the coalesce
+            # keeps the segmentation unchanged — reference BPE's behavior
+            # (training just stops producing merges). The oracle replays
+            # the same LEFT JOIN + COALESCE, so parity holds either way.
+            seg.join(
                 F.broadcast(
                     best.select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
-                )
+                ),
+                on=F.lit(True),
+                how="left",
             )
             .select(
                 "word",
                 "freq",
-                F.replace(
-                    F.col("seg"),
-                    F.concat(
-                        F.lit(SENTINEL), F.col("_ba"), F.lit(SENTINEL), F.col("_bb")
+                F.coalesce(
+                    F.replace(
+                        F.col("seg"),
+                        F.concat(
+                            F.lit(SENTINEL), F.col("_ba"),
+                            F.lit(SENTINEL), F.col("_bb"),
+                        ),
+                        F.concat(F.lit(SENTINEL), F.col("_ba"), F.col("_bb")),
                     ),
-                    F.concat(F.lit(SENTINEL), F.col("_ba"), F.col("_bb")),
+                    F.col("seg"),
                 ).alias("seg"),
             )
             # vocab-sized, but 8 rounds of explode+agg+join would stack into

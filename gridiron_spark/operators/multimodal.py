@@ -185,13 +185,20 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
     }
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, codecs: bool = True) -> DataFrame:
     """Arrow-batched decode pass: mapInPandas over (media_id, kind, payload).
 
     Column-pruned input (payload only enters this stage), batch-shaped work
     (one pandas frame per Arrow batch, not per row), null-safe. At scale this
     stage is a map-only pass — no shuffle — and its parallelism is the scan
     partitioning of the media table.
+
+    ``codecs=False`` skips the magic-sniffed real codecs entirely and
+    reports byte stats for every row — for sources whose payloads are NOT
+    container files (e.g. raw text bytes), where a payload coincidentally
+    starting with ``P6``/``RIFF`` must not be re-interpreted as media (its
+    content_md5 would silently become md5(decoded samples) instead of
+    md5(bytes)).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -201,8 +208,15 @@ def decode_media(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 try:
+                    if not codecs:
+                        raise NotImplementedError
                     d = _decode_payload(kind, bytes(payload))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError: no dependency-free codec for the
+                    # format (or codecs disabled). ValueError: the magic
+                    # sniff matched but the payload is not a well-formed
+                    # container — decode degrades to the deterministic
+                    # byte-stats fake rather than killing the task.
                     d = _fake_decode(kind, bytes(payload))
                 out.append(
                     (int(mid), kind, d["n_bytes"], d["content_md5"], d["decoded_ok"])

@@ -695,6 +695,33 @@ def shingle_novelty_score(spark, sf_dir):
     )
 
 
+_CLUSTER_MAP_PARAMS = {"threshold": 0.5, "shingle_k": 3}
+
+
+def _staged_cluster_map(spark, sf_dir, doc):
+    """The near-dup cluster map (prefix-filtered pairs → star connected
+    components) as a staged artifact shared by dedup_keep_best and
+    cluster_split_assign: mined once per (source fingerprint, params) with
+    atomic publication (io/staging.py), read back under an explicit
+    schema. The params hash in the key means editing the similarity
+    threshold or shingle size re-mines instead of serving a stale map."""
+    from gridiron_spark.io.staging import ensure_stage, stage_path
+    from gridiron_spark.operators.dedup import connected_components_star
+
+    stage = stage_path(
+        sf_dir, "cluster_map", "documents", params=_CLUSTER_MAP_PARAMS
+    )
+    ensure_stage(
+        stage,
+        lambda p: connected_components_star(
+            prefix_filtered_pairs(doc, **_CLUSTER_MAP_PARAMS)
+        )
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.schema("doc_id bigint, cluster_id bigint").parquet(stage)
+
+
 @register(
     "dedup_keep_best",
     survey="NS-dedup(quality-aware keep-best-of-cluster: near-dup clusters keep the content-richest member),J1,W2",
@@ -757,24 +784,12 @@ def dedup_keep_best(spark, sf_dir):
     one cluster), so the Partial WindowGroupLimit prunes map-side and no
     single task ever holds more than a cluster.
     """
-    import os
-
-    from gridiron_spark.queries.sinks import source_fingerprint
-
     doc = load_table(spark, sf_dir, "documents")
     # the cluster map IS a dedup pipeline's canonical staged artifact —
-    # mined once per source fingerprint (same _SUCCESS-gated convention as
-    # staged_candidate_pairs); the oracle replays the full recursive
-    # closure every check, so staleness or drift flips the hash.
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = (f"/tmp/gridiron_sink_stage/cluster_map_v1_{tag}"
-             f"_{source_fingerprint(sf_dir, 'documents')}")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        from gridiron_spark.operators.dedup import connected_components_star
-
-        pairs = prefix_filtered_pairs(doc, threshold=0.5, shingle_k=3)
-        connected_components_star(pairs).write.mode("overwrite").parquet(stage)
-    cl = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(stage)
+    # mined once per (source fingerprint, operator params); the oracle
+    # replays the full recursive closure every check, so staleness or
+    # drift flips the hash.
+    cl = _staged_cluster_map(spark, sf_dir, doc)
     allc = doc.select("doc_id").join(cl, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
@@ -858,19 +873,8 @@ def cluster_split_assign(spark, sf_dir):
     invariant is structural (split is a pure function of cluster_id), and
     the oracle replays the full recursive closure + bucketing.
     """
-    import os
-
-    from gridiron_spark.operators.dedup import connected_components_star
-    from gridiron_spark.queries.sinks import source_fingerprint
-
     doc = load_table(spark, sf_dir, "documents")
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = (f"/tmp/gridiron_sink_stage/cluster_map_v1_{tag}"
-             f"_{source_fingerprint(sf_dir, 'documents')}")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        pairs = prefix_filtered_pairs(doc, threshold=0.5, shingle_k=3)
-        connected_components_star(pairs).write.mode("overwrite").parquet(stage)
-    cl = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(stage)
+    cl = _staged_cluster_map(spark, sf_dir, doc)
     cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     bucket = (
         F.conv(F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10)

@@ -33,9 +33,12 @@ FROM documents
 )
 def multimodal_decode(spark, sf_dir):
     """Binary payload → Arrow-batched decode (mapInPandas). The fake decode
-    is content-deterministic, so the whole UDF stage is oracle-checked."""
+    is content-deterministic, so the whole UDF stage is oracle-checked.
+    codecs=False: these payloads are raw text bytes, so a doc that happens
+    to start with "P6"/"RIFF" must not be parsed as a container — the
+    contract here is byte stats (oracle: md5(text))."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(media_from_documents(docs))
+    return decode_media(media_from_documents(docs), codecs=False)
 
 
 @register(

@@ -20,28 +20,16 @@ import os
 from pyspark.sql import functions as F
 
 from gridiron_spark.functions.decimal_safe import dsum
+
+# source_fingerprint moved to io.staging (nanosecond mtime + atomic
+# materialization live there now); re-exported for existing importers.
+from gridiron_spark.io.staging import (  # noqa: F401
+    ensure_stage,
+    source_fingerprint,
+    stage_path,
+)
 from gridiron_spark.io.tables import load_table
 from gridiron_spark.queries import register
-
-
-def source_fingerprint(sf_dir: str, table: str) -> str:
-    """Cheap content fingerprint (size + mtime) of a source parquet file.
-    Folded into stage keys so a REGENERATED source (same path, new data —
-    e.g. the driver refreshing testdata between rounds) can never alias a
-    stale staged artifact: the key changes, the stage rebuilds."""
-    try:
-        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        return f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        return "nostat"
-
-
-def _stage_root(sf_dir: str, kind: str, table: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return (
-        f"/tmp/gridiron_sink_stage/{kind}_v1_{tag}"
-        f"_{source_fingerprint(sf_dir, table)}"
-    )
 
 
 @register(
@@ -66,16 +54,16 @@ def sink_partitioned_roundtrip(spark, sf_dir):
     count or the decimal sum. Scale shape: partitionBy writer is
     shuffle-free (task-local partition files); dynamic overwrite touches
     only the replayed partition's directory."""
-    stage = _stage_root(sf_dir, "orders_by_status", "orders")
+    stage = stage_path(sf_dir, "orders_by_status", "orders")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        (
-            o.write.mode("overwrite")
-            .partitionBy("o_orderstatus")
-            .parquet(stage)
-        )
+    ensure_stage(
+        stage,
+        lambda p: o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(p),
+    )
     # replay one partition through the dynamic-overwrite path every run:
     # same rows in, so the round-trip is only green if overwrite REPLACES
     # (never appends) and touches ONLY the written partition.
@@ -113,10 +101,12 @@ def sink_csv_roundtrip(spark, sf_dir):
     sinks; the token and char sums flip on any mangled row. Scale shape:
     both write and read are partition-parallel, no shuffle until the final
     aggregate."""
-    stage = _stage_root(sf_dir, "documents_csv", "documents")
+    stage = stage_path(sf_dir, "documents_csv", "documents")
     doc = load_table(spark, sf_dir, "documents")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        doc.write.mode("overwrite").option("header", True).csv(stage)
+    ensure_stage(
+        stage,
+        lambda p: doc.write.mode("overwrite").option("header", True).csv(p),
+    )
     back = (
         spark.read.schema(
             "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -174,20 +164,20 @@ def ingest_normalize_roundtrip(spark, sf_dir):
     from gridiron_spark.ingest import LakeIngestor
     from gridiron_spark.schema.registry import TableSchema
 
-    stage = _stage_root(sf_dir, "orders_alias_csv", "orders")
+    stage = stage_path(sf_dir, "orders_alias_csv", "orders")
     o = load_table(spark, sf_dir, "orders")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        (
-            o.select(
-                F.col("o_orderkey").alias("OrderKey"),
-                F.col("o_custkey").alias("CustKey"),
-                F.col("o_orderstatus").alias("Status"),
-                F.col("o_totalprice").alias("TotalPrice"),
-            )
-            .write.mode("overwrite")
-            .option("header", True)
-            .csv(stage)
+    ensure_stage(
+        stage,
+        lambda p: o.select(
+            F.col("o_orderkey").alias("OrderKey"),
+            F.col("o_custkey").alias("CustKey"),
+            F.col("o_orderstatus").alias("Status"),
+            F.col("o_totalprice").alias("TotalPrice"),
         )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(p),
+    )
     ing = LakeIngestor(
         spark,
         TableSchema.from_dict(_ORDERS_RT_SCHEMA),
@@ -236,9 +226,10 @@ def scan_unified_drift_roundtrip(spark, sf_dir):
     map-side; the aggregate is the only shuffle."""
     from gridiron_spark.pool import Pool
 
-    stage = _stage_root(sf_dir, "orders_drift_lake_v2", "orders")
+    stage = stage_path(sf_dir, "orders_drift_lake", "orders")
     o = load_table(spark, sf_dir, "orders")
-    if not os.path.isfile(os.path.join(stage, "_STAGED")):
+
+    def _write_lake(p: str) -> None:
         (
             o.filter(F.col("o_orderkey") % 2 == 1)
             .select(
@@ -254,7 +245,7 @@ def scan_unified_drift_roundtrip(spark, sf_dir):
                 F.floor("o_totalprice").cast("float").alias("o_totalprice"),
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(stage, "era=old"))
+            .parquet(os.path.join(p, "era=old"))
         )
         (
             o.filter(F.col("o_orderkey") % 2 == 0)
@@ -263,9 +254,12 @@ def scan_unified_drift_roundtrip(spark, sf_dir):
                 "o_orderpriority",
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(stage, "era=new"))
+            .parquet(os.path.join(p, "era=new"))
         )
-        open(os.path.join(stage, "_STAGED"), "w").close()
+        # the era subtrees carry their own _SUCCESS; gate the whole lake
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    ensure_stage(stage, _write_lake)
     unified = Pool(spark, stage).scan_unified()
     return unified.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -316,19 +310,19 @@ def ingest_json_roundtrip(spark, sf_dir):
     from gridiron_spark.ingest import LakeIngestor
     from gridiron_spark.schema.registry import TableSchema
 
-    stage = _stage_root(sf_dir, "documents_alias_jsonl", "documents")
+    stage = stage_path(sf_dir, "documents_alias_jsonl", "documents")
     doc = load_table(spark, sf_dir, "documents")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        (
-            doc.select(
-                F.col("doc_id").alias("id"),
-                F.col("text").alias("body"),
-                F.col("lang").alias("language"),
-                F.col("source").alias("src"),
-            )
-            .write.mode("overwrite")
-            .json(stage)
+    ensure_stage(
+        stage,
+        lambda p: doc.select(
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("body"),
+            F.col("lang").alias("language"),
+            F.col("source").alias("src"),
         )
+        .write.mode("overwrite")
+        .json(p),
+    )
     ing = LakeIngestor(
         spark,
         TableSchema.from_dict(_DOCS_RT_SCHEMA),

@@ -691,9 +691,9 @@ pr{i} AS (
 best{i} AS (SELECT a, b, n FROM pr{i} ORDER BY n DESC, a, b LIMIT 1),
 seg{i} AS (
     SELECT w.word, w.freq,
-           replace(w.seg, '{S}' || bb.a || '{S}' || bb.b,
-                   '{S}' || bb.a || bb.b) AS seg
-    FROM seg{i - 1} w CROSS JOIN best{i} bb
+           coalesce(replace(w.seg, '{S}' || bb.a || '{S}' || bb.b,
+                            '{S}' || bb.a || bb.b), w.seg) AS seg
+    FROM seg{i - 1} w LEFT JOIN best{i} bb ON TRUE
 )"""
         )
     return "WITH " + "".join(parts)
@@ -762,19 +762,21 @@ def _staged_segmentations(spark, sf_dir):
     never re-trains the tokenizer per batch. Deterministic training ⇒ the
     stage is byte-equivalent to a recompute, which the oracle (a full
     training replay) re-proves on every check."""
-    import os
-
+    from gridiron_spark.io.staging import ensure_stage, stage_path
     from gridiron_spark.operators.bpe import bpe_segmentations, word_freq
-    from gridiron_spark.queries.sinks import source_fingerprint
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = (f"/tmp/gridiron_sink_stage/bpe_seg_v{_BPE_N_MERGES}_{tag}"
-             f"_{source_fingerprint(sf_dir, 'documents')}")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        doc = load_table(spark, sf_dir, "documents")
-        bpe_segmentations(word_freq(doc), _BPE_N_MERGES).write.mode(
-            "overwrite"
-        ).parquet(stage)
+    stage = stage_path(
+        sf_dir, "bpe_seg", "documents",
+        params={"n_merges": _BPE_N_MERGES},
+    )
+    ensure_stage(
+        stage,
+        lambda p: bpe_segmentations(
+            word_freq(load_table(spark, sf_dir, "documents")), _BPE_N_MERGES
+        )
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.schema("word string, n_syms bigint").parquet(stage)
 
 

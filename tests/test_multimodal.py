@@ -161,6 +161,30 @@ def test_decode_media_mixes_real_and_fake_codecs(spark):
     assert all(r.decoded_ok for r in rows.values())
 
 
+def test_decode_media_malformed_magic_falls_back(spark):
+    """A payload that SNIFFS as a container but is malformed (raw text
+    starting with 'P6', a truncated RIFF header) must fall back to the
+    deterministic byte-stats fake — never kill the mapInPandas task. And
+    with codecs=False, even a VALID container is treated as opaque bytes
+    (the contract for sources whose payloads are known to be raw text)."""
+    ppm, pixels = _make_ppm(4, 4)
+    text_p6 = b"P6 is the magic number of binary PPM files."
+    text_riff = b"RIFF....WAVE but nothing else follows"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(text_p6)), (2, "audio", bytearray(text_riff)),
+         (3, "image", bytearray(ppm))],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert rows[1].content_md5 == hashlib.md5(text_p6).hexdigest()
+    assert rows[2].content_md5 == hashlib.md5(text_riff).hexdigest()
+    assert rows[3].content_md5 == hashlib.md5(pixels).hexdigest()
+    # codecs off: the valid PPM row digests its BYTES, not its pixels
+    raw = {r.media_id: r for r in decode_media(media, codecs=False).collect()}
+    assert raw[3].content_md5 == hashlib.md5(ppm).hexdigest()
+    assert all(r.decoded_ok for r in rows.values())
+
+
 def test_codec_parsers_reject_garbage_without_crashing():
     """Hostile-input behavior at the codec boundary: random/truncated
     payloads must raise (ValueError for recognized-but-broken containers,

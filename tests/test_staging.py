@@ -1,0 +1,125 @@
+"""Staged-artifact keying and atomic materialization (io/staging.py).
+
+The invariants under test are the two ways a staged artifact can go stale
+or torn: (a) an operator-parameter edit silently reusing an old artifact —
+the params hash in the key must force a re-mine; (b) a reader observing a
+half-written stage — publication must be a single atomic rename, and a
+lost race must defer to the winner.
+"""
+
+from __future__ import annotations
+
+import os
+
+from gridiron_spark.io import staging
+
+
+def _touch_source(tmp_path):
+    (tmp_path / "documents.parquet").write_bytes(b"source-bytes")
+    return str(tmp_path)
+
+
+def test_params_change_forces_new_key(tmp_path):
+    """Editing a threshold/band config without bumping any version string
+    must still produce a different stage key (VERDICT r5 item 6)."""
+    sf = _touch_source(tmp_path)
+    a = staging.stage_path(sf, "cluster_map", "documents",
+                           params={"threshold": 0.5, "shingle_k": 3})
+    b = staging.stage_path(sf, "cluster_map", "documents",
+                           params={"threshold": 0.6, "shingle_k": 3})
+    c = staging.stage_path(sf, "cluster_map", "documents",
+                           params={"shingle_k": 3, "threshold": 0.5})
+    assert a != b  # changed param → changed key
+    assert a == c  # dict ordering is canonicalized
+
+
+def test_params_hash_deterministic_and_short():
+    h = staging.params_hash({"bands": 4, "rows_per_band": 4})
+    assert h == staging.params_hash({"rows_per_band": 4, "bands": 4})
+    assert len(h) == 8
+    assert staging.params_hash(None) == staging.params_hash({})
+
+
+def test_ensure_stage_writes_once_and_reuses(tmp_path, monkeypatch):
+    monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stages"))
+    sf = _touch_source(tmp_path)
+    stage = staging.stage_path(sf, "demo", "documents", params={"k": 1})
+    calls = []
+
+    def write(p):
+        calls.append(p)
+        os.makedirs(p, exist_ok=True)
+        open(os.path.join(p, "part-0"), "w").write("data")
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    got = staging.ensure_stage(stage, write)
+    assert got == stage and staging.is_ready(stage)
+    staging.ensure_stage(stage, write)
+    assert len(calls) == 1, "ready stage must not be rewritten"
+    # the write happened in a tmp sibling, never at the published path
+    assert calls[0] != stage and calls[0].startswith(stage + ".tmp.")
+
+
+def test_ensure_stage_lost_race_defers_to_winner(tmp_path, monkeypatch):
+    """If a concurrent writer publishes the key first, our tmp dir is
+    discarded and the winner's artifact is served."""
+    monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stages"))
+    sf = _touch_source(tmp_path)
+    stage = staging.stage_path(sf, "demo", "documents")
+
+    def write_losing(p):
+        os.makedirs(p, exist_ok=True)
+        open(os.path.join(p, "part-0"), "w").write("loser")
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        # the race: a competing writer lands the key mid-write
+        os.makedirs(stage, exist_ok=True)
+        open(os.path.join(stage, "part-0"), "w").write("winner")
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+    staging.ensure_stage(stage, write_losing)
+    assert open(os.path.join(stage, "part-0")).read() == "winner"
+    assert not any(
+        ".tmp." in n for n in os.listdir(os.path.dirname(stage))
+    ), "lost-race tmp dir must be cleaned up"
+
+
+def test_prune_removes_stale_same_kind_variants(tmp_path, monkeypatch):
+    """A re-mine under a new fingerprint/params must garbage-collect older
+    variants of the same kind — /tmp must not accumulate dead stages —
+    while leaving other kinds and in-flight tmp dirs alone."""
+    monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stages"))
+    root = str(tmp_path / "stages")
+    sf = _touch_source(tmp_path)
+
+    def mk(name):
+        p = os.path.join(root, name)
+        os.makedirs(p, exist_ok=True)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        return p
+
+    stale = mk("cluster_map--deadbeef--old_tag--1_2")
+    other_kind = mk("cand_pairs--deadbeef--old_tag--1_2")
+    inflight = mk("cluster_map--feedface--tag--9_9.tmp.12345")
+
+    stage = staging.stage_path(sf, "cluster_map", "documents")
+    staging.ensure_stage(stage, lambda p: mk(os.path.basename(p)))
+    assert not os.path.exists(stale), "stale same-kind variant survives"
+    assert os.path.exists(other_kind), "other kinds must not be pruned"
+    assert os.path.exists(inflight), "in-flight tmp dirs must not be pruned"
+    assert staging.is_ready(stage)
+
+
+def test_scan_partition_estimate_matches_spark(spark, tmp_path):
+    """The plan-free estimate (io/tables._estimated_scan_partitions) must
+    replay Spark's greedy FilePartition packing, not a ceil(total/maxSplit)
+    bound — checked against the actual scan partitioning for a
+    many-small-files lake, where the greedy count exceeds the ceiling."""
+    from gridiron_spark.io.tables import _estimated_scan_partitions
+
+    lake = str(tmp_path / "lake")
+    # 12 small files → openCost-dominated packing
+    spark.range(0, 1200).repartition(12).write.parquet(lake)
+    df = spark.read.parquet(lake)
+    est = _estimated_scan_partitions(df)
+    actual = df.rdd.getNumPartitions()  # tests may probe; package may not
+    assert est == actual
