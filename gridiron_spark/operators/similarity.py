@@ -242,6 +242,118 @@ def lloyd_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+KMEANS_SCALE = 1 << 20  # fixed-point grid for the deterministic update
+
+
+def quantized_lloyd_update(
+    assigned: DataFrame, prev_cents: DataFrame
+) -> DataFrame:
+    """Centroid update on a fixed-point grid — the deterministic,
+    cross-engine-exact form of the Lloyd mean.
+
+    A plain ``AVG(double)`` is shuffle-order-dependent, so an iterated
+    k-means could never hash-match an oracle (and two Spark runs could
+    diverge). Instead each element is quantized ``floor(x · 2²⁰)`` — exact
+    for float32 inputs (power-of-two scaling never rounds; floor has no
+    ties) — summed as BIGINT (exact, associative, order-free), and the
+    mean is two IEEE divisions at the end: ``(sum/n)/2²⁰``. Every engine
+    computes the identical centroid bit-for-bit; the 2⁻²⁰ grid error is
+    far below any embedding's noise floor. Empty clusters keep their
+    previous centroid (standard Lloyd fallback), which also makes the
+    update idempotent at the assignment fixpoint.
+
+    SQL mirror per (cluster, dim):
+    ``(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+    AS DOUBLE) / COUNT(*)) / 1048576.0``.
+    """
+    upd = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(float(KMEANS_SCALE)))
+                .cast("bigint")
+            ).alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            (
+                (F.col("qsum").cast("double") / F.col("n"))
+                / F.lit(float(KMEANS_SCALE))
+            ).alias("val"),
+        )
+    )
+    new_c = (
+        upd.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+        .select("cluster", F.col("dv.val").alias("cvec"))
+    )
+    return (
+        prev_cents.alias("p")
+        .join(new_c.alias("n"), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"),
+        )
+    )
+
+
+def seed_centroids(emb: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic seeds: the first ``k`` vectors, elements widened to
+    double so seeds and updated centroids share one type."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's algorithm TO CONVERGENCE (capped at ``rounds``): iterate
+    assign → quantized update from the first-K seeds, early-exiting when
+    the assignment reaches a fixpoint. Returns the final (cluster, cvec)
+    table.
+
+    Convergence is a 1-row driver fingerprint per round (the
+    connected_components pattern, operators/dedup.py): an order-free
+    ``BIT_XOR(xxhash64(id, cluster))`` over the assignment (xor, not sum:
+    overflow-free under ANSI mode) — when it repeats,
+    the update would reproduce the same centroids (quantized means are a
+    pure function of the assignment; empty-cluster fallback chains), so
+    every further round is a no-op. That is what makes the FIXED-round
+    oracle replay exact even when Spark exits early: the unrolled rounds
+    past the fixpoint recompute identical centroids.
+
+    Scale shape per round: one linear assignment pass (broadcast
+    centroids, rank-1 WindowGroupLimit) + one k×dims aggregate; lineage is
+    cut per round with lazy localCheckpoints exactly like the BPE loop and
+    connected_components. Cost is rounds × one corpus pass — no
+    corpus-sized state on the driver, ever (the fingerprint is 1 row).
+    """
+    cents = seed_centroids(emb, k, id_col)
+    prev_fp = None
+    for _ in range(rounds):
+        assigned = lloyd_assign(emb, cents, id_col).localCheckpoint(
+            eager=False
+        )
+        fp = assigned.agg(
+            F.bit_xor(F.xxhash64(id_col, "cluster")).alias("fp")
+        ).collect()[0]["fp"]
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+        cents = quantized_lloyd_update(assigned, cents).localCheckpoint(
+            eager=False
+        )
+    return cents
+
+
 def semdedup_flags(
     emb: DataFrame,
     centroids: DataFrame,

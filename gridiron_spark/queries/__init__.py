@@ -170,6 +170,7 @@ _NEW_R6 = (
     "dedup_keep_best",
     "ingest_json_roundtrip",
     "cluster_split_assign",
+    "kmeans_converged_assign",
 )
 
 

@@ -14,25 +14,21 @@ from pyspark.sql import functions as F
 from gridiron_spark.io.tables import load_table
 from gridiron_spark.queries import register
 from gridiron_spark.queries.dedup import _JACCARD_SQL, _SHINGLES_CTE
+from gridiron_spark.queries.similarity import (
+    _KMEANS_K,
+    _KMEANS_ROUNDS,
+    _L2_AB,
+    kmeans_ctes,
+)
 
-_BAL_K = 8          # clusters (seed vectors)
 _BAL_PER_CLUSTER = 20
-
-_L2_AB = """
-list_sum(list_transform(list_zip({a}, {b}),
-         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
-""".strip()
 
 
 @register(
     "cluster_balanced_sample",
-    survey="NS-sampling(cluster-balanced curation sample: k-means assign + per-cluster quota),O5,W2",
+    survey="NS-sampling(cluster-balanced curation sample: converged k-means assign + per-cluster quota),O5,W2",
     oracle=f"""
-WITH c AS (
-    SELECT vec_id AS cluster, embedding AS cvec
-    FROM embeddings WHERE vec_id < {_BAL_K}
-),
+WITH {kmeans_ctes(_KMEANS_K, _KMEANS_ROUNDS)},
 a AS (
     SELECT vec_id, cluster FROM (
         SELECT e.vec_id, c.cluster,
@@ -40,7 +36,7 @@ a AS (
                    PARTITION BY e.vec_id
                    ORDER BY {_L2_AB.format(a="e.embedding", b="c.cvec")}, c.cluster
                ) AS arn
-        FROM embeddings e CROSS JOIN c
+        FROM embeddings e CROSS JOIN c{_KMEANS_ROUNDS} c
     ) WHERE arn = 1
 ),
 r AS (
@@ -60,18 +56,19 @@ def cluster_balanced_sample(spark, sf_dir):
     diversity-preserving sample, where a uniform sample would mirror the
     corpus's cluster imbalance.
 
-    Scale shape: assignment is the kmeans_assign plan (broadcast
-    centroids, ordered-fold L2, rank-1 WindowGroupLimit); the per-cluster
-    quota numbering reuses grouped_running_sum's range-exchange prefix-sum
-    — k is small, so a bare cluster window would single-task the corpus.
+    Scale shape: assignment is the kmeans_converged_assign plan (broadcast
+    centroids — now the CONVERGED ones off the shared staged artifact, not
+    first-K seeds — ordered-fold L2, rank-1 WindowGroupLimit); the
+    per-cluster quota numbering reuses grouped_running_sum's range-exchange
+    prefix-sum — k is small, so a bare cluster window would single-task
+    the corpus.
     """
     from gridiron_spark.operators.ordered import grouped_running_sum
     from gridiron_spark.operators.similarity import lloyd_assign
+    from gridiron_spark.queries.similarity import staged_kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _BAL_K).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
-    )
+    cents = staged_kmeans_centroids(spark, sf_dir)
     assigned = lloyd_assign(emb, cents).select(
         "vec_id",
         "cluster",
@@ -183,16 +180,24 @@ def _mine_candidate_pairs(spark, sf_dir):
 
 
 def staged_pairs(spark, sf_dir):
-    """Read the staged candidate-pair artifact, mining + writing it first if
-    absent (version-keyed per sf_dir, _SUCCESS-gated like queries/sinks.py).
-    Explicit read schema so an empty corpus still round-trips."""
-    from gridiron_spark.queries.sinks import source_fingerprint
+    """Read the staged candidate-pair artifact, mining + writing it first
+    if absent (atomic rename + _SUCCESS gate, io/staging.py). The key
+    hashes the MinHash/LSH parameters, so a config edit re-mines instead
+    of aliasing a stale artifact. Explicit read schema so an empty corpus
+    still round-trips."""
+    from gridiron_spark.io.staging import ensure_stage, stage_path
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = (f"/tmp/gridiron_sink_stage/cand_pairs_v1_{tag}"
-             f"_{source_fingerprint(sf_dir, 'documents')}")
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        _mine_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    stage = stage_path(
+        sf_dir, "cand_pairs", "documents",
+        params={"n_hashes": 16, "bands": 4, "rows_per_band": 4,
+                "shingle_k": 3},
+    )
+    ensure_stage(
+        stage,
+        lambda p: _mine_candidate_pairs(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.schema(_PAIRS_SCHEMA).parquet(stage)
 
 

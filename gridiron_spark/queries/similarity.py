@@ -410,6 +410,62 @@ list_sum(list_transform(list_zip({a}, {b}),
             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
 """.strip()
 
+_KMEANS_ROUNDS = 8
+
+
+def kmeans_ctes(k: int, rounds: int) -> str:
+    """The unrolled Lloyd loop as a chained-CTE body (DuckDB), mirroring
+    operators/similarity.kmeans_fit round for round: c0 = first-k seeds
+    (elements widened to double), each round i = nearest-centroid
+    assignment a{i} (ordered-fold L2, ties to the smaller cluster) →
+    fixed-point quantized mean u{i} (floor(x·2²⁰) summed as BIGINT, two
+    IEEE divisions — bit-identical to Spark's update; see
+    quantized_lloyd_update) → c{i} with the empty-cluster fallback to the
+    previous centroid. A fixed unroll replays Spark's early-exit exactly
+    because rounds past the assignment fixpoint recompute identical
+    centroids. Returns the body after ``WITH``; callers append their
+    final SELECT against c{rounds} / a{rounds}."""
+    parts = [
+        f"""
+c0 AS (
+    SELECT vec_id AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{i} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_L2_AB.format(a="e.embedding", b="c.cvec")},
+                            c.cluster
+               ) AS rn
+        FROM embeddings e CROSS JOIN c{i - 1} c
+    ) WHERE rn = 1
+),
+u{i} AS (
+    SELECT a.cluster, u.i AS dim,
+           (CAST(SUM(CAST(FLOOR(CAST(e.embedding[u.i + 1] AS DOUBLE)
+                                * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / COUNT(*)) / 1048576.0 AS val
+    FROM a{i} a JOIN embeddings e USING (vec_id),
+         unnest(range(0, len(e.embedding))) AS u(i)
+    GROUP BY a.cluster, u.i
+),
+c{i} AS (
+    SELECT p.cluster, COALESCE(n.cvec, p.cvec) AS cvec
+    FROM c{i - 1} p LEFT JOIN (
+        SELECT cluster, list(val ORDER BY dim) AS cvec
+        FROM u{i} GROUP BY cluster
+    ) n USING (cluster)
+)"""
+        )
+    return "".join(parts)
+
 
 @register(
     "kmeans_assign",
@@ -463,15 +519,12 @@ _SEMDEDUP_THRESHOLD = 0.4
     "semdedup_prune",
     survey="NS-dedup(SemDeDup: intra-cluster semantic dedup via cosine pruning),J1,W2",
     oracle=f"""
-WITH c AS (
-    SELECT vec_id AS cluster, embedding AS cvec
-    FROM embeddings WHERE vec_id < {_KMEANS_K}
-),
+WITH {kmeans_ctes(_KMEANS_K, _KMEANS_ROUNDS)},
 d AS (
     SELECT e.vec_id, c.cluster,
            {_L2_AB.format(a="e.embedding", b="c.cvec")} AS dist2,
            e.embedding AS v
-    FROM embeddings e CROSS JOIN c
+    FROM embeddings e CROSS JOIN c{_KMEANS_ROUNDS} c
 ),
 a AS (
     SELECT vec_id, cluster, dist2, v FROM (
@@ -498,9 +551,11 @@ def semdedup_prune(spark, sf_dir):
     makes it a dedup — per cluster, rank members by distance-to-centroid
     and drop any member whose better-ranked cluster-mate is cosine-similar
     ≥ {t}. Output is a keep/drop flag per vector, the artifact a curation
-    pipeline joins against before training. Same seed-centroid config as
-    kmeans_assign / cluster_balanced_sample, so the three entries grade one
-    coherent clustering.
+    pipeline joins against before training. Clusters come from the shared
+    CONVERGED k-means stage (staged_kmeans_centroids — capped Lloyd
+    iterations with the fixed-point update), the same artifact
+    kmeans_converged_assign and cluster_balanced_sample consume, so the
+    curation family grades one coherent converged clustering.
 
     Scale shape: see operators/similarity.semdedup_flags — the pairwise
     stage is bounded by cluster size by construction (the paper's design),
@@ -509,7 +564,79 @@ def semdedup_prune(spark, sf_dir):
     from gridiron_spark.operators.similarity import semdedup_flags
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    return semdedup_flags(
+        emb, staged_kmeans_centroids(spark, sf_dir), _SEMDEDUP_THRESHOLD
     )
-    return semdedup_flags(emb, cents, _SEMDEDUP_THRESHOLD)
+
+
+def staged_kmeans_centroids(spark, sf_dir):
+    """The converged (capped-round) k-means centroids as a staged artifact
+    shared by kmeans_converged_assign, semdedup_prune, and
+    cluster_balanced_sample — trained once per (source fingerprint,
+    params), the way a production curation pipeline persists its
+    clustering. The oracle replays the full unrolled training on every
+    check, so a stale or drifted stage flips the hash."""
+    from gridiron_spark.io.staging import ensure_stage, stage_path
+    from gridiron_spark.operators.similarity import kmeans_fit
+
+    stage = stage_path(
+        sf_dir, "kmeans_cents", "embeddings",
+        params={"k": _KMEANS_K, "rounds": _KMEANS_ROUNDS, "scale": 1 << 20},
+    )
+    ensure_stage(
+        stage,
+        lambda p: kmeans_fit(
+            load_table(spark, sf_dir, "embeddings"),
+            k=_KMEANS_K,
+            rounds=_KMEANS_ROUNDS,
+        )
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.schema("cluster bigint, cvec array<double>").parquet(
+        stage
+    )
+
+
+@register(
+    "kmeans_converged_assign",
+    survey="NS-sim(k-means to convergence: capped Lloyd iterations, fixed-point deterministic update),J1,W2",
+    oracle=f"""
+WITH {kmeans_ctes(_KMEANS_K, _KMEANS_ROUNDS)},
+d AS (
+    SELECT e.vec_id, c.cluster,
+           {_L2_AB.format(a="e.embedding", b="c.cvec")} AS dist2
+    FROM embeddings e CROSS JOIN c{_KMEANS_ROUNDS} c
+)
+SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM d
+) WHERE rn = 1
+""",
+)
+def kmeans_converged_assign(spark, sf_dir):
+    """kmeans_assign's single Lloyd step, taken to convergence (capped at
+    {r} rounds): assign → fixed-point quantized mean update → reassign,
+    early-exiting on an assignment fixpoint (operators/similarity.
+    kmeans_fit). The update quantizes each element to a 2⁻²⁰ grid so the
+    centroid mean is EXACT and order-free (BIGINT sums + two IEEE
+    divisions) — the trick that makes an ITERATED clustering
+    hash-checkable cross-engine, where a double AVG would diverge on
+    shuffle order alone. Output is the final assignment with distances;
+    the centroids come off the shared staged artifact
+    (staged_kmeans_centroids) that semdedup_prune and
+    cluster_balanced_sample also consume, so the curation family now
+    grades one CONVERGED clustering instead of first-K seeds.
+
+    Scale shape: each round is one linear assignment pass (broadcast
+    k×dims centroids, rank-1 WindowGroupLimit) + one k×dims-row
+    aggregate; lineage cut per round; the convergence probe is a 1-row
+    fingerprint. Training cost amortizes across consumers via the stage.
+    """.format(r=_KMEANS_ROUNDS)
+    from gridiron_spark.operators.similarity import lloyd_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = staged_kmeans_centroids(spark, sf_dir)
+    return lloyd_assign(emb, cents).select("vec_id", "cluster", "dist2")

@@ -181,11 +181,104 @@ def test_bpe_segmentations_match_reference(spark):
     assert got == expected
 
 
+def test_kmeans_fit_inertia_monotone_to_fixpoint(spark):
+    """Lloyd with the fixed-point quantized update must (a) not increase
+    inertia across rounds beyond the 2⁻²⁰ grid error, and (b) reach a true
+    fixpoint: once the assignment repeats, further rounds change nothing."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.operators.similarity import (
+        kmeans_fit,
+        lloyd_assign,
+        quantized_lloyd_update,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = seed_centroids(emb, 4)
+    inertias = []
+    for _ in range(20):
+        a = lloyd_assign(emb, cents).localCheckpoint(eager=False)
+        inertias.append(a.agg(F.sum("dist2")).collect()[0][0])
+        cents = quantized_lloyd_update(a, cents).localCheckpoint(eager=False)
+    grid_eps = 1e-3  # generous bound on the 2^-20 quantization wobble
+    for prev, nxt in zip(inertias, inertias[1:]):
+        assert nxt <= prev + grid_eps, f"inertia rose: {prev} -> {nxt}"
+
+    # fixpoint: fitting with a cap far past convergence equals fitting at
+    # the convergence cap (extra rounds are no-ops), and the converged
+    # centroids are a fixed point of assign→update
+    c20 = kmeans_fit(emb, k=4, rounds=20)
+    c25 = kmeans_fit(emb, k=4, rounds=25)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["cluster"], tuple(r["cvec"])) for r in df.collect()
+    )
+    assert as_rows(c20) == as_rows(c25)
+    again = quantized_lloyd_update(lloyd_assign(emb, c20), c20)
+    assert as_rows(again) == as_rows(c20)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A cluster that loses all members must keep its previous centroid
+    (the fallback that also makes the update idempotent at fixpoint)."""
+    from gridiron_spark.operators.similarity import (
+        lloyd_assign,
+        quantized_lloyd_update,
+        seed_centroids,
+    )
+
+    # seeds come from a table whose vector 1 sits at [10,10]; the corpus
+    # actually assigned has every vector near the origin → cluster 1 empty
+    seeds_src = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    emb2 = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.3, 0.3]), (2, [0.2, 0.1]),
+         (3, [0.1, 0.2])],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = seed_centroids(seeds_src, 2)
+    assigned = lloyd_assign(emb2, cents)
+    assert assigned.filter("cluster = 1").count() == 0
+    updated = {r["cluster"]: list(r["cvec"])
+               for r in quantized_lloyd_update(assigned, cents).collect()}
+    assert updated[1] == [10.0, 10.0], "empty cluster lost its centroid"
+
+
+def test_bpe_exhausted_vocabulary_keeps_segmentations(spark):
+    """When a merge round finds no candidate pair (every word is a single
+    symbol), the winner frame is empty — the loop must leave the remaining
+    segmentations INTACT (reference BPE just stops producing merges), not
+    wipe the table through an empty cross join."""
+    from gridiron_spark.operators.bpe import bpe_merge_table, bpe_segmentations
+
+    wc = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "word string, freq bigint"
+    )
+    seg = {r["word"]: r["n_syms"]
+           for r in bpe_segmentations(wc, n_merges=4).collect()}
+    assert seg == {"a": 1, "b": 1, "c": 1}
+    assert bpe_merge_table(wc, n_merges=4).count() == 0
+
+    # and a vocabulary that exhausts midway: "ab"×4 merges once (a,b) then
+    # has nothing left — the later empty rounds must not disturb it
+    wc2 = spark.createDataFrame(
+        [("ab", 4), ("c", 1)], "word string, freq bigint"
+    )
+    seg2 = {r["word"]: r["n_syms"]
+            for r in bpe_segmentations(wc2, n_merges=6).collect()}
+    assert seg2 == {"ab": 1, "c": 1}
+    merges = bpe_merge_table(wc2, n_merges=6).collect()
+    assert [(m["left_sym"], m["right_sym"]) for m in merges] == [("a", "b")]
+
+
 def test_source_fingerprint_tracks_content(tmp_path):
     """Stage keys must change when a source file is regenerated (same
-    path, new bytes/mtime) — the guard against stale /tmp artifacts."""
+    path, new bytes/mtime) — the guard against stale /tmp artifacts.
+    Nanosecond mtime: a same-size rewrite WITHIN THE SAME SECOND must
+    still change the key (no sleep here, on purpose)."""
     import os
-    import time
 
     from gridiron_spark.queries.sinks import source_fingerprint
 
@@ -193,8 +286,7 @@ def test_source_fingerprint_tracks_content(tmp_path):
     f.write_bytes(b"v1")
     fp1 = source_fingerprint(str(tmp_path), "documents")
     assert fp1 != "nostat"
-    time.sleep(1.05)  # mtime granularity
-    f.write_bytes(b"v2+")
+    f.write_bytes(b"v2")  # same byte size, same wall-clock second
     fp2 = source_fingerprint(str(tmp_path), "documents")
     assert fp1 != fp2
     os.remove(f)
