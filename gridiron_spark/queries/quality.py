@@ -445,3 +445,69 @@ def corpus_rank_quality(spark, sf_dir):
             F.max("rank").cast("bigint").alias("max_rank"),
         )
     )
+
+
+# --- Model-based quality scoring ---------------------------------------------
+
+from gridiron_spark.operators.quality_model import (  # noqa: E402
+    BUCKETS as _QM_BUCKETS,
+    score_documents,
+    weights_sql_literal,
+)
+
+
+@register(
+    "model_quality_score",
+    survey="NS-text(model-based quality: fastText-style hashed linear classifier inference),F1-F7",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || '_' || toks[i + 1])
+           ) AS feats
+    FROM t
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(feats) AS BIGINT) AS n_feats,
+           CAST(COALESCE(list_sum(list_transform(feats,
+               x -> {weights_sql_literal()}[
+                   CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)
+                        % {_QM_BUCKETS} + 1 AS INT)]
+           )), 0) AS BIGINT) AS score_sum
+    FROM f
+)
+SELECT doc_id, n_feats, score_sum,
+       CASE WHEN n_feats = 0 THEN 0.0
+            ELSE CAST(score_sum AS DOUBLE) / n_feats END AS margin,
+       CAST(CASE WHEN n_feats > 0
+                  AND CAST(score_sum AS DOUBLE) / n_feats > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
+)
+def model_quality_score(spark, sf_dir):
+    """MODEL-based quality gating — the one standard LLM-pipeline filter
+    family the heuristic suite (text_redact_pii … intra_doc_repetition)
+    doesn't cover: a fastText-style linear classifier inference pass
+    (operators/quality_model.py). Words + adjacent bigrams hash into 512
+    buckets (the repo's md5 sketch family); a plan-time literal weight
+    vector scores each doc; the emitted margin is the exact pre-sigmoid
+    linear score (integer weight sums, one IEEE division) and keep
+    thresholds it at 0 — identical to thresholding the sigmoid at 0.5,
+    without exp()'s engine-divergent last ulp.
+
+    Scale shape: a pure map over the corpus scan — feature hashing,
+    weight lookup, and the score fold all run inside higher-order array
+    expressions on each row; zero exchanges (plan-guarded), no explode,
+    no Python. The weight vector rides in the plan itself, so 1000
+    executors need no side channel to serve the model.
+    """
+    return score_documents(load_table(spark, sf_dir, "documents"))

@@ -152,3 +152,51 @@ def test_lloyd_update_matches_numpy(spark):
     )
     assert inertia1 <= inertia0 + 1e-9
     assert dims == 32 or dims > 0  # schema sanity
+
+
+def test_model_quality_separates_planted_corpus(spark):
+    """The seed linear model must separate a planted junk/clean corpus:
+    spam-vocabulary docs score negative margins (keep=0), prose-like docs
+    positive (keep=1), and a featureless doc scores margin 0 / keep 0."""
+    from gridiron_spark.operators.quality_model import score_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data table join query merge sort window stream"),
+            (2, "the a data query value key hash batch spark column"),
+            (3, "click here buy now free winner casino lottery prize"),
+            (4, "urgent offer cheap free buy subscribe click winner"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in score_documents(docs).collect()}
+    assert rows[1]["keep"] == 1 and rows[1]["margin"] > 0
+    assert rows[2]["keep"] == 1 and rows[2]["margin"] > 0
+    assert rows[3]["keep"] == 0 and rows[3]["margin"] < 0
+    assert rows[4]["keep"] == 0 and rows[4]["margin"] < 0
+    assert rows[5]["keep"] == 0 and rows[5]["margin"] == 0.0
+    assert rows[5]["n_feats"] == 0
+
+    # bigram features are live: "click here"/"buy now" hit the bigram
+    # weights on top of the unigram ones
+    from gridiron_spark.operators.quality_model import (
+        feature_bucket_py,
+        model_weights,
+    )
+
+    w = model_weights()
+    assert w[feature_bucket_py("click_here")] < 0
+    assert w[feature_bucket_py("buy_now")] < 0
+
+
+def test_model_quality_weights_ride_in_plan(spark):
+    """Weight changes must flow through the plan literal (no hidden
+    state): an all-positive weight vector keeps everything."""
+    from gridiron_spark.operators.quality_model import BUCKETS, score_documents
+
+    docs = spark.createDataFrame(
+        [(1, "casino lottery spam")], "doc_id bigint, text string"
+    )
+    keep_all = score_documents(docs, weights=[1] * BUCKETS).collect()[0]
+    assert keep_all["keep"] == 1 and keep_all["score_sum"] == keep_all["n_feats"]
