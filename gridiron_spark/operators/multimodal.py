@@ -9,10 +9,12 @@ The engine-side contract for media at 100 TB:
   ``mapInPandas`` / ``pandas_udf`` stages — the only layer that ever looks
   inside the bytes, sized by batch not by row.
 
-Two dependency-free container formats decode FOR REAL — binary PPM (P6)
-images and RIFF/WAVE PCM audio, pure header+array parsing in
-``_decode_ppm`` / ``_decode_wav`` (dimensions, sample layout, and
-pixel/sample digests pytest-pinned). Formats that need a real codec library
+Three dependency-free container formats decode FOR REAL — binary PPM (P6)
+images and RIFF/WAVE PCM audio as pure header+array parsing in
+``_decode_ppm`` / ``_decode_wav``, and PNG through stdlib ``zlib`` in
+``_decode_png`` (chunk walk with CRCs, inflate, all five scanline
+unfilters; dimensions, sample layout, and pixel/sample digests
+pytest-pinned). Formats that need a real codec library
 (PIL/librosa/ffmpeg — NOT in this container) still raise
 ``NotImplementedError`` from ``_decode_payload`` and the pipeline
 substitutes a deterministic fake (md5-derived) decode, so the Spark-side
@@ -159,18 +161,170 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG via stdlib ``zlib`` only: signature + chunk walk (CRC-verified),
+    IHDR layout, concatenated-IDAT inflate, and per-scanline unfilter
+    (none/sub/up/average/paeth — the full filter set). Supports the
+    non-interlaced 8-bit-depth profiles (gray / RGB / gray+alpha / RGBA);
+    anything else (16-bit, palette, Adam7) raises ValueError like every
+    other malformed-container path, truncation-hardened like the WAV
+    parser."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        crc = payload[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc) != 4:
+            raise ValueError("truncated PNG chunk")
+        if struct.unpack(">I", crc)[0] != zlib.crc32(ctype + body):
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        raise ValueError(
+            f"unsupported PNG variant depth={bit_depth} color={color_type}"
+        )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("scanline payload size mismatch")
+    out, prev = bytearray(), bytearray(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ft == 2:  # up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = line
+    pixels = bytes(out)
+    return {
+        "n_bytes": len(payload),
+        "content_md5": hashlib.md5(pixels).hexdigest(),
+        "decoded_ok": True,
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_pixels": width * height,
+        "pixels": pixels,  # raw decoded samples, scanline order
+    }
+
+
+def _encode_png(
+    pixels: bytes, width: int, height: int, channels: int = 3
+) -> bytes:
+    """Minimal PNG writer (the roundtrip/test counterpart of
+    :func:`_decode_png`): 8-bit depth, non-interlaced, one IDAT. Each
+    scanline y is FORWARD-filtered with type ``y % 5``, so a decode of an
+    encoded image exercises every unfilter branch."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match geometry")
+    raw, prev = bytearray(), bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:
+            raw += bytes(
+                (line[x] - (line[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:
+            raw += bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            raw += bytes(
+                (line[x] - (((line[x - channels] if x >= channels else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((line[x] - pr) & 0xFF)
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_payload(kind: str, payload: bytes) -> dict:
-    """The codec boundary. Two dependency-free formats decode for real —
-    binary PPM images and RIFF/WAVE PCM audio, both pure header+array
-    parsing — with the container magic sniffed from the payload itself.
-    Every other format still needs a real codec library (PIL, soundfile,
-    pyav), not present in this environment: those raise and the pipeline
-    substitutes the deterministic fake, as documented in the module
-    docstring."""
+    """The codec boundary. Three dependency-free formats decode for real —
+    binary PPM images, RIFF/WAVE PCM audio, and PNG (stdlib zlib) — with
+    the container magic sniffed from the payload itself. Every other
+    format still needs a real codec library (PIL, soundfile, pyav), not
+    present in this environment: those raise and the pipeline substitutes
+    the deterministic fake, as documented in the module docstring."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload.startswith(_PNG_SIG):
+        return _decode_png(payload)
     raise NotImplementedError(
         f"no dependency-free codec for this {kind} payload"
     )
@@ -367,6 +521,61 @@ def ppm_roundtrip_stats(ids: DataFrame) -> DataFrame:
                 payload = f"P6\n{w} {h}\n255\n".encode() + p.astype(
                     np.uint8
                 ).tobytes()
+                d = _decode_payload("image", payload)
+                dec = np.frombuffer(d["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                out.append(
+                    (
+                        mid,
+                        int(d["width"]),
+                        int(d["height"]),
+                        int(dec.size),
+                        int(dec.sum()),
+                        int((dec * (np.arange(dec.size) + 1)).sum()),
+                        int(dec.min()),
+                        int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_samples",
+                    "sum_val", "pos_checksum", "p_min", "p_max",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _roundtrip,
+        schema=(
+            "media_id bigint, width int, height int, n_samples bigint,"
+            " sum_val bigint, pos_checksum bigint, p_min bigint, p_max bigint"
+        ),
+    )
+
+
+def png_roundtrip_stats(ids: DataFrame) -> DataFrame:
+    """PNG twin of :func:`ppm_roundtrip_stats`, with the compression loop
+    in the path: deterministic RGB pixels per id (p_i = (id·11 + i·19)
+    mod 256, width 8 + id mod 7, height 5 + id mod 6) are FORWARD-filtered
+    (scanline y gets filter y mod 5, so every unfilter branch runs),
+    deflate-compressed into a real PNG container (:func:`_encode_png`),
+    decoded back through the production ``_decode_payload`` boundary, and
+    reduced to exact integer stats incl. the position-weighted checksum
+    that pins scanline order — green iff chunk walk, CRCs, inflate, and
+    all five unfilters reproduce every sample bit-exactly."""
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["media_id"]:
+                mid = int(raw_id)
+                w, h = 8 + mid % 7, 5 + mid % 6
+                n = w * h * 3
+                i = np.arange(n, dtype=np.int64)
+                p = ((mid * 11 + i * 19) % 256).astype(np.uint8)
+                payload = _encode_png(p.tobytes(), w, h, channels=3)
                 d = _decode_payload("image", payload)
                 dec = np.frombuffer(d["pixels"], dtype=np.uint8).astype(
                     np.int64

@@ -171,6 +171,8 @@ _NEW_R6 = (
     "ingest_json_roundtrip",
     "cluster_split_assign",
     "kmeans_converged_assign",
+    "model_quality_score",
+    "multimodal_png_roundtrip",
 )
 
 

@@ -192,3 +192,44 @@ def multimodal_ppm_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return ppm_roundtrip_stats(docs.select(F.col("doc_id").alias("media_id")))
+
+
+@register(
+    "multimodal_png_roundtrip",
+    survey="NS-multimodal(REAL compressed-image codec proof: PNG pack -> inflate+unfilter -> integer pixel stats)",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           8 + doc_id % 7 AS w,
+           5 + doc_id % 6 AS h,
+           list_transform(range(0, (8 + doc_id % 7) * (5 + doc_id % 6) * 3),
+               i -> (doc_id * 11 + i * 19) % 256) AS v
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(len(v) AS BIGINT) AS n_samples,
+       CAST(list_sum(v) AS BIGINT) AS sum_val,
+       CAST(list_sum(list_transform(range(0, len(v)),
+           i -> v[CAST(i + 1 AS INT)] * (i + 1))) AS BIGINT) AS pos_checksum,
+       CAST(list_min(v) AS BIGINT) AS p_min,
+       CAST(list_max(v) AS BIGINT) AS p_max
+FROM p
+""",
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """The third real codec, and the first with a COMPRESSION loop in the
+    path (PPM/WAV are raw-array containers): per-doc deterministic RGB
+    pixels with per-doc varying dimensions are forward-filtered (scanline
+    y gets filter y mod 5, so all five PNG filter types are live),
+    deflate-compressed into a real PNG, decoded back through the
+    production boundary (operators/multimodal._decode_png — stdlib zlib,
+    CRC-verified chunk walk, per-scanline unfilter), and reduced to
+    integer pixel stats hash-matched against an oracle replaying the
+    generating formula — green iff inflate AND every unfilter branch
+    reproduce each sample bit-exactly, in order."""
+    from gridiron_spark.operators.multimodal import png_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_roundtrip_stats(docs.select(F.col("doc_id").alias("media_id")))

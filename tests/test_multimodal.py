@@ -161,6 +161,49 @@ def test_decode_media_mixes_real_and_fake_codecs(spark):
     assert all(r.decoded_ok for r in rows.values())
 
 
+def test_png_roundtrip_all_filters_and_profiles():
+    """Every PNG filter type (the encoder assigns y % 5) and every 8-bit
+    color profile must survive the compress→decode loop bit-exactly."""
+    import numpy as np
+
+    from gridiron_spark.operators.multimodal import _decode_png, _encode_png
+
+    for mid in range(12):
+        w, h = 8 + mid % 7, 5 + mid % 6  # h >= 5 → all five filters used
+        n = w * h * 3
+        pix = ((mid * 11 + np.arange(n) * 19) % 256).astype(np.uint8).tobytes()
+        d = _decode_png(_encode_png(pix, w, h, 3))
+        assert d["pixels"] == pix and (d["width"], d["height"]) == (w, h)
+    for ch in (1, 2, 4):  # gray, gray+alpha, RGBA
+        pix = bytes((i * 7) % 256 for i in range(9 * 6 * ch))
+        d = _decode_png(_encode_png(pix, 9, 6, ch))
+        assert d["pixels"] == pix and d["channels"] == ch
+
+
+def test_png_rejects_corruption():
+    """Truncations raise cleanly; a flipped pixel byte inside the IDAT
+    stream must fail the chunk CRC, never silently decode wrong."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gridiron_spark.operators.multimodal import _decode_png, _encode_png
+
+    pix = ((np.arange(6 * 5 * 3) * 13) % 256).astype(np.uint8).tobytes()
+    png = _encode_png(pix, 6, 5, 3)
+    for cut in range(len(png)):
+        # a cut that still contains the full IDAT may legally parse — but
+        # then it must be the TRUE decode, never a silent half-result
+        try:
+            d = _decode_png(png[:cut])
+            assert d["pixels"] == pix
+        except ValueError:
+            pass
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # inside IHDR/IDAT territory → CRC breaks
+    with _pytest.raises(ValueError):
+        _decode_png(bytes(corrupt))
+
+
 def test_decode_media_malformed_magic_falls_back(spark):
     """A payload that SNIFFS as a container but is malformed (raw text
     starting with 'P6', a truncated RIFF header) must fall back to the

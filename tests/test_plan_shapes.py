@@ -237,7 +237,11 @@ def test_codec_roundtrips_map_only(spark):
     """Both codec-proof entries are synth→pack→decode→stats per row: pure
     Arrow-batched map stages over the id scan — zero shuffles, zero joins.
     At 100 TB a decode pass runs at scan speed or it doesn't run."""
-    for q in ("multimodal_wav_roundtrip", "multimodal_ppm_roundtrip"):
+    for q in (
+        "multimodal_wav_roundtrip",
+        "multimodal_ppm_roundtrip",
+        "multimodal_png_roundtrip",
+    ):
         plan = _plan_of(spark, q)
         assert "Exchange" not in plan, (q, plan)
         assert "Join" not in plan, (q, plan)
@@ -273,6 +277,18 @@ def test_redact_pii_is_map_only(spark):
         r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
     ), plan
     assert "Join" not in plan, plan
+
+
+def test_model_quality_score_is_map_only(spark):
+    """The linear-classifier inference pass must be a pure map over the
+    corpus scan — the weight vector is a plan literal and the score is a
+    higher-order fold, so there is nothing to shuffle, join, or explode."""
+    plan = _plan_of(spark, "model_quality_score")
+    assert not re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ), plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode — array fold only
 
 
 def test_boilerplate_joins_stay_bounded(spark):
