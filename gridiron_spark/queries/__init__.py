@@ -173,6 +173,9 @@ _NEW_R6 = (
     "kmeans_converged_assign",
     "model_quality_score",
     "multimodal_png_roundtrip",
+    "doc_embedding_pool",
+    "pii_luhn_flags",
+    "ann_ivf_kmeans_topk",
 )
 
 

@@ -511,3 +511,92 @@ def model_quality_score(spark, sf_dir):
     executors need no side channel to serve the model.
     """
     return score_documents(load_table(spark, sf_dir, "documents"))
+
+
+# --- Checksum-validated PII detection ----------------------------------------
+
+# Derived candidate: a 16-digit card-shaped number appended to each doc's
+# text (the synthetic corpus carries no PII — same convention as
+# text_redact_pii's contact tail). The last digit is doc_id % 10, so only
+# the ~10% of docs where that happens to equal the Luhn check digit carry a
+# VALID number — the detector must tell them apart.
+_CARD_SQL = (
+    "lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR), 15, '0')"
+    " || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+@register(
+    "pii_luhn_flags",
+    survey="NS-text(checksum-validated PII: regex candidate + Luhn mod-10 verification),F1-F7",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           text || ' card ' || {_CARD_SQL} AS full_text
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           regexp_extract(full_text, '[0-9]{{16}}') AS cand
+    FROM d
+),
+s AS (
+    SELECT doc_id, cand,
+           CAST(list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN (17 - i) % 2 = 0
+                    THEN CASE WHEN 2 * (ascii(substring(cand, CAST(i AS INT), 1)) - 48) > 9
+                              THEN 2 * (ascii(substring(cand, CAST(i AS INT), 1)) - 48) - 9
+                              ELSE 2 * (ascii(substring(cand, CAST(i AS INT), 1)) - 48) END
+                    ELSE ascii(substring(cand, CAST(i AS INT), 1)) - 48 END
+           )) AS BIGINT) AS luhn_sum
+    FROM c
+)
+SELECT doc_id, cand, luhn_sum,
+       CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS luhn_valid
+FROM s
+""",
+)
+def pii_luhn_flags(spark, sf_dir):
+    """PII detection v2 — checksum VALIDATION on top of pattern matching:
+    a regex finds the 16-digit card-shaped candidate, then the Luhn mod-10
+    checksum (the check every real card number passes) separates true
+    positives from number-shaped noise — the standard trick that cuts
+    credit-card false-positive rates in redaction pipelines by an order
+    of magnitude vs regex alone. The checksum is a higher-order fold over
+    the digit positions (double every second digit from the right,
+    subtract 9 above 9, sum mod 10) — exact integer math end to end.
+
+    Scale shape: pure map over the corpus scan (regexp_extract + one
+    16-step fold per row); zero exchanges, no explode, no Python."""
+    doc = load_table(spark, sf_dir, "documents")
+    card = F.concat(
+        F.lpad((F.col("doc_id") * 7919 % 1000000000000000).cast("string"),
+               15, "0"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    cand = F.regexp_extract(
+        F.concat(F.col("text"), F.lit(" card "), card), "[0-9]{16}", 0
+    )
+    with_cand = doc.select("doc_id", cand.alias("cand"))
+    luhn = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            (F.lit(17) - i) % 2 == 0,
+            F.when(
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48) > 9,
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48) - 9,
+            ).otherwise(
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48)
+            ),
+        )
+        .otherwise(F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48)
+        .cast("bigint"),
+    )
+    return with_cand.select(
+        "doc_id",
+        "cand",
+        luhn.alias("luhn_sum"),
+        (luhn % 10 == 0).cast("bigint").alias("luhn_valid"),
+    )

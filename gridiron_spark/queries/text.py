@@ -874,3 +874,87 @@ def winnow_overlap_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+_POOL_DIMS = 16
+_POOL_MOD = 2001  # word-vector component grid: (md5 % 2001 - 1000) / 1000
+
+
+@register(
+    "doc_embedding_pool",
+    survey="NS-text(document embedding generation: hashed word vectors, exact mean pooling),F1-F7",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           list_transform(range(0, {_POOL_DIMS}), d ->
+               COALESCE(list_sum(list_transform(toks,
+                   w -> CAST(('0x' || substring(md5(w || '|' || d), 1, 8))
+                             AS BIGINT) % {_POOL_MOD} - 1000)), 0)) AS sums
+    FROM t
+)
+SELECT doc_id, n_tokens, CAST(u.i AS INTEGER) AS dim,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(sums[CAST(u.i + 1 AS INT)] AS DOUBLE)
+                 / n_tokens / 1000.0 END AS val
+FROM s, unnest(range(0, {_POOL_DIMS})) AS u(i)
+""",
+)
+def doc_embedding_pool(spark, sf_dir):
+    """The EMBEDDING-GENERATION stage of a curation pipeline, in the
+    fastText sentence-vector shape (mean of word vectors): each word's
+    {d}-dim vector derives from the md5 family on a ±1.000 grid
+    (component = (md5(word|dim) mod {m} - 1000)/1000 — no model file to
+    ship; swapping in trained vectors is a broadcast join instead of the
+    hash), and the document embedding is the token mean, pooled EXACTLY:
+    integer component sums (BIGINT, order-free) with two IEEE divisions
+    at the end — the same fixed-point discipline as the k-means update,
+    which is what lets a pooled float vector hash-match cross-engine.
+    Output is long-form (doc_id, dim, val): array cells aren't hashable
+    by external row canonicalizers, and long form is what a vector-store
+    sink ingests anyway.
+
+    Scale shape: a pure map over the corpus scan — per-row higher-order
+    folds ({d} per doc) and a width-{d} posexplode; zero exchanges, no
+    joins (plan-guarded). The downstream consumers are the ANN/SemDeDup
+    family over the embeddings table.
+    """.format(d=_POOL_DIMS, m=_POOL_MOD)
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    with_toks = doc.select("doc_id", toks.alias("toks"))
+    comp = lambda w, d: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(w, F.lit("|"), d.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % _POOL_MOD
+        - 1000
+    )
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(_POOL_DIMS - 1)),
+        lambda d: F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + comp(w, d),
+        ),
+    )
+    pooled = with_toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.posexplode(sums).alias("dim", "s"),
+    )
+    return pooled.select(
+        "doc_id",
+        "n_tokens",
+        F.col("dim").cast("int").alias("dim"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("s").cast("double") / F.col("n_tokens") / F.lit(1000.0)
+        )
+        .alias("val"),
+    )

