@@ -134,8 +134,72 @@ COPY (
     return out
 
 
+def _exponent_table(results: dict, ks: list[int]) -> str:
+    klo, khi = sorted(ks)[-2:] if len(ks) >= 2 else (1, ks[0])
+    header = (
+        "| query | "
+        + " | ".join(f"t(x{k}) s" for k in [1] + ks)
+        + f" | alpha(x{klo}->x{khi}) |"
+    )
+    lines = [header, "|---" * (len(ks) + 3) + "|"]
+    for q, r in results.items():
+        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
+        lines.append(
+            f"| {q} | "
+            + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)
+            + f" | {alpha:.2f} |"
+        )
+    return "\n".join(lines)
+
+
+def phase_r6(spark, cat, dirs, ks) -> dict:
+    """Round-6 additions to the measured table (round-5 verdict #5): the
+    three heavy round-5 entries whose 100 TB claims were still
+    plan-guard-only — bpe_merge_sequence (claim: rounds are vocab-bounded;
+    the one corpus-scale shuffle is the word-freq collapse),
+    winnow_overlap_pairs (claim: the document-frequency cap applied before
+    the inverted-index self-join keeps the pair join linear), and
+    semdedup_prune (claim: pairwise stage bounded by cluster size; note
+    the timing INCLUDES mining the staged converged-centroid artifact,
+    keyed per corpus dir, i.e. the full capped-round training) — plus the
+    semdedup k-regime probe: at the largest scale, fixed k=8 (clusters
+    grow with n -> pairwise fan-out) vs k scaled with n (assignment cost
+    grows as n*k -> the disclosed brute-assignment term)."""
+    r6 = ("bpe_merge_sequence", "winnow_overlap_pairs", "semdedup_prune")
+    results: dict[str, dict[int, float]] = {q: {} for q in r6}
+    for k in [1] + ks:
+        for q in r6:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, dirs[k]).count()
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k} {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nround-6 additions:")
+    print(_exponent_table(results, ks))
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import kmeans_fit, semdedup_flags
+
+    khi = max(ks)
+    emb = load_table(spark, dirs[khi], "embeddings")
+    probe: dict[str, float] = {}
+    for label, kk in (("fixed_k8", 8), (f"scaled_k{8 * khi}", 8 * khi)):
+        t0 = time.perf_counter()
+        cents = kmeans_fit(emb, k=kk, rounds=8)
+        semdedup_flags(emb, cents, 0.4).count()
+        probe[label] = round(time.perf_counter() - t0, 3)
+        print(f"# x{khi} semdedup {label}: {probe[label]:.2f}s", file=sys.stderr)
+    print(f"\nsemdedup k-regime probe at x{khi} (train+prune, no stage):")
+    for label, dt in probe.items():
+        print(f"| {label} | {dt:.2f} s |")
+    return {"timings": results, "semdedup_k_probe": probe}
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [3, 10]
+    args = [a for a in sys.argv[1:] if a != "--r6"]
+    only_r6 = "--r6" in sys.argv[1:]
+    ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
 
@@ -146,6 +210,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r6:
+        r6 = phase_r6(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r6.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r6}, f, indent=1)
+        spark.stop()
+        return
 
     results: dict[str, dict[int, float]] = {q: {} for q in HEAVY}
     for k in [1] + ks:
