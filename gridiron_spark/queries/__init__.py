@@ -176,6 +176,7 @@ _NEW_R6 = (
     "doc_embedding_pool",
     "pii_luhn_flags",
     "ann_ivf_kmeans_topk",
+    "lsh_recall_curve",
 )
 
 

@@ -320,3 +320,75 @@ def minhash_estimate_error(spark, sf_dir):
         "jaccard",
         F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
     )
+
+
+@register(
+    "lsh_recall_curve",
+    survey="NS-dedup(LSH config grading: measured recall vs exact Jaccard, per-similarity bucket),A3-A6,J1",
+    oracle=f"""
+WITH {_LSH_CAND_CTE},
+truth AS (
+    SELECT * FROM (
+        SELECT c2.doc_a, c2.doc_b, {_JACCARD_SQL} AS jaccard
+        FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) a
+            JOIN (SELECT doc_id, unnest(shingles) AS shingle FROM sh) b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ) c2
+        JOIN sh x ON x.doc_id = c2.doc_a
+        JOIN sh y ON y.doc_id = c2.doc_b
+    ) WHERE jaccard >= 0.25
+)
+SELECT CAST(least(floor(t.jaccard * 10), 9) AS BIGINT) AS bucket,
+       COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_hit,
+       CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           / COUNT(*) AS recall
+FROM truth t
+LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY 1
+""",
+)
+def lsh_recall_curve(spark, sf_dir):
+    """Grade the production LSH configuration against EXACT ground truth —
+    the report a data team reads before trusting a near-dup config at
+    100 TB: for every true pair with Jaccard >= 0.25 (full-recall
+    inverted-index blocking), was it among the MinHash-LSH candidates?
+    Bucketed by Jaccard decile, this is the measured S-curve of the
+    16-hash/4x4-band config: recall should rise steeply through the 0.5
+    operating threshold (P_capture = 1-(1-J^4)^4) and the low buckets
+    SHOULD miss — that is the pruning working as designed.
+
+    Scale shape: the LSH side answers from the staged candidate-pair
+    artifact (mined once per source fingerprint — nothing re-featurized);
+    the truth side is the exact inverted-index join, the expensive
+    full-recall pass — at 100 TB this report runs on a documented SAMPLE
+    of the corpus (grading needs statistics, not every pair), while the
+    LSH side scales by design. Output is <=10 rows.
+    """
+    from gridiron_spark.operators.dedup import ngram_jaccard_pairs
+
+    doc = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(doc, threshold=0.25, shingle_k=3)
+    cand = (
+        staged_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )

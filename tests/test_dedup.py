@@ -408,3 +408,68 @@ def test_cluster_split_never_straddles(spark):
     total = sum(counts.values())
     assert counts["train"] / total > 0.8  # ~90/5/5 by construction
     df.unpersist()
+
+
+def test_lsh_recall_curve_shape_on_graded_corpus(spark):
+    """On a corpus with GRADED overlap (pairs spanning low to high
+    Jaccard), the measured LSH S-curve must behave like the theory says:
+    monotone-ish recall that reaches 1.0 in the top bucket and misses at
+    least something in the sub-threshold buckets (the pruning working)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.operators.dedup import (
+        band_keys,
+        minhash_signature_df,
+        ngram_jaccard_pairs,
+        shingle_rows,
+    )
+
+    # doc 2i and 2i+1 share a prefix of i words out of 24 — pairwise
+    # Jaccard rises smoothly from ~0 to ~0.9 across the corpus
+    base = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(24):
+        shared = [f"s{i}_{j}" for j in range(i)]
+        a = shared + base[: 24 - i]
+        b = shared + [f"b{i}_{j}" for j in range(24 - i)]
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    truth = ngram_jaccard_pairs(docs, threshold=0.25, shingle_k=3)
+    sh = shingle_rows(docs)
+    sig = minhash_signature_df(sh)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("bi", "bk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    curve = {
+        r["bucket"]: (r["n_truth"], r["n_hit"])
+        for r in truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+        .collect()
+    }
+    assert len(curve) >= 4, f"graded corpus should span buckets: {curve}"
+    hi = max(curve)
+    assert curve[hi][1] == curve[hi][0], "top bucket must have full recall"
+    low_missed = sum(
+        n_truth - n_hit for b, (n_truth, n_hit) in curve.items() if b <= 4
+    )
+    assert low_missed > 0, f"sub-threshold buckets should miss some: {curve}"
