@@ -95,6 +95,21 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
+def test_round6_catalog_freeze_counts():
+    """The counts SURVEY.md §8 and README assert — re-asserted against the
+    frozen round-6 catalog so the docs can't drift from the code: 158
+    queries, 153 with full DuckDB oracles, 5 rows-only by design."""
+    q = queries()
+    o = oracle_sql()
+    assert len(q) == 158, len(q)
+    assert len(o) == 153, len(o)
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "grouped_map_tensorize", "multimodal_embed", "mllib_ann_brp_topk",
+        "mllib_minhash_sim_join", "mllib_minhash_banded",
+    }, rows_only
+
+
 def test_rows_only_r3_sort_after_r3_oracles():
     """Within the stalest tier, rows-only entries (nothing hashable to
     refresh) must not consume window slots ahead of oracle entries."""
