@@ -83,6 +83,44 @@ def _bucket(col: Column) -> Column:
     )
 
 
+def feature_array(toks: Column) -> Column:
+    """words + adjacent bigrams from a token-array column.
+
+    sequence(1, 0) would DESCEND and fabricate pairs for 1-token docs
+    (the bpe_pair_counts lesson) — the bigram fan-in is guarded on
+    size >= 2."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit("_"),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def score_sum_expr(feats: Column, weights: list[int] | None = None) -> Column:
+    """Σ weights[bucket(feature)] as an exact BIGINT fold — the linear
+    layer. Stateless Column algebra, so it drops unchanged into a
+    streaming micro-batch."""
+    w = weights if weights is not None else model_weights()
+    w_lit = F.array(*[F.lit(x) for x in w])
+    return F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.element_at(w_lit, (_bucket(x) + 1).cast("int")).cast("bigint"),
+    )
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+
 def score_documents(
     docs: DataFrame,
     weights: list[int] | None = None,
@@ -96,37 +134,12 @@ def score_documents(
     0.0 for featureless docs), ``keep`` = margin > 0. Pure Column
     algebra over one projection of the corpus scan — no UDF, no shuffle.
     """
-    w = weights if weights is not None else model_weights()
-    w_lit = F.array(*[F.lit(x) for x in w])
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
-    )
-    with_toks = docs.select(id_col, toks.alias("toks"))
-    # sequence(1, 0) would DESCEND and fabricate pairs for 1-token docs
-    # (the bpe_pair_counts lesson) — guard the bigram fan-in on size >= 2.
-    bigrams = F.when(
-        F.size(F.col("toks")) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
-            lambda i: F.concat(
-                F.element_at(F.col("toks"), i),
-                F.lit("_"),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(F.col("toks"), bigrams)
+    with_toks = docs.select(id_col, tokens_expr(text_col).alias("toks"))
+    feats = feature_array(F.col("toks"))
     scored = with_toks.select(
         id_col,
         F.size(feats).cast("bigint").alias("n_feats"),
-        F.aggregate(
-            feats,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc
-            + F.element_at(w_lit, (_bucket(x) + 1).cast("int")).cast(
-                "bigint"
-            ),
-        ).alias("score_sum"),
+        score_sum_expr(feats, weights).alias("score_sum"),
     )
     margin = F.when(F.col("n_feats") == 0, F.lit(0.0)).otherwise(
         F.col("score_sum").cast("double") / F.col("n_feats")

@@ -177,6 +177,7 @@ _NEW_R6 = (
     "pii_luhn_flags",
     "ann_ivf_kmeans_topk",
     "lsh_recall_curve",
+    "streaming_model_gate_e2e",
 )
 
 

@@ -468,3 +468,81 @@ def streaming_quality_gate_e2e(spark, sf_dir):
         quality_gate_agg(stream), f"qgate_{uuid.uuid4().hex[:8]}"
     )
     return result.select("source", "n_docs", "n_kept", "kept_tokens")
+
+
+def _model_gate_oracle() -> str:
+    from gridiron_spark.operators.quality_model import (
+        BUCKETS,
+        weights_sql_literal,
+    )
+
+    return f"""
+WITH t AS (
+    SELECT source,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+f AS (
+    SELECT source,
+           list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || '_' || toks[i + 1])
+           ) AS feats
+    FROM t
+),
+s AS (
+    SELECT source,
+           CAST(COALESCE(list_sum(list_transform(feats,
+               x -> {weights_sql_literal()}[
+                   CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)
+                        % {BUCKETS} + 1 AS INT)]
+           )), 0) AS BIGINT) AS score_sum
+    FROM f
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score_sum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN score_sum > 0 THEN score_sum ELSE 0 END) AS BIGINT)
+           AS kept_score
+FROM s
+GROUP BY source
+"""
+
+
+@register(
+    "streaming_model_gate_e2e",
+    survey="§2.10+NS-text(streaming MODEL quality gate: hashed linear classifier inside micro-batches, real readStream)",
+    oracle=_model_gate_oracle(),
+)
+def streaming_model_gate_e2e(spark, sf_dir):
+    """The model-based quality scorer (model_quality_score) running INSIDE
+    Structured Streaming — the arriving-crawl deployment of a learned
+    filter: documents staged as a file-source stream, the hashed linear
+    classifier applied statelessly per micro-batch (the weight vector is
+    a plan literal — no model side-channel, zero streaming state for the
+    gate itself), per-source admission stats as the only state, drained
+    with availableNow and hash-checked against the batch SQL replay of
+    the same classifier. Integer score sums make stream == batch
+    bit-exact — the property that lets a team backfill history in batch
+    and gate the live feed with ONE implementation."""
+    import os
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        model_gate_agg,
+        run_available_now,
+        stream_documents,
+    )
+
+    stage = f"/tmp/gridiron_stream_stage/docs_v1_{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+            stage
+        )
+    stream = stream_documents(spark, stage)
+    result = run_available_now(
+        model_gate_agg(stream), f"mgate_{uuid.uuid4().hex[:8]}"
+    )
+    return result.select("source", "n_docs", "n_kept", "kept_score")

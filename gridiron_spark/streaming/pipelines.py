@@ -429,3 +429,35 @@ def quality_gate_agg(docs: DataFrame, min_tokens: int = 40,
             ).alias("kept_tokens"),
         )
     )
+
+
+def model_gate_agg(docs: DataFrame) -> DataFrame:
+    """Per-source admission stats for a streaming MODEL quality gate: the
+    fastText-style hashed linear classifier (operators/quality_model)
+    scores each arriving doc STATELESSLY inside its micro-batch — the
+    weight vector is a plan literal, so executors carry the model in the
+    task binary and the gate costs zero streaming state; the only state
+    is the per-source aggregate (|sources| rows). keep ⟺ score_sum > 0
+    (⟺ margin > 0: the denominator is positive whenever a feature
+    exists), and all sums are exact BIGINTs, so the streaming result is
+    bit-identical to a batch backfill."""
+    from gridiron_spark.operators.quality_model import (
+        feature_array,
+        score_sum_expr,
+        tokens_expr,
+    )
+
+    feats = feature_array(tokens_expr("text"))
+    score = score_sum_expr(feats)
+    keep = score > 0
+    return (
+        docs.select("source", score.alias("score_sum"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("score_sum")).otherwise(0)
+            ).alias("kept_score"),
+        )
+    )
