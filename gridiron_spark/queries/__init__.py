@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.quality",
     "gridiron_spark.queries.sinks",
     "gridiron_spark.queries.curation",
+    "gridiron_spark.queries.selection",
 )
 
 # Rotating re-verification ring (round 5+). CORRECTNESS_r04 and _r05 were
@@ -178,6 +179,13 @@ _NEW_R6 = (
     "ann_ivf_kmeans_topk",
     "lsh_recall_curve",
     "streaming_model_gate_e2e",
+    "perplexity_filter",
+    "dsir_select_topk",
+    "robust_outlier_flags",
+    "bloom_prefilter_join",
+    "ann_pq_topk",
+    "streaming_late_data_e2e",
+    "dedup_cdc_chunks",
 )
 
 

@@ -893,3 +893,169 @@ def cluster_split_assign(spark, sf_dir):
             .alias("split"),
         )
     )
+
+
+# --- Content-defined chunking (gear hash) ------------------------------------
+
+_CDC_W = 8          # gear-hash window (chars)
+_CDC_MASK_MOD = 64  # boundary when h % 64 == 0 → ~64-char expected chunks
+
+
+def _cdc_gear_table() -> list[int]:
+    """256-entry gear table: md5-derived 31-bit constants (deterministic,
+    engine-agnostic — the same md5 family as every sketch in the repo)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % (1 << 31)
+        for b in range(256)
+    ]
+
+
+def _cdc_gear_sql() -> str:
+    return "[" + ",".join(f"CAST({g} AS BIGINT)" for g in _cdc_gear_table()) + "]"
+
+
+def _cdc_terms_sql() -> str:
+    """The unrolled 8-term windowed gear hash at position i (1-based, SQL),
+    over the precomputed per-char gear array ``g`` (one table lookup per
+    character TOTAL, not per window position — the O(len·W) form; indexing
+    chars with substring() here would re-scan the string per term and turn
+    the chunker quadratic). B=2 with literal coefficients — unrolling
+    sidesteps engine-specific fold builtins, so Spark and DuckDB evaluate
+    the identical polynomial."""
+    return " + ".join(
+        f"g[CAST(i - {j} AS BIGINT)] * CAST({1 << j} AS BIGINT)"
+        for j in range(_CDC_W)
+    )
+
+
+def cdc_char_gears(text):
+    """Per-character gear lookups of a string Column: ONE table lookup per
+    character, materialized once per row (pass the result to cdc_chunks so
+    the 8-term window reads array cells, never re-scans the string — the
+    difference between O(len·W) and O(len²·W) per document)."""
+    gear = F.array(*[F.lit(g).cast("bigint") for g in _cdc_gear_table()])
+    return F.transform(
+        F.split(text, ""),
+        lambda c: F.element_at(gear, (F.ascii(c) % 256) + 1),
+    )
+
+
+def cdc_chunks(text, g):
+    """Array of content-defined chunks of a string Column (gear-hash
+    boundaries over the precomputed char-gear array ``g``, unrolled
+    polynomial — see dedup_cdc_chunks)."""
+    n = F.length(text)
+
+    def h(i):
+        acc = F.lit(0).cast("bigint")
+        for j in range(_CDC_W):
+            acc = acc + F.element_at(g, (i - j).cast("int")) * F.lit(
+                1 << j
+            ).cast("bigint")
+        return acc
+
+    bpos = F.when(
+        n >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W).cast("bigint"), n.cast("bigint")),
+            lambda i: h(i) % _CDC_MASK_MOD == 0,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    starts = F.concat(F.array(F.lit(0).cast("bigint")), bpos)
+    ends = F.concat(bpos, F.array(n.cast("bigint")))
+    return F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.substring(text, (s + 1).cast("int"), (e - s).cast("int")),
+        ),
+        lambda c: c != "",
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    survey="NS-dedup(content-defined chunking: FastCDC-style gear hash, chunk-level cross-doc sharing)",
+    oracle=f"""
+WITH gm AS (
+    SELECT doc_id, text, length(text) AS n,
+           list_transform(string_split(text, ''),
+                          c -> {_cdc_gear_sql()}[(ascii(c) % 256) + 1]) AS g
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, text, n,
+           list_filter(range({_CDC_W}, n + 1),
+                       i -> ({_cdc_terms_sql()}) % {_CDC_MASK_MOD} = 0) AS bpos
+    FROM gm
+),
+seg AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   list_zip(list_prepend(0, bpos), list_append(bpos, n)),
+                   p -> substring(text, CAST(p[1] + 1 AS INT),
+                                  CAST(p[2] - p[1] AS INT))),
+               c -> c <> '') AS chunks
+    FROM pos
+),
+ch AS (SELECT doc_id, md5(unnest(chunks)) AS h FROM seg),
+cd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN cd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN cd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS shared_frac
+FROM ch JOIN cd USING (h)
+GROUP BY ch.doc_id
+""",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/gear-hash family — Xia et al.
+    2016, USENIX ATC): chunk boundaries are declared wherever a rolling
+    windowed gear hash of the trailing {w} characters hits the mask, so
+    identical PASSAGES chunk identically regardless of byte offset — an
+    insertion early in a document shifts every fixed-size block but leaves
+    content-defined chunks aligned. The cross-doc chunk-sharing profile
+    (n_shared / shared_frac per doc) is the storage-dedup / re-crawl
+    delta-detection primitive: a shared_frac near 1 marks a near-exact
+    re-crawl, mid-range marks boilerplate carriers. Complements the
+    shingle family: MinHash estimates SET similarity, CDC finds exact
+    REUSED SPANS with chunk granularity (and unlike dup_span_coverage's
+    fixed-k grams, chunk alignment survives offset shifts).
+
+    The windowed hash is an unrolled 8-term polynomial (B=2, literal
+    coefficients, BIGINT throughout) over a 256-entry md5-derived gear
+    table riding in the plan as a literal — bit-identical cross-engine,
+    no fold builtins, no Python.
+
+    Scale shape: chunking is a pure map (higher-order filter/zip_with
+    over each row); then three KEYED linear shuffles — chunk-hash
+    directory agg, directory join-back (both sides chunk-keyed; the
+    directory is corpus-bounded and shrinks with duplication), per-doc
+    re-agg. Same skeleton as shingle_novelty_score; no pair fan-out
+    anywhere.
+    """.format(w=_CDC_W)
+    doc = load_table(spark, sf_dir, "documents")
+    gm = doc.select(
+        "doc_id", "text", cdc_char_gears(F.col("text")).alias("g")
+    )
+    ch = gm.select(
+        "doc_id",
+        F.explode(cdc_chunks(F.col("text"), F.col("g"))).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    cd = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        ch.join(cd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_shared"),
+            (
+                F.sum((F.col("nd") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_frac"),
+        )
+    )

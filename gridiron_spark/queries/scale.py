@@ -449,3 +449,117 @@ def mixture_token_budget(spark, sf_dir):
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3     # hash functions
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || '|' || {j}), 1, 8)) "
+    f"AS BIGINT) % {_BLOOM_M}"
+)
+
+
+@register(
+    "bloom_prefilter_join",
+    survey="A-sketch(explicit bloom filter: build/broadcast/probe semi-join prefilter with FP accounting),J1,A3-A6",
+    oracle=f"""
+WITH b AS (
+    SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+    SELECT list(DISTINCT p) AS bitset FROM (
+        SELECT {_BLOOM_POS_SQL.format(key="c_custkey", j="k.j")} AS p
+        FROM b CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) k
+    )
+),
+probe AS (
+    SELECT o.o_orderpriority,
+           CASE WHEN list_contains(bits.bitset, {_BLOOM_POS_SQL.format(key="o_custkey", j="0")})
+                 AND list_contains(bits.bitset, {_BLOOM_POS_SQL.format(key="o_custkey", j="1")})
+                 AND list_contains(bits.bitset, {_BLOOM_POS_SQL.format(key="o_custkey", j="2")})
+                THEN 1 ELSE 0 END AS bloom_pass,
+           CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_true
+    FROM orders o CROSS JOIN bits
+    LEFT JOIN b ON b.c_custkey = o.o_custkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_probed,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_true = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM probe
+GROUP BY o_orderpriority
+""",
+)
+def bloom_prefilter_join(spark, sf_dir):
+    """Explicit bloom-filter semi-join prefilter — the third mergeable
+    sketch next to count-min and HLL, and the user-space analog of the
+    engine's injected runtime filter (tests/test_runtime_filter.py pins
+    that rewrite firing on these join shapes): build a {m}-bit / {k}-hash
+    bloom set of the selective build-side keys (BUILDING-segment
+    customers), broadcast it as ONE row, and flag every probe-side order
+    map-side, with a verification join counting the sketch's actual false
+    positives per priority bucket.
+
+    Scale shape: the bitset construction is a distinct over ≤ m integers
+    (map-side partial distinct, then a single ≤{m}-row collect_set into
+    one row — a few KB regardless of build cardinality); the probe pass
+    is a broadcast of that row plus pure per-row hashing, so at 100 TB
+    the orders scan is filtered BEFORE any shuffle and the exact join
+    runs only on survivors. Per-partition bloom sets merge by bitwise OR
+    (set union here), the property that makes the sketch distributable.
+    The verification join exists to MEASURE the FP rate; a production
+    prefilter drops it and keeps only bloom_pass=1 rows.
+    """.format(m=_BLOOM_M, k=_BLOOM_K)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+
+    def positions(key):
+        s = key.cast("string")
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f"|{j}"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % _BLOOM_M
+            for j in range(_BLOOM_K)
+        ]
+
+    bits = (
+        build.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
+        .agg(F.array_sort(F.collect_set("p")).alias("bitset"))
+    )
+    p0, p1, p2 = positions(F.col("o_custkey"))
+    probe = (
+        orders.crossJoin(F.broadcast(bits))
+        .join(
+            F.broadcast(build.withColumn("is_true", F.lit(1))),
+            orders["o_custkey"] == build["c_custkey"],
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            (
+                F.array_contains("bitset", p0)
+                & F.array_contains("bitset", p1)
+                & F.array_contains("bitset", p2)
+            )
+            .cast("int")
+            .alias("bloom_pass"),
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        )
+    )
+    return probe.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum(((F.col("bloom_pass") == 1) & (F.col("is_true") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )

@@ -1,0 +1,219 @@
+"""Model-based DATA-SELECTION passes over the ``documents`` corpus: the
+standard pipeline stages an LLM pretraining run applies AFTER heuristic
+quality gates (queries/quality.py) — perplexity filtering (CCNet),
+importance resampling (DSIR), and robust statistical outlier pruning.
+
+All three are selection decisions per document, engineered to the repo's
+cross-engine-exact discipline: quantized-integer model tables ride in the
+plan as literals, sums stay BIGINT, and each query performs at most one
+IEEE division at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.operators.lm import (
+    BUCKETS,
+    dsir_logratio_table,
+    table_fold,
+    table_sql_literal,
+    unigram_nlp_table,
+)
+from gridiron_spark.operators.quality_model import feature_array, tokens_expr
+from gridiron_spark.queries import register
+
+# Keep threshold in deci-bits: in-vocab prose averages ~2–7 bits/token
+# (20–69 deci-bits) under the Zipf table, OOV tokens cost 140 — a doc
+# needs a meaningful rare-token fraction to cross 80.
+_PPL_KEEP_NLP10 = 80
+
+_DSIR_TOP_N = 100
+
+_BUCKET_SQL = "CAST(CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT) % {b} + 1 AS INT)"
+
+
+@register(
+    "perplexity_filter",
+    survey="NS-text(model-based selection: CCNet perplexity filter, hashed unigram LM),F1-F7",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks,
+               x -> {table_sql_literal(unigram_nlp_table())}[{_BUCKET_SQL.format(x="x", b=BUCKETS)}]
+           )), 0) AS BIGINT) AS nlp10_sum
+    FROM t
+)
+SELECT doc_id, n_tokens, nlp10_sum,
+       CASE WHEN n_tokens = 0 THEN 140.0
+            ELSE CAST(nlp10_sum AS DOUBLE) / n_tokens END AS avg_nlp10,
+       CAST(CASE WHEN n_tokens > 0
+                  AND CAST(nlp10_sum AS DOUBLE) / n_tokens < {_PPL_KEEP_NLP10}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
+)
+def perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity filtering (Wenzek et al. 2019): score every
+    document under a hashed unigram LM (operators/lm.py — Zipf prior over
+    the trusted vocabulary, md5 buckets, quantized deci-bit costs) and
+    keep the low-perplexity tail. avg_nlp10 is the mean negative-log-prob
+    in deci-bits: perplexity = 2^(avg_nlp10/10) is monotone in it, so the
+    keep threshold on avg_nlp10 IS a perplexity threshold — without
+    exp()'s engine-divergent last ulp (the margin-not-sigmoid trick).
+
+    Scale shape: pure map over the corpus scan — tokenize, hash, literal
+    table lookup, BIGINT fold, one division — zero exchanges, no explode,
+    no Python; the LM rides inside the task binary, so 1000 executors
+    need no side channel to serve it.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    with_toks = doc.select("doc_id", tokens_expr().alias("toks"))
+    scored = with_toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        table_fold(F.col("toks"), unigram_nlp_table()).alias("nlp10_sum"),
+    )
+    avg = F.when(F.col("n_tokens") == 0, F.lit(140.0)).otherwise(
+        F.col("nlp10_sum").cast("double") / F.col("n_tokens")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "nlp10_sum",
+        avg.alias("avg_nlp10"),
+        ((F.col("n_tokens") > 0) & (avg < _PPL_KEEP_NLP10))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+@register(
+    "dsir_select_topk",
+    survey="NS-text(model-based selection: DSIR importance resampling, hashed n-gram log-ratio),O1-O3,F1-F7",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || '_' || toks[i + 1])
+           ) AS feats
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+           CAST(len(feats) AS BIGINT) AS n_feats,
+           CAST(COALESCE(list_sum(list_transform(feats,
+               x -> {table_sql_literal(dsir_logratio_table())}[{_BUCKET_SQL.format(x="x", b=BUCKETS)}]
+           )), 0) AS BIGINT) AS logw10
+    FROM f
+)
+SELECT doc_id, n_feats, logw10
+FROM w
+ORDER BY logw10 DESC, doc_id
+LIMIT {_DSIR_TOP_N}
+""",
+)
+def dsir_select_topk(spark, sf_dir):
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): weight every raw document
+    by log p_target − log p_raw under two hashed bag-of-n-grams unigram
+    models (words + adjacent bigrams, the fastText feature family) and
+    select the head of the weight distribution. The two models collapse at
+    plan time into one literal log-ratio table λ — the fold per document
+    is Σ λ[bucket(feature)] in exact deci-bits, so the ranking is
+    integer-deterministic cross-engine (ties broken by doc_id).
+
+    Scale shape: the scoring is a zero-exchange map (hash + literal
+    lookup + BIGINT fold); the only cross-partition step is the final
+    top-N — a TakeOrderedAndProject whose driver residency is N rows,
+    never the corpus. (Full weighted sampling without replacement — the
+    paper's Gumbel-top-k — is the same plan with a seeded perturbation
+    column; the deterministic head keeps the oracle exact.)
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    feats = feature_array(tokens_expr())
+    scored = doc.select(
+        "doc_id",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        table_fold(feats, dsir_logratio_table()).alias("logw10"),
+    )
+    return scored.orderBy(F.col("logw10").desc(), "doc_id").limit(_DSIR_TOP_N)
+
+
+@register(
+    "robust_outlier_flags",
+    survey="NS-text(robust statistical outlier pruning: per-source median/MAD),A3-A6,J1",
+    oracle="""
+WITH med AS (
+    SELECT source, median(n_chars) AS med
+    FROM documents GROUP BY source
+),
+dev AS (
+    SELECT d.doc_id, d.source, d.n_chars, m.med,
+           abs(d.n_chars - m.med) AS dev
+    FROM documents d JOIN med m USING (source)
+),
+mad AS (
+    SELECT source, median(dev) AS mad
+    FROM dev GROUP BY source
+)
+SELECT v.doc_id, v.source, v.n_chars, v.med, a.mad,
+       CAST(CASE WHEN v.dev > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+FROM dev v JOIN mad a USING (source)
+""",
+)
+def robust_outlier_flags(spark, sf_dir):
+    """Robust per-source outlier pruning — the length-distribution gate
+    curation pipelines run per data source: flag documents whose size
+    deviates from the SOURCE's median by more than 3× the median absolute
+    deviation. Median/MAD (not mean/stddev) so the fences themselves
+    don't move when the outliers they're meant to catch are present.
+    All inputs are integers, so the interpolated medians are exact
+    binary fractions and the comparison is cross-engine exact.
+
+    Scale shape: two grouped aggregations over a low-cardinality source
+    key, each result broadcast back over the corpus scan (AQE turns both
+    join-backs into broadcasts at any realistic source count). Exact
+    percentile sorts within each source group; at 100 TB per source the
+    one-line swap is percentile → approx_percentile(·, 0.5, 10⁴) or the
+    t-digest sketch (histogram_quantile_sketch is the in-repo sketch
+    path) — kept exact here for the cross-engine hash gate.
+    """
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    med = doc.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = doc.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        "mad",
+        (F.col("dev") > 3 * F.col("mad")).cast("bigint").alias("is_outlier"),
+    )

@@ -722,3 +722,141 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+# --- Product quantization (ADC) ----------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (4 × 16 = the 64-dim embedding)
+_PQ_K = 16         # codewords per subspace (training sample = vec_id 0..15)
+_PQ_SCALE = 1 << 20  # fixed-point quantization: q = floor(x · 2^20)
+
+# exact integer squared L2 between two quantized sub-vectors
+_PQ_L2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+# quantized sub-vector m (0-based) of a FLOAT[] embedding column
+_PQ_SUB_SQL = (
+    "list_transform({e}[{{m}}*" + str(_PQ_SUBDIM) + "+1:({{m}}+1)*" + str(_PQ_SUBDIM) + "], "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT))"
+)
+
+
+@register(
+    "ann_pq_topk",
+    survey="NS-sim(product quantization: codebook assign + asymmetric-distance top-k)",
+    oracle=f"""
+WITH sub AS (
+    SELECT vec_id, m.m AS m,
+           {_PQ_SUB_SQL.format(e="embedding").format(m="m.m")} AS qsub
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m
+),
+cb AS (
+    SELECT vec_id AS cid, m, qsub AS csub FROM sub WHERE vec_id < {_PQ_K}
+),
+codes AS (
+    SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY {_PQ_L2_SQL.format(a="s.qsub", b="c.csub")}, c.cid) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+),
+qtab AS (
+    SELECT c.m, c.cid,
+           {_PQ_L2_SQL.format(a="qs.qsub", b="c.csub")} AS d
+    FROM cb c JOIN sub qs ON qs.m = c.m AND qs.vec_id = {_QUERY_VEC_ID}
+)
+SELECT codes.vec_id,
+       CAST(SUM(qtab.d) AS BIGINT) AS adc_dist
+FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.cid = codes.cid
+WHERE codes.vec_id != {_QUERY_VEC_ID}
+GROUP BY codes.vec_id
+ORDER BY adc_dist, codes.vec_id
+LIMIT {_TOP_K}
+""",
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") — the memory-bound ANN index family IVF-PQ
+    engines (FAISS) build at billion scale: each vector is split into
+    {m} sub-vectors, each encoded as its nearest of {k} per-subspace
+    codewords (here the training sample = the first {k} vectors, the
+    kmeans_assign seeding convention), so a 64-dim float vector compresses
+    to {m} bytes. Search is ADC (asymmetric distance computation): one
+    {m}×{k} table of exact query→codeword distances, then every database
+    vector's distance is {m} table lookups summed — no float math per
+    candidate. Components are fixed-point quantized (floor(x·2^20), the
+    round-6 rule), so codeword argmin, the ADC table, and the final
+    ranking are exact BIGINT arithmetic cross-engine.
+
+    Scale shape: the codebook ({m}·{k} sub-vectors, a few KB) broadcasts
+    to both the encode join and the ADC-table join; encoding is one
+    narrow pass over the embedding scan plus a (vec_id, m)-keyed argmin
+    window; search aggregates {m} rows per vector and takes top-k via
+    TakeOrderedAndProject. The encode output (codes) is the artifact a
+    real deployment stages once and reuses per query — at 100 TB only
+    the {m}-lookup sum runs per search.
+    """.format(m=_PQ_M, k=_PQ_K)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _PQ_SCALE).cast("bigint"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(qe, m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qsub"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.qsub")
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("qsub").alias("csub"),
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    codes = (
+        subs.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            "vec_id", "m", "cid",
+            l2(F.col("qsub"), F.col("csub")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qsubs = subs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("m").alias("qm"), F.col("qsub").alias("qqsub")
+    )
+    qtab = cb.join(F.broadcast(qsubs), F.col("cm") == F.col("qm")).select(
+        F.col("cm").alias("tm"), F.col("cid").alias("tcid"),
+        l2(F.col("qqsub"), F.col("csub")).alias("d"),
+    )
+    return (
+        codes.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(
+            F.broadcast(qtab),
+            (F.col("m") == F.col("tm")) & (F.col("cid") == F.col("tcid")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_TOP_K)
+    )

@@ -546,3 +546,141 @@ def streaming_model_gate_e2e(spark, sf_dir):
         model_gate_agg(stream), f"mgate_{uuid.uuid4().hex[:8]}"
     )
     return result.select("source", "n_docs", "n_kept", "kept_score")
+
+
+# --- Watermark late-data semantics, end to end -------------------------------
+
+_LATE_WM_US = 60 * 1_000_000        # 1-minute watermark delay (the SLA)
+_LATE_BEHIND_US = 600 * 1_000_000   # planted rows arrive ≥10 min behind max
+
+
+def _stage_late_arrival_events(spark, sf_dir) -> str:
+    """Three-file stream stage with a controlled arrival order:
+
+    - ``a`` — the on-time bulk (includes the corpus-max timestamp, so the
+      watermark ratchets to max−delay as soon as it commits);
+    - ``b`` — a tiny on-time "watermark carrier" slice. Spark filters late
+      records with the PREVIOUS batch's watermark (watermarkUsedForLateEvents,
+      one batch behind watermarkUsedForEviction — verified empirically: a
+      straggler in the batch where the watermark first rises is still
+      accepted), so a batch must pass between the bulk and the stragglers
+      for the filter to be armed;
+    - ``c`` — the planted stragglers (every 97th event ≥10 min behind the
+      corpus max — far enough that their 5-min windows are finalized and
+      the armed filter MUST drop every one).
+
+    Modification times force the file source to serve a→b→c; each side is
+    a SINGLE file so ``maxFilesPerTrigger=1`` yields exactly three
+    deterministic micro-batches. Atomic publish: built under a temp name,
+    renamed in."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    stage = (
+        "/tmp/gridiron_stream_stage/"
+        f"late_v2_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    if os.path.isfile(os.path.join(stage, "_SUCCESS")):
+        return stage
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    # driver-side SCALAR (1 row) for the stage split — setup cost, not
+    # part of the streaming plan
+    max_us = ev.agg(F.max(F.unix_micros("ts_ts"))).collect()[0][0]
+    late = (F.col("event_id") % 97 == 0) & (
+        F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US
+    )
+    # carrier ⊂ old on-time rows only, so the bulk keeps the corpus max
+    carrier = (
+        ~late
+        & (F.col("event_id") % 1009 == 0)
+        & (F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US)
+    )
+    tmp = f"{stage}.tmp.{uuid.uuid4().hex[:8]}"
+    ev.filter(~late & ~carrier).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/a"
+    )
+    ev.filter(carrier).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b")
+    ev.filter(late).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/c")
+    os.makedirs(f"{tmp}/stage", exist_ok=True)
+    now = int(os.stat(tmp).st_mtime)
+    for side, mtime in (("a", now - 180), ("b", now - 120), ("c", now - 60)):
+        (part,) = glob.glob(f"{tmp}/{side}/part-*.parquet")
+        dst = f"{tmp}/stage/{side}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+    open(f"{tmp}/stage/_SUCCESS", "w").close()
+    os.makedirs(os.path.dirname(stage), exist_ok=True)
+    try:
+        os.rename(f"{tmp}/stage", stage)
+    except OSError:
+        pass  # concurrent session published first — use theirs
+    shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+@register(
+    "streaming_late_data_e2e",
+    survey="ST-late(watermark late-data drop + append-mode window finalization, real readStream, 3 ordered micro-batches)",
+    oracle=f"""
+WITH ot AS (
+    SELECT event_type, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE NOT (event_id % 97 = 0
+               AND epoch_us(ts) < (SELECT MAX(epoch_us(ts)) FROM events)
+                                  - {_LATE_BEHIND_US})
+),
+wm AS (SELECT MAX(ts_us) - {_LATE_WM_US} AS wm_us FROM ot)
+SELECT (ts_us // {_FIVE_MIN_US}) * 300 AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ot, wm
+WHERE (ts_us // {_FIVE_MIN_US} + 1) * {_FIVE_MIN_US} <= wm_us
+GROUP BY 1, 2
+""",
+)
+def streaming_late_data_e2e(spark, sf_dir):
+    """The watermark SEMANTICS proof the complete-mode e2e drains can't
+    give (complete mode never drops late input): a three-micro-batch
+    stream where batch 1 (on-time bulk) raises the watermark to max−1min,
+    batch 2 (a tiny on-time slice) lets it arm as the LATE-EVENT filter
+    (Spark filters stragglers with the previous batch's watermark — see
+    _stage_late_arrival_events), and batch 3 delivers planted stragglers
+    ≥10 min behind it — every one targeting a window already finalized,
+    so the stateful aggregation MUST drop them all (verified: the run's
+    numRowsDroppedByWatermark equals the planted count). Append mode
+    emits exactly the windows the final
+    watermark has passed; the oracle replays both rules in SQL: aggregate
+    the on-time subset only, keep windows with end ≤ watermark. A row
+    surviving (late not dropped) or a withheld window leaking (emission
+    before finalization) each breaks the hash.
+
+    Scale shape: identical to streaming_tumbling_e2e (watermarked tumbling
+    agg, state bounded by the watermark horizon); the late-row drop is
+    exactly WHY state stays bounded at 100 TB/day — without it every
+    straggler would reopen and rewrite an arbitrarily old window.
+    """
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        tumbling_agg,
+    )
+
+    stage = _stage_late_arrival_events(spark, sf_dir)
+    stream = stream_events(spark, stage, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, watermark="1 minute")
+    result = run_available_now(
+        agg, f"late_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return result.select("window_start", "event_type", "n", "sum_value")

@@ -196,9 +196,39 @@ def phase_r6(spark, cat, dirs, ks) -> dict:
     return {"timings": results, "semdedup_k_probe": probe}
 
 
+def phase_r6_late(spark, cat, dirs, ks) -> dict:
+    """Late-round-6 additions: the selection/sketch/PQ/CDC family. All
+    four claim alpha ~= 1 by construction — perplexity_filter and
+    dsir_select_topk are zero-exchange maps (+ a constant top-N),
+    dedup_cdc_chunks is a map + three keyed linear shuffles whose chunk
+    directory SHRINKS with duplication, and ann_pq_topk's codebook/ADC
+    table stay constant-size while encode scales with the table. A
+    measured alpha materially above 1 for any of them would falsify the
+    plan-shape story."""
+    late = (
+        "dedup_cdc_chunks",
+        "perplexity_filter",
+        "dsir_select_topk",
+        "ann_pq_topk",
+    )
+    results: dict[str, dict[int, float]] = {q: {} for q in late}
+    for k in [1] + ks:
+        for q in late:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, dirs[k]).count()
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k} {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nround-6 late additions:")
+    print(_exponent_table(results, ks))
+    return {"timings": results}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--r6"]
+    args = [a for a in sys.argv[1:] if a not in ("--r6", "--r6-late")]
     only_r6 = "--r6" in sys.argv[1:]
+    only_r6_late = "--r6-late" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -210,6 +240,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r6_late:
+        r6b = phase_r6_late(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r6_late.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r6b}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r6:
         r6 = phase_r6(spark, cat, dirs, ks)

@@ -97,12 +97,12 @@ def test_queries_and_oracles_consistent():
 
 def test_round6_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-6 catalog so the docs can't drift from the code: 159
-    queries, 154 with full DuckDB oracles, 5 rows-only by design."""
+    frozen round-6 catalog so the docs can't drift from the code: 165
+    queries, 160 with full DuckDB oracles, 5 rows-only by design."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 159, len(q)
-    assert len(o) == 154, len(o)
+    assert len(q) == 166, len(q)
+    assert len(o) == 161, len(o)
     rows_only = set(q) - set(o)
     assert rows_only == {
         "grouped_map_tensorize", "multimodal_embed", "mllib_ann_brp_topk",

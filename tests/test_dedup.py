@@ -473,3 +473,56 @@ def test_lsh_recall_curve_shape_on_graded_corpus(spark):
         n_truth - n_hit for b, (n_truth, n_hit) in curve.items() if b <= 4
     )
     assert low_missed > 0, f"sub-threshold buckets should miss some: {curve}"
+
+
+def test_cdc_chunks_survive_offset_shift(spark):
+    """The defining content-defined-chunking property: prepending a prefix
+    shifts every byte offset, but chunk boundaries re-align once the gear
+    window clears the edit, so almost all chunks are byte-identical —
+    a fixed-size blocker would share zero blocks."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries.dedup import cdc_char_gears, cdc_chunks
+
+    base = (
+        "the fast key order sort table scan merge part window small hash "
+        "scan join order batch stream spark window dup value key sort "
+        "customer join agg row hash the group big table small query line"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX >> " + base)], "doc_id int, text string"
+    )
+    rows = {
+        r["doc_id"]: r["chunks"]
+        for r in df.withColumn("g", cdc_char_gears(F.col("text")))
+        .select("doc_id", cdc_chunks(F.col("text"), F.col("g")).alias("chunks"))
+        .collect()
+    }
+    a, b = rows[1], rows[2]
+    assert "".join(a) == base and "".join(b).endswith(base)
+    shared = set(a) & set(b)
+    # all but the boundary-adjacent head chunks re-align
+    assert len(shared) >= len(a) - 2, (a, b)
+    assert len(shared) >= 1
+
+
+def test_cdc_chunks_concatenation_is_lossless(spark):
+    """Chunks must partition the text exactly (no loss, no overlap) for
+    every document in the corpus."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.dedup import cdc_char_gears, cdc_chunks
+    from tests.conftest import SF_SMALL
+
+    bad = (
+        load_table(spark, SF_SMALL, "documents")
+        .withColumn("g", cdc_char_gears(F.col("text")))
+        .select(
+            F.concat_ws("", cdc_chunks(F.col("text"), F.col("g"))).alias("joined"),
+            F.col("text"),
+        )
+        .filter(F.col("joined") != F.col("text"))
+        .count()
+    )
+    assert bad == 0

@@ -435,3 +435,49 @@ def test_grouped_running_sum_reliable_checkpoint(spark, tmp_path):
     assert sorted((r.g, r.ord, r.cs) for r in got.collect()) == sorted(
         (r.g, r.ord, r.cs) for r in want.collect()
     )
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
+    """The bloom guarantee: zero false negatives (every true match passes
+    the sketch), and with m=8192/k=3 at this build cardinality the
+    false-positive rate stays well under 5% of probed rows."""
+    from tests.conftest import SF_ORACLE as _SF
+
+    from gridiron_spark.queries import catalog as _cat
+
+    rows = _cat()["bloom_prefilter_join"].spark_fn(spark, _SF).collect()
+    assert rows
+    total_probed = sum(r["n_probed"] for r in rows)
+    total_fp = sum(r["n_false_pos"] for r in rows)
+    for r in rows:
+        # no false negatives: everything the exact join matches, the
+        # sketch must also pass
+        assert r["n_bloom_pass"] >= r["n_true"], r
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true"], r
+    assert total_fp < 0.05 * total_probed, (total_fp, total_probed)
+
+
+def test_bloom_bitset_is_tiny_and_broadcast(spark):
+    """The sketch the probe side consumes must be ONE row of ≤ m sorted
+    positions (a few KB regardless of build cardinality) and must reach
+    the probe via broadcast — the property that makes the prefilter free
+    of any probe-side shuffle."""
+    from tests.conftest import SF_ORACLE as _SF
+
+    from gridiron_spark.queries import catalog as _cat
+
+    df = _cat()["bloom_prefilter_join"].spark_fn(spark, _SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
+    # probe-side agg is the only hash shuffle: priority-keyed final agg
+    import re
+
+    shuffles = re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    )
+    # build-side only: the custkey distinct (×2 — bitset build + the FP
+    # verification join's broadcast side) + the ≤m-row SinglePartition
+    # collect_set + the final priority agg. The ORDERS probe side must
+    # never shuffle before its own aggregation — pinned by the count cap,
+    # since an orders-side join shuffle would add two more exchanges.
+    assert len(shuffles) <= 4, (shuffles, plan)

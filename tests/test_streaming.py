@@ -281,3 +281,48 @@ def test_tws_user_stats_matches_batch(spark, source_dir):
         .collect()
     }
     assert final == want
+
+
+def test_late_data_e2e_drop_accounting(spark):
+    """The catalog e2e's planted stragglers must ALL be dropped by the
+    armed watermark filter: numRowsDroppedByWatermark over the run equals
+    the planted-late count, and none of their window keys leak into the
+    sink unless on-time rows also populated that window."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.streaming_batch import (
+        _LATE_BEHIND_US,
+        _stage_late_arrival_events,
+    )
+    from gridiron_spark.streaming.pipelines import stream_events, tumbling_agg
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    max_us = ev.agg(F.max(F.unix_micros("ts_ts"))).collect()[0][0]
+    n_late = ev.filter(
+        (F.col("event_id") % 97 == 0)
+        & (F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US)
+    ).count()
+    assert n_late > 0, "planted-late split is empty at this sf"
+
+    stage = _stage_late_arrival_events(spark, SF_SMALL)
+    name = f"late_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_agg(stream_events(spark, stage, max_files_per_trigger=1),
+                     watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == n_late, (dropped, n_late)
