@@ -144,8 +144,13 @@ def dsir_select_topk(spark, sf_dir):
     column; the deterministic head keeps the oracle exact.)
     """
     doc = load_table(spark, sf_dir, "documents")
-    feats = feature_array(tokens_expr())
-    scored = doc.select(
+    # materialize toks as a column BEFORE the bigram lambda references it:
+    # inside a higher-order lambda the split is not subexpression-eliminated,
+    # so an inline tokens_expr() would re-split the text per element_at —
+    # measured 90x slower at x10 sf0.1 (the score_documents discipline)
+    with_toks = doc.select("doc_id", tokens_expr().alias("toks"))
+    feats = feature_array(F.col("toks"))
+    scored = with_toks.select(
         "doc_id",
         F.size(feats).cast("bigint").alias("n_feats"),
         table_fold(feats, dsir_logratio_table()).alias("logw10"),

@@ -447,11 +447,20 @@ def model_gate_agg(docs: DataFrame) -> DataFrame:
         tokens_expr,
     )
 
-    feats = feature_array(tokens_expr("text"))
-    score = score_sum_expr(feats)
-    keep = score > 0
+    # materialize toks → feats → score as successive projections: inside a
+    # higher-order lambda a repeated subexpression is NOT eliminated, so an
+    # inline chain re-splits the text per element_at (measured 90x on the
+    # batch DSIR pass). Projections are free in a micro-batch plan.
+    toksed = docs.select("source", tokens_expr("text").alias("toks"))
+    featsed = toksed.select(
+        "source", feature_array(F.col("toks")).alias("feats")
+    )
+    scored = featsed.select(
+        "source", score_sum_expr(F.col("feats")).alias("score_sum")
+    )
+    keep = F.col("score_sum") > 0
     return (
-        docs.select("source", score.alias("score_sum"), keep.alias("keep"))
+        scored.select("source", "score_sum", keep.alias("keep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
