@@ -59,51 +59,41 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.selection",
 )
 
-# Rotating re-verification ring (round 5+). CORRECTNESS_r04 and _r05 were
-# both 50/50 green, so every catalog query carries a driver evidence row;
-# the window's job is freshness. Each query is tiered by the ROUND of its
-# most recent driver evidence row (computed from CORRECTNESS_r0{1..5}):
-# new queries first, then oldest evidence first, so no query's evidence ever
-# goes more than ~2-3 rounds stale. In-repo pytest (test_oracle_parity)
-# still re-checks every oracle each run, so nothing regresses silently while
-# out of the driver's window. Update after each round's CORRECTNESS lands.
-# Round 6: _EVIDENCE_R2 emptied into _EVIDENCE_R5 (all 43 re-verified green
-# in r5) and was retired.
+# Rotating re-verification ring (round 5+). Every driver window since
+# round 4 came back 50/50 green, so every catalog query carries a driver
+# evidence row; the window's job is freshness. Each query is tiered by the
+# ROUND of its most recent driver evidence row (computed from
+# CORRECTNESS_r0{1..6}): new queries first, then oldest evidence first, so
+# no query's evidence ever goes more than ~3 rounds stale. In-repo pytest
+# (test_oracle_parity) still re-checks every oracle each run, so nothing
+# regresses silently while out of the driver's window. Update after each
+# round's CORRECTNESS lands. Round 6: _EVIDENCE_R2 retired. Round 7:
+# CORRECTNESS_r06 was 50/50 green → its 50 rows became _EVIDENCE_R6
+# (emptying _NEW_R6 and 28 of the 44 round-3 entries).
 
-# Latest driver evidence row is from round 3 (44 queries, incl. the four
-# rows-only-by-design no_oracle rows recorded that round) — now the stalest
-# tier. The four rows-only entries (no hash to refresh — the driver records
-# the same weaker rows-only check every time) sort AFTER the 40
-# oracle-bearing ones, so oracle hash evidence is refreshed first when the
-# window can't fit all 44.
+# Latest driver evidence row is from round 3 — the stalest tier: the 16
+# entries that did not fit the round-6 window. The rows-only entries (no
+# hash to refresh — the driver records the same weaker rows-only check
+# every time) sort AFTER the oracle-bearing ones, so oracle hash evidence
+# is refreshed first.
 _EVIDENCE_R3 = frozenset(
     {
-        "ann_recall_eval", "asof_join_events", "corpus_clean_pipeline",
-        "decontaminate_ngram_overlap", "dedup_clusters_star",
-        "dedup_ngram_prefix", "embedding_quantize", "forecast_revenue_change",
-        "generator_outer_expand", "grouped_map_tensorize",
-        "higher_order_functions", "incremental_dedup_flags",
-        "keyed_dedup_earliest", "knn_join_topk", "large_volume_customers",
-        "local_supplier_volume", "math_functions", "mixture_token_budget",
-        "mllib_ann_brp_topk", "mllib_minhash_banded", "mllib_minhash_sim_join",
-        "multimodal_embed", "multimodal_resize", "multiset_ops",
-        "null_functions", "paginated_orders", "pricing_summary_q1",
-        "profit_by_nation_year", "promo_revenue_ratio", "ranged_global_sort",
-        "resample_forward_fill", "returned_item_topk",
-        "sequence_pack_bucketed", "session_window_agg", "set_intersect_users",
-        "small_qty_avg_revenue", "stratified_sample_agg", "streaming_join_e2e",
-        "streaming_sliding_e2e", "supplier_part_relation",
-        "top_revenue_supplier", "training_data_pipeline", "unpivot_metrics",
-        "window_lag_delta",
+        "ann_recall_eval", "embedding_quantize", "grouped_map_tensorize",
+        "keyed_dedup_earliest", "knn_join_topk", "mllib_ann_brp_topk",
+        "mllib_minhash_banded", "mllib_minhash_sim_join", "multimodal_embed",
+        "multimodal_resize", "sequence_pack_bucketed", "session_window_agg",
+        "streaming_join_e2e", "streaming_sliding_e2e",
+        "training_data_pipeline", "window_lag_delta",
     }
 )
 
-# The rows-only subset of _EVIDENCE_R3 (seeded-JVM MLlib family + 3-D
-# tensor output): re-verified last within the tier (see note above).
+# The rows-only subset of _EVIDENCE_R3 (seeded-JVM MLlib family, 3-D
+# tensor output, model-boundary embeddings): re-verified last within the
+# tier (see note above).
 _ROWS_ONLY_R3 = frozenset(
     {
         "grouped_map_tensorize", "mllib_ann_brp_topk", "mllib_minhash_banded",
-        "mllib_minhash_sim_join",
+        "mllib_minhash_sim_join", "multimodal_embed",
     }
 )
 
@@ -158,35 +148,37 @@ _EVIDENCE_R5 = frozenset(
     }
 )
 
-# CORRECTNESS_r05 had zero red rows, so there is no fixed-reds tier this
-# round. Tier 1 = first-driver-row queue: the 7 entries banked behind the
-# frozen round-5 window (built + in-repo parity-green in r5, promoted here
-# for their first driver evidence rows) followed by the genuinely-new
-# round-6 queries as they land.
-_NEW_R6 = (
-    "corpus_rank_quality",
-    "ingest_normalize_roundtrip",
-    "shingle_novelty_score",
-    "scan_unified_drift_roundtrip",
-    "dedup_keep_best",
-    "ingest_json_roundtrip",
-    "cluster_split_assign",
-    "kmeans_converged_assign",
-    "model_quality_score",
-    "multimodal_png_roundtrip",
-    "doc_embedding_pool",
-    "pii_luhn_flags",
-    "ann_ivf_kmeans_topk",
-    "lsh_recall_curve",
-    "streaming_model_gate_e2e",
-    "perplexity_filter",
-    "dsir_select_topk",
-    "robust_outlier_flags",
-    "bloom_prefilter_join",
-    "ann_pq_topk",
-    "streaming_late_data_e2e",
-    "dedup_cdc_chunks",
+# Latest driver evidence row is from round 6 (50/50 green window: first
+# rows for all 22 round-6 additions + the 28 then-stalest round-3 entries).
+_EVIDENCE_R6 = frozenset(
+    {
+        "ann_ivf_kmeans_topk", "ann_pq_topk", "asof_join_events",
+        "bloom_prefilter_join", "cluster_split_assign",
+        "corpus_clean_pipeline", "corpus_rank_quality",
+        "decontaminate_ngram_overlap", "dedup_cdc_chunks",
+        "dedup_clusters_star", "dedup_keep_best", "dedup_ngram_prefix",
+        "doc_embedding_pool", "dsir_select_topk", "forecast_revenue_change",
+        "generator_outer_expand", "higher_order_functions",
+        "incremental_dedup_flags", "ingest_json_roundtrip",
+        "ingest_normalize_roundtrip", "kmeans_converged_assign",
+        "large_volume_customers", "local_supplier_volume", "lsh_recall_curve",
+        "math_functions", "mixture_token_budget", "model_quality_score",
+        "multimodal_png_roundtrip", "multiset_ops", "null_functions",
+        "paginated_orders", "perplexity_filter", "pii_luhn_flags",
+        "pricing_summary_q1", "profit_by_nation_year", "promo_revenue_ratio",
+        "ranged_global_sort", "resample_forward_fill", "returned_item_topk",
+        "robust_outlier_flags", "scan_unified_drift_roundtrip",
+        "set_intersect_users", "shingle_novelty_score",
+        "small_qty_avg_revenue", "stratified_sample_agg",
+        "streaming_late_data_e2e", "streaming_model_gate_e2e",
+        "supplier_part_relation", "top_revenue_supplier", "unpivot_metrics",
+    }
 )
+
+# CORRECTNESS_r06 had zero red rows, so there is no fixed-reds tier this
+# round. Tier 1 = first-driver-row queue: the genuinely-new round-7
+# queries as they land.
+_NEW_R7: tuple[str, ...] = ()
 
 
 def register(name: str, *, oracle: str | None, survey: str):
@@ -205,16 +197,17 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R6: r5-banked promotions + new r6)
+    #   1. first-driver-row queue (_NEW_R7)
     #   2. anything without an evidence row (safety net; empty by audit)
     #   3. stalest evidence (round 3, oracle-bearing) — the ring's head
     #   4. round-3 rows-only (no hash to refresh) — after the oracles
     #   5. round-4 evidence — fills whatever window slots remain
-    #   6. round-5 evidence — freshest, re-verified last
-    new_r6 = set(_NEW_R6)
+    #   6. round-5 evidence
+    #   7. round-6 evidence — freshest, re-verified last
+    new_r7 = set(_NEW_R7)
 
     def tier(name: str) -> int:
-        if name in new_r6:
+        if name in new_r7:
             return 1
         if name in _ROWS_ONLY_R3:
             return 4
@@ -224,6 +217,8 @@ def catalog() -> dict[str, CatalogEntry]:
             return 5
         if name in _EVIDENCE_R5:
             return 6
+        if name in _EVIDENCE_R6:
+            return 7
         return 2
 
     entries = list(_CATALOG.items())

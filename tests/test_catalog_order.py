@@ -5,7 +5,7 @@ order, so the ordering is load-bearing. Since round 5 the window is a
 rotating re-verification ring: new queries get their first evidence row
 immediately, then the stalest-evidence queries re-enter (oracle-bearing
 before rows-only), then fresher rounds — keeping every query's driver
-evidence at most ~2-3 rounds old.
+evidence at most ~3 rounds old.
 """
 
 from __future__ import annotations
@@ -14,7 +14,8 @@ from gridiron_spark.queries import (
     _EVIDENCE_R3,
     _EVIDENCE_R4,
     _EVIDENCE_R5,
-    _NEW_R6,
+    _EVIDENCE_R6,
+    _NEW_R7,
     _ROWS_ONLY_R3,
     catalog,
     oracle_sql,
@@ -27,8 +28,8 @@ WINDOW = 50
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5, set(_NEW_R6),
-              _ROWS_ONLY_R3):
+    for s in (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6,
+              set(_NEW_R7), _ROWS_ONLY_R3):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -38,7 +39,8 @@ def test_ordering_sets_disjoint_and_complete():
     latest-evidence round (or is in the first-driver-row queue).
     _ROWS_ONLY_R3 is a sub-tier of _EVIDENCE_R3, not a partition member."""
     assert _ROWS_ONLY_R3 <= _EVIDENCE_R3
-    tiers = [set(_NEW_R6), _EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5]
+    tiers = [set(_NEW_R7), _EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5,
+             _EVIDENCE_R6]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -50,10 +52,10 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r6 = set(_NEW_R6)
+    new_r7 = set(_NEW_R7)
 
     def tier(n: str) -> int:
-        if n in new_r6:
+        if n in new_r7:
             return 1
         if n in _ROWS_ONLY_R3:
             return 4
@@ -63,6 +65,8 @@ def test_tier_order():
             return 5
         if n in _EVIDENCE_R5:
             return 6
+        if n in _EVIDENCE_R6:
+            return 7
         return 2
 
     tiers = [tier(n) for n in names]
@@ -71,19 +75,18 @@ def test_tier_order():
 
 def test_window_rotation():
     """Every first-driver-row queue entry must be inside the driver's
-    50-entry verification window, and the window's remainder must be
-    filled from the stalest (round-3) evidence tier."""
+    50-entry verification window; the stalest (round-3 leftover) tier comes
+    next, and the remainder fills from round-4 evidence — no round-5/6
+    entry may leapfrog a round-4 entry while round-4 entries wait."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R6) <= window
-    # the window fills with round-3-evidence entries after the queue;
-    # no round-4/round-5 entry may leapfrog a round-3 oracle entry
-    r3_oracle = _EVIDENCE_R3 - _ROWS_ONLY_R3
-    fresher_in_window = window & (_EVIDENCE_R4 | _EVIDENCE_R5)
-    if r3_oracle - window:
+    assert set(_NEW_R7) <= window
+    assert _EVIDENCE_R3 <= window, "round-3 leftovers must all re-verify"
+    fresher_in_window = window & (_EVIDENCE_R5 | _EVIDENCE_R6)
+    if _EVIDENCE_R4 - window:
         assert not fresher_in_window, (
-            "fresh-evidence entries in the window while stale round-3 "
-            f"oracle entries wait outside: {sorted(fresher_in_window)}"
+            "fresh-evidence entries in the window while stale round-4 "
+            f"entries wait outside: {sorted(fresher_in_window)}"
         )
 
 
@@ -95,19 +98,17 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_round6_catalog_freeze_counts():
+def test_round7_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-6 catalog so the docs can't drift from the code: 165
-    queries, 160 with full DuckDB oracles, 5 rows-only by design."""
+    frozen round-7 catalog so the docs can't drift from the code."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 166, len(q)
-    assert len(o) == 161, len(o)
+    assert len(q) == 166 + len(_NEW_R7), len(q)
     rows_only = set(q) - set(o)
-    assert rows_only == {
+    assert {
         "grouped_map_tensorize", "multimodal_embed", "mllib_ann_brp_topk",
         "mllib_minhash_sim_join", "mllib_minhash_banded",
-    }, rows_only
+    } <= rows_only, rows_only
 
 
 def test_rows_only_r3_sort_after_r3_oracles():
