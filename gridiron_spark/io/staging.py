@@ -88,20 +88,39 @@ def ensure_stage(stage: str, write_fn: Callable[[str], None]) -> str:
     try:
         os.rename(tmp, stage)
     except OSError:
-        # lost the race: a complete artifact already sits at the key
+        # Either we lost the race (a complete artifact already sits at the
+        # key) or the rename genuinely failed (EACCES, EXDEV after a
+        # STAGE_ROOT relocation). Only the former is benign — verify the
+        # published artifact exists before swallowing the error, so a real
+        # failure surfaces here at publication, not later as an opaque
+        # reader-side miss.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not is_ready(stage):
+            raise
     prune_stale_variants(stage)
     return stage
 
 
 def prune_stale_variants(stage: str) -> None:
-    """Delete older variants of the same stage kind (different params hash
-    or source fingerprint). The current key is never touched, and neither
-    is any ``.tmp.`` dir — that may be a concurrent writer mid-write; a
-    tmp dir orphaned by a crash is reclaimed by its owner's next
-    ensure_stage call for the same pid, or harmlessly ignored."""
+    """Delete older variants of the same stage kind *for the same corpus*
+    (same sf_dir tag, different params hash or source fingerprint). The
+    current key is never touched, and neither is any ``.tmp.`` dir — that
+    may be a concurrent writer mid-write; a tmp dir orphaned by a crash is
+    reclaimed by its owner's next ensure_stage call for the same pid, or
+    harmlessly ignored.
+
+    Matching on kind alone would let a pytest run (SF_SMALL corpus) rmtree
+    the driver corpus's live stage out from under a concurrent reader —
+    Spark lists files at plan time and reads at task time, so a
+    cross-corpus prune is a FileNotFoundException window, and alternating
+    corpora (scale_validation's x1/x3/x10 dirs) would thrash-rebuild each
+    other's artifacts. Variants of OTHER corpora are left alone; only the
+    same corpus's stale params/fingerprints are reclaimed."""
     base = os.path.basename(stage)
-    kind = base.split("--", 1)[0]
+    fields = base.split("--")
+    if len(fields) < 4:
+        return
+    kind, tag = fields[0], fields[2]
     try:
         siblings = os.listdir(STAGE_ROOT)
     except OSError:
@@ -109,5 +128,6 @@ def prune_stale_variants(stage: str) -> None:
     for name in siblings:
         if name == base or ".tmp." in name:
             continue
-        if name.startswith(f"{kind}--"):
+        sib = name.split("--")
+        if len(sib) >= 4 and sib[0] == kind and sib[2] == tag:
             shutil.rmtree(os.path.join(STAGE_ROOT, name), ignore_errors=True)

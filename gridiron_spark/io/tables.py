@@ -118,10 +118,16 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     # each added piece weighs length + openCost.
     pieces: list[int] = []
     for s in sizes:
+        if s == 0:
+            # splitFiles emits no splits for empty part files — including a
+            # 0-size piece (plus openCost weight) would overcount partitions
+            continue
         while s > max_split:
             pieces.append(max_split)
             s -= max_split
         pieces.append(s)
+    if not pieces:
+        return 1
     pieces.sort(reverse=True)
     parts, cur = 0, 0
     for p in pieces:

@@ -189,20 +189,41 @@ def streaming_tumbling_e2e(spark, sf_dir):
 
 
 def _stage_events(spark, sf_dir) -> str:
-    import os
+    # Keyed through io/staging so the key carries the SOURCE FINGERPRINT
+    # (size + ns-mtime of events.parquet): a regenerated lake at the same
+    # path can never alias a stale stream stage while the oracle reads
+    # fresh data. "v2" marks the stage layout (µs-precision ts_us).
+    from gridiron_spark.io.staging import ensure_stage, stage_path
 
-    # v2: stage layout versioned — a stale stage written by an older code
-    # version (e.g. with second-truncated ts_us) must not be reused.
-    stage = f"/tmp/gridiron_stream_stage/v2_{sf_dir.strip('/').replace('/', '_')}"
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").select(
+    stage = stage_path(sf_dir, "stream_events_v2", "events")
+    return ensure_stage(
+        stage,
+        lambda p: load_table(spark, sf_dir, "events")
+        .select(
             "event_id",
             "user_id",
             "event_type",
             "ts_ts",
             F.col("value").cast("double").alias("value"),
-        ).write.mode("overwrite").parquet(stage)
-    return stage
+        )
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+
+
+def _stage_documents(spark, sf_dir) -> str:
+    """Documents staged for file-source streaming, fingerprint-keyed like
+    every batch stage (io/staging.py) so a regenerated documents.parquet
+    rebuilds the stream stage instead of replaying stale rows."""
+    from gridiron_spark.io.staging import ensure_stage, stage_path
+
+    stage = stage_path(sf_dir, "stream_docs_v1", "documents")
+    return ensure_stage(
+        stage,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
 
 @register(
@@ -449,7 +470,6 @@ def streaming_quality_gate_e2e(spark, sf_dir):
     the gate costs zero state at any corpus rate; integer token sums make
     stream == batch bit-exact.
     """
-    import os
     import uuid
 
     from gridiron_spark.streaming.pipelines import (
@@ -458,12 +478,7 @@ def streaming_quality_gate_e2e(spark, sf_dir):
         stream_documents,
     )
 
-    stage = f"/tmp/gridiron_stream_stage/docs_v1_{sf_dir.strip('/').replace('/', '_')}"
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
-            stage
-        )
-    stream = stream_documents(spark, stage)
+    stream = stream_documents(spark, _stage_documents(spark, sf_dir))
     result = run_available_now(
         quality_gate_agg(stream), f"qgate_{uuid.uuid4().hex[:8]}"
     )
@@ -527,7 +542,6 @@ def streaming_model_gate_e2e(spark, sf_dir):
     the same classifier. Integer score sums make stream == batch
     bit-exact — the property that lets a team backfill history in batch
     and gate the live feed with ONE implementation."""
-    import os
     import uuid
 
     from gridiron_spark.streaming.pipelines import (
@@ -536,12 +550,7 @@ def streaming_model_gate_e2e(spark, sf_dir):
         stream_documents,
     )
 
-    stage = f"/tmp/gridiron_stream_stage/docs_v1_{sf_dir.strip('/').replace('/', '_')}"
-    if not os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
-            stage
-        )
-    stream = stream_documents(spark, stage)
+    stream = stream_documents(spark, _stage_documents(spark, sf_dir))
     result = run_available_now(
         model_gate_agg(stream), f"mgate_{uuid.uuid4().hex[:8]}"
     )
@@ -571,60 +580,68 @@ def _stage_late_arrival_events(spark, sf_dir) -> str:
 
     Modification times force the file source to serve a→b→c; each side is
     a SINGLE file so ``maxFilesPerTrigger=1`` yields exactly three
-    deterministic micro-batches. Atomic publish: built under a temp name,
-    renamed in."""
+    deterministic micro-batches. Keyed through io/staging (source
+    fingerprint + the split parameters), published atomically."""
     import glob
     import os
     import shutil
-    import uuid
 
-    stage = (
-        "/tmp/gridiron_stream_stage/"
-        f"late_v2_{sf_dir.strip('/').replace('/', '_')}"
-    )
-    if os.path.isfile(os.path.join(stage, "_SUCCESS")):
-        return stage
+    from gridiron_spark.io.staging import ensure_stage, stage_path
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts_ts",
-        F.col("value").cast("double").alias("value"),
+    stage = stage_path(
+        sf_dir,
+        "stream_late_v2",
+        "events",
+        params={"behind_us": _LATE_BEHIND_US, "late_mod": 97,
+                "carrier_mod": 1009},
     )
-    # driver-side SCALAR (1 row) for the stage split — setup cost, not
-    # part of the streaming plan
-    max_us = ev.agg(F.max(F.unix_micros("ts_ts"))).collect()[0][0]
-    late = (F.col("event_id") % 97 == 0) & (
-        F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US
-    )
-    # carrier ⊂ old on-time rows only, so the bulk keeps the corpus max
-    carrier = (
-        ~late
-        & (F.col("event_id") % 1009 == 0)
-        & (F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US)
-    )
-    tmp = f"{stage}.tmp.{uuid.uuid4().hex[:8]}"
-    ev.filter(~late & ~carrier).coalesce(1).write.mode("overwrite").parquet(
-        f"{tmp}/a"
-    )
-    ev.filter(carrier).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b")
-    ev.filter(late).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/c")
-    os.makedirs(f"{tmp}/stage", exist_ok=True)
-    now = int(os.stat(tmp).st_mtime)
-    for side, mtime in (("a", now - 180), ("b", now - 120), ("c", now - 60)):
-        (part,) = glob.glob(f"{tmp}/{side}/part-*.parquet")
-        dst = f"{tmp}/stage/{side}.parquet"
-        shutil.copyfile(part, dst)
-        os.utime(dst, (mtime, mtime))
-    open(f"{tmp}/stage/_SUCCESS", "w").close()
-    os.makedirs(os.path.dirname(stage), exist_ok=True)
-    try:
-        os.rename(f"{tmp}/stage", stage)
-    except OSError:
-        pass  # concurrent session published first — use theirs
-    shutil.rmtree(tmp, ignore_errors=True)
-    return stage
+
+    def build(dst: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        # driver-side SCALAR (1 row) for the stage split — setup cost, not
+        # part of the streaming plan
+        max_us = ev.agg(F.max(F.unix_micros("ts_ts"))).collect()[0][0]
+        late = (F.col("event_id") % 97 == 0) & (
+            F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US
+        )
+        # carrier ⊂ old on-time rows only, so the bulk keeps the corpus max
+        carrier = (
+            ~late
+            & (F.col("event_id") % 1009 == 0)
+            & (F.unix_micros("ts_ts") < max_us - _LATE_BEHIND_US)
+        )
+        sides = f"{dst}/.sides"
+        ev.filter(~late & ~carrier).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{sides}/a")
+        ev.filter(carrier).coalesce(1).write.mode("overwrite").parquet(
+            f"{sides}/b"
+        )
+        ev.filter(late).coalesce(1).write.mode("overwrite").parquet(
+            f"{sides}/c"
+        )
+        now = int(os.stat(dst).st_mtime)
+        for side, mtime in (
+            ("a", now - 180),
+            ("b", now - 120),
+            ("c", now - 60),
+        ):
+            (part,) = glob.glob(f"{sides}/{side}/part-*.parquet")
+            out = f"{dst}/{side}.parquet"
+            shutil.copyfile(part, out)
+            os.utime(out, (mtime, mtime))
+        # .sides is dot-prefixed (invisible to Spark's file source) but
+        # remove it anyway so the published stage holds exactly 3 files
+        shutil.rmtree(sides, ignore_errors=True)
+        open(f"{dst}/_SUCCESS", "w").close()
+
+    return ensure_stage(stage, build)
 
 
 @register(

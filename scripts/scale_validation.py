@@ -143,7 +143,7 @@ def _exponent_table(results: dict, ks: list[int]) -> str:
     )
     lines = [header, "|---" * (len(ks) + 3) + "|"]
     for q, r in results.items():
-        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
+        alpha = math.log(max(r[khi], 1e-3) / max(r[klo], 1e-3)) / math.log(khi / klo)
         lines.append(
             f"| {q} | "
             + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)
@@ -284,7 +284,7 @@ def main() -> None:
     lines = [header, sep]
     for q in HEAVY:
         r = results[q]
-        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
+        alpha = math.log(max(r[khi], 1e-3) / max(r[klo], 1e-3)) / math.log(khi / klo)
         lines.append(
             f"| {q} | "
             + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)
@@ -313,7 +313,7 @@ def main() -> None:
     print("\nhot-shingle (5% boilerplate) crossover:")
     lines = [header, sep]
     for q, r in bp_results.items():
-        alpha = math.log(r[khi] / r[klo]) / math.log(khi / klo)
+        alpha = math.log(max(r[khi], 1e-3) / max(r[klo], 1e-3)) / math.log(khi / klo)
         lines.append(
             f"| {q} | "
             + " | ".join(f"{r[k]:.2f}" for k in [1] + ks)

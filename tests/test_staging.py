@@ -83,13 +83,19 @@ def test_ensure_stage_lost_race_defers_to_winner(tmp_path, monkeypatch):
     ), "lost-race tmp dir must be cleaned up"
 
 
-def test_prune_removes_stale_same_kind_variants(tmp_path, monkeypatch):
+def test_prune_removes_stale_same_kind_same_corpus_variants(
+    tmp_path, monkeypatch
+):
     """A re-mine under a new fingerprint/params must garbage-collect older
-    variants of the same kind — /tmp must not accumulate dead stages —
-    while leaving other kinds and in-flight tmp dirs alone."""
+    variants of the same kind FOR THE SAME CORPUS — /tmp must not
+    accumulate dead stages — while leaving other kinds, other corpora
+    (pytest's SF_SMALL vs the driver dir, scale_validation's x1/x3/x10
+    dirs — a cross-corpus prune would rmtree a live stage out from under
+    a concurrent reader), and in-flight tmp dirs alone."""
     monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stages"))
     root = str(tmp_path / "stages")
     sf = _touch_source(tmp_path)
+    tag = sf.strip("/").replace("/", "_")
 
     def mk(name):
         p = os.path.join(root, name)
@@ -97,16 +103,41 @@ def test_prune_removes_stale_same_kind_variants(tmp_path, monkeypatch):
         open(os.path.join(p, "_SUCCESS"), "w").close()
         return p
 
-    stale = mk("cluster_map--deadbeef--old_tag--1_2")
-    other_kind = mk("cand_pairs--deadbeef--old_tag--1_2")
-    inflight = mk("cluster_map--feedface--tag--9_9.tmp.12345")
+    stale = mk(f"cluster_map--deadbeef--{tag}--1_2")
+    other_corpus = mk("cluster_map--deadbeef--other_tag--1_2")
+    other_kind = mk(f"cand_pairs--deadbeef--{tag}--1_2")
+    inflight = mk(f"cluster_map--feedface--{tag}--9_9.tmp.12345")
 
     stage = staging.stage_path(sf, "cluster_map", "documents")
     staging.ensure_stage(stage, lambda p: mk(os.path.basename(p)))
-    assert not os.path.exists(stale), "stale same-kind variant survives"
+    assert not os.path.exists(stale), "stale same-kind same-corpus survives"
+    assert os.path.exists(other_corpus), "other corpora must not be pruned"
     assert os.path.exists(other_kind), "other kinds must not be pruned"
     assert os.path.exists(inflight), "in-flight tmp dirs must not be pruned"
     assert staging.is_ready(stage)
+
+
+def test_ensure_stage_surfaces_genuine_rename_failure(tmp_path, monkeypatch):
+    """A rename that fails for a reason OTHER than a lost publication race
+    (no complete artifact at the key) must raise at the point of
+    publication, not silently return an unpublished stage path."""
+    import pytest
+
+    monkeypatch.setattr(staging, "STAGE_ROOT", str(tmp_path / "stages"))
+    sf = _touch_source(tmp_path)
+    stage = staging.stage_path(sf, "cluster_map", "documents")
+
+    def write_then_break(p):
+        os.makedirs(p, exist_ok=True)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        # simulate EACCES/EXDEV: the publication target is unusable and no
+        # competing writer has landed a complete artifact there
+        os.makedirs(stage, exist_ok=True)
+        open(os.path.join(stage, "blocker"), "w").close()
+
+    # rename onto a non-empty dir fails (ENOTEMPTY) and stage is NOT ready
+    with pytest.raises(OSError):
+        staging.ensure_stage(stage, write_then_break)
 
 
 def test_scan_partition_estimate_matches_spark(spark, tmp_path):
