@@ -57,6 +57,8 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.sinks",
     "gridiron_spark.queries.curation",
     "gridiron_spark.queries.selection",
+    "gridiron_spark.queries.retrieval",
+    "gridiron_spark.queries.layout",
 )
 
 # Rotating re-verification ring (round 5+). Every driver window since
@@ -178,7 +180,12 @@ _EVIDENCE_R6 = frozenset(
 # CORRECTNESS_r06 had zero red rows, so there is no fixed-reds tier this
 # round. Tier 1 = first-driver-row queue: the genuinely-new round-7
 # queries as they land.
-_NEW_R7: tuple[str, ...] = ()
+_NEW_R7: tuple[str, ...] = (
+    "bm25_search_topk",
+    "tfidf_topk_terms",
+    "ngram_lm_train_score",
+    "zorder_layout_sort",
+)
 
 
 def register(name: str, *, oracle: str | None, survey: str):
