@@ -607,3 +607,92 @@ def png_roundtrip_stats(ids: DataFrame) -> DataFrame:
             " sum_val bigint, pos_checksum bigint, p_min bigint, p_max bigint"
         ),
     )
+
+
+# --- Perceptual image hashing (dHash) ---------------------------------------
+
+DHASH_W, DHASH_H = 18, 16     # decode geometry: 9x8 cells of 2x2 pixels
+DHASH_BASES = 50              # planted near-dup groups: base = id mod 50
+
+
+def _dhash_gray(mid: int, i: int) -> int:
+    """Deterministic test-image sample: md5-family pseudo-random per
+    (base, position) so distinct bases give uncorrelated hashes, plus a
+    sparse +128 perturbation on every 97th pixel for odd variants
+    (mid div 50 odd) — same-base docs are NEAR-duplicates (few-bit
+    Hamming), not exact ones. SQL mirror in queries/multimodal.py."""
+    base = mid % DHASH_BASES
+    g = int(hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:2], 16)
+    if (mid // DHASH_BASES) % 2 == 1 and i % 97 == 0:
+        g += 128
+    return g % 256
+
+
+def image_dhash(ids: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) per image THROUGH the production decode
+    boundary: the deterministic 18x16 gray image packs into a real P6 PPM
+    (equal RGB channels), decodes via ``_decode_payload``, and the decoded
+    pixels reduce to the classic 64-bit dHash — 9x8 grid of 2x2 integer
+    block means, each bit = right cell brighter than left. The hash is
+    carried as two 32-bit halves (hash_hi, hash_lo) so band keys and
+    Hamming distances stay in exact BIGINT range.
+
+    Arrow-batched mapInPandas, one decode + one vectorized reduction per
+    image — the per-row work is O(pixels), no shuffle."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict[int, "np.ndarray"] = {}
+        n = DHASH_W * DHASH_H
+
+        def base_gray(base: int):
+            g = base_cache.get(base)
+            if g is None:
+                g = np.array(
+                    [
+                        int(
+                            hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:2],
+                            16,
+                        )
+                        for i in range(n)
+                    ],
+                    dtype=np.int64,
+                )
+                base_cache[base] = g
+            return g
+
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["media_id"]:
+                mid = int(raw_id)
+                g = base_gray(mid % DHASH_BASES).copy()
+                if (mid // DHASH_BASES) % 2 == 1:
+                    g[::97] = (g[::97] + 128) % 256
+                rgb = np.repeat(g, 3).astype(np.uint8)
+                payload = (
+                    f"P6\n{DHASH_W} {DHASH_H}\n255\n".encode() + rgb.tobytes()
+                )
+                d = _decode_payload("image", payload)
+                dec = np.frombuffer(d["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                gray = dec[::3].reshape(DHASH_H, DHASH_W)
+                cells = (
+                    gray[0::2, 0::2]
+                    + gray[0::2, 1::2]
+                    + gray[1::2, 0::2]
+                    + gray[1::2, 1::2]
+                ) // 4  # 8 rows x 9 cols
+                bits = (cells[:, 1:] > cells[:, :-1]).astype(np.int64)
+                flat = bits.reshape(-1)  # idx = by*8 + bx
+                powers = 1 << np.arange(32, dtype=np.int64)
+                lo = int((flat[:32] * powers).sum())
+                hi = int((flat[32:] * powers).sum())
+                out.append((mid, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["media_id", "hash_hi", "hash_lo"]
+            )
+
+    return ids.mapInPandas(
+        _hash, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
+    )

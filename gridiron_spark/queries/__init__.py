@@ -185,6 +185,8 @@ _NEW_R7: tuple[str, ...] = (
     "tfidf_topk_terms",
     "ngram_lm_train_score",
     "zorder_layout_sort",
+    "image_dhash_neardup",
+    "filter_funnel_report",
 )
 
 

@@ -233,3 +233,148 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return png_roundtrip_stats(docs.select(F.col("doc_id").alias("media_id")))
+
+
+def _dhash_oracle() -> str:
+    from gridiron_spark.operators.multimodal import (
+        DHASH_BASES,
+        DHASH_H,
+        DHASH_W,
+    )
+
+    n = DHASH_W * DHASH_H
+    gray = (
+        "(CAST(('0x' || substring(md5(CAST(doc_id % {b} AS VARCHAR) || '_' "
+        "|| CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) "
+        "+ CASE WHEN (doc_id // {b}) % 2 = 1 AND i % 97 = 0 "
+        "THEN 128 ELSE 0 END) % 256"
+    ).format(b=DHASH_BASES)
+    return f"""
+WITH px AS (
+    SELECT doc_id AS media_id,
+           list_transform(range(0, {n}), i -> {gray}) AS v
+    FROM documents
+),
+cl AS (
+    SELECT media_id,
+           list_transform(range(0, 72), c ->
+               (v[(c // 9 * 2) * {DHASH_W} + (c % 9) * 2 + 1]
+                + v[(c // 9 * 2) * {DHASH_W} + (c % 9) * 2 + 2]
+                + v[(c // 9 * 2 + 1) * {DHASH_W} + (c % 9) * 2 + 1]
+                + v[(c // 9 * 2 + 1) * {DHASH_W} + (c % 9) * 2 + 2]) // 4
+           ) AS cells
+    FROM px
+),
+bt AS (
+    SELECT media_id,
+           list_transform(range(0, 64), b ->
+               CASE WHEN cells[(b // 8) * 9 + (b % 8) + 2]
+                         > cells[(b // 8) * 9 + (b % 8) + 1]
+                    THEN 1 ELSE 0 END) AS bits
+    FROM cl
+),
+h AS (
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(0, 32),
+               i -> bits[i + 33] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS hi,
+           CAST(list_sum(list_transform(range(0, 32),
+               i -> bits[i + 1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS lo
+    FROM bt
+),
+b AS (
+              SELECT media_id, hi, lo, 0 AS bi, lo % 65536 AS bv FROM h
+    UNION ALL SELECT media_id, hi, lo, 1, lo // 65536 FROM h
+    UNION ALL SELECT media_id, hi, lo, 2, hi % 65536 FROM h
+    UNION ALL SELECT media_id, hi, lo, 3, hi // 65536 FROM h
+),
+cand AS (
+    SELECT DISTINCT x.media_id AS id_a, x.hi AS ha, x.lo AS la,
+                    y.media_id AS id_b, y.hi AS hb, y.lo AS lb
+    FROM b x JOIN b y ON x.bi = y.bi AND x.bv = y.bv
+                     AND x.media_id < y.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+           AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 10
+"""
+
+
+@register(
+    "image_dhash_neardup",
+    survey="NS-multimodal+NS-dedup(perceptual dHash through the REAL image decode boundary, banded Hamming near-dup join)",
+    oracle=_dhash_oracle(),
+)
+def image_dhash_neardup(spark, sf_dir):
+    """Perceptual near-duplicate detection for IMAGES — the pixel-space
+    twin of simhash_near_pairs: every doc's deterministic test image
+    (md5-family pixels, planted few-pixel perturbations between variants
+    of the same base) packs into a real P6 PPM, decodes through the
+    production codec boundary (operators/multimodal.image_dhash), and
+    reduces to the classic 64-bit dHash (9x8 2x2-block means, each bit =
+    right cell brighter). Near-dups are found EXACTLY like the text LSH
+    family: 4x16-bit band blocking → candidate pairs → Hamming(<=10)
+    verify on the full hash — lossless for this band layout up to 16
+    scattered flipped bits... and the planted variants flip at most 6.
+
+    Scale shape: hashing is an Arrow-batched map (no shuffle); the band
+    join shuffles 4 x 16-byte keys per image — never pixels — and the
+    verify is a bit_count over two BIGINT halves, all JVM-side. The
+    oracle replays pixels -> cells -> bits -> bands -> pairs in SQL, so
+    the driver hash checks decode, hash, banding, AND verification."""
+    from gridiron_spark.operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = image_dhash(docs.select(F.col("doc_id").alias("media_id")))
+    bands = h.select(
+        "media_id",
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    (F.col("hash_lo") % 65536).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.expr("hash_lo div 65536").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    (F.col("hash_hi") % 65536).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    F.expr("hash_hi div 65536").alias("bv"),
+                ),
+            )
+        ).alias("band"),
+    ).select("media_id", "hash_hi", "hash_lo", "band.bi", "band.bv")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("x.hash_hi").alias("ha"),
+            F.col("x.hash_lo").alias("la"),
+            F.col("y.media_id").alias("id_b"),
+            F.col("y.hash_hi").alias("hb"),
+            F.col("y.hash_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 10)
+    )

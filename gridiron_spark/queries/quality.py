@@ -451,7 +451,10 @@ def corpus_rank_quality(spark, sf_dir):
 
 from gridiron_spark.operators.quality_model import (  # noqa: E402
     BUCKETS as _QM_BUCKETS,
+    feature_array as qm_feature_array,
     score_documents,
+    score_sum_expr as qm_score_sum,
+    tokens_expr as qm_tokens_expr,
     weights_sql_literal,
 )
 
@@ -600,3 +603,140 @@ def pii_luhn_flags(spark, sf_dir):
         luhn.alias("luhn_sum"),
         (luhn % 10 == 0).cast("bigint").alias("luhn_valid"),
     )
+
+
+def _funnel_oracle() -> str:
+    from gridiron_spark.operators.lm import (
+        table_sql_literal,
+        unigram_nlp_table,
+    )
+    from gridiron_spark.operators.quality_model import weights_sql_literal
+
+    bucket = (
+        "CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)"
+        f" % {_QM_BUCKETS} + 1 AS INT)"
+    )
+    return f"""
+WITH t AS (
+    SELECT source,
+           string_split(lower(text), ' ') AS rawtoks,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT source,
+           CASE WHEN len(rawtoks) >= 40
+                 AND len(list_distinct(rawtoks)) / len(rawtoks) >= 0.35
+                THEN 1 ELSE 0 END AS lex,
+           CAST(COALESCE(list_sum(list_transform(
+               list_concat(toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || '_' || toks[i + 1])),
+               x -> {weights_sql_literal()}[{bucket}])), 0) AS BIGINT)
+               AS score_sum,
+           CAST(len(toks) + CASE WHEN len(toks) >= 2
+                                 THEN len(toks) - 1 ELSE 0 END AS BIGINT)
+               AS n_feats,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks,
+               x -> {table_sql_literal(unigram_nlp_table())}[{bucket}]
+           )), 0) AS BIGINT) AS nlp10_sum
+    FROM t
+),
+f AS (
+    SELECT source, lex,
+           CASE WHEN lex = 1 AND n_feats > 0
+                 AND score_sum * 1000 >= n_feats * {_FUNNEL_MARGIN_MILLI}
+                THEN 1 ELSE 0 END AS ml,
+           CASE WHEN lex = 1 AND n_feats > 0
+                 AND score_sum * 1000 >= n_feats * {_FUNNEL_MARGIN_MILLI}
+                 AND n_tokens > 0
+                 AND nlp10_sum < n_tokens * {_FUNNEL_NLP10}
+                THEN 1 ELSE 0 END AS kept
+    FROM s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(lex) AS BIGINT) AS n_pass_lexical,
+       CAST(SUM(ml) AS BIGINT) AS n_pass_model,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM f
+GROUP BY source
+"""
+
+
+# Funnel bars tuned to the corpus quantiles so every stage has measurable
+# attrition (medians: margin*1000 ~ 308, avg nlp10 ~ 55.0 deci-bits):
+# integer cross-multiplied comparisons, no division anywhere.
+_FUNNEL_MARGIN_MILLI = 300
+_FUNNEL_NLP10 = 56
+
+
+@register(
+    "filter_funnel_report",
+    survey="NS-text(composed quality-filter FUNNEL: lexical -> model -> perplexity, per-source attrition report),A3-A6",
+    oracle=_funnel_oracle(),
+)
+def filter_funnel_report(spark, sf_dir):
+    """The observability query every production curation pipeline runs
+    nightly: the three quality gates this repo implements — lexical
+    admission (token count + distinct-word fraction, the streaming gate's
+    exact expressions), the fastText-style hashed linear classifier
+    (operators/quality_model), and CCNet perplexity under the hashed
+    unigram LM (operators/lm) — applied as a SEQUENTIAL funnel, reporting
+    per-source attrition at each stage. A source whose docs die at the
+    model stage but not the lexical one is spam-shaped; one dying at the
+    perplexity stage is out-of-domain — the report is how a data team
+    sees WHERE a source's yield goes.
+
+    Scale shape: all three gates are pure per-row Column algebra over ONE
+    corpus scan (the models ride as plan literals — zero side channels),
+    followed by a single map-side-combined per-source aggregate whose
+    output is |sources| rows. No joins, no explode, no second scan: the
+    funnel costs exactly one pass at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    rawtoks = F.split(F.lower("text"), " ")
+    toks = qm_tokens_expr()
+    feats = qm_feature_array(toks)
+    staged = docs.select(
+        "source",
+        (
+            (F.size(rawtoks) >= 40)
+            & (F.size(F.array_distinct(rawtoks)) / F.size(rawtoks) >= 0.35)
+        ).alias("lex"),
+        qm_score_sum(feats).alias("score_sum"),
+        F.size(feats).cast("bigint").alias("n_feats"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        table_fold(toks, unigram_nlp_table()).alias("nlp10_sum"),
+    )
+    ml = (
+        F.col("lex")
+        & (F.col("n_feats") > 0)
+        & (F.col("score_sum") * 1000 >= F.col("n_feats") * _FUNNEL_MARGIN_MILLI)
+    )
+    kept = (
+        ml
+        & (F.col("n_tokens") > 0)
+        & (F.col("nlp10_sum") < F.col("n_tokens") * _FUNNEL_NLP10)
+    )
+    return (
+        staged.select(
+            "source",
+            F.col("lex").cast("bigint").alias("lex"),
+            ml.cast("bigint").alias("ml"),
+            kept.cast("bigint").alias("kept"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lex").cast("bigint").alias("n_pass_lexical"),
+            F.sum("ml").cast("bigint").alias("n_pass_model"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+from gridiron_spark.operators.lm import (  # noqa: E402
+    table_fold,
+    unigram_nlp_table,
+)
