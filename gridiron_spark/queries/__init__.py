@@ -187,6 +187,8 @@ _NEW_R7: tuple[str, ...] = (
     "zorder_layout_sort",
     "image_dhash_neardup",
     "filter_funnel_report",
+    "pagerank_knn_centrality",
+    "streaming_cdc_upsert_e2e",
 )
 
 

@@ -860,3 +860,136 @@ def ann_pq_topk(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(_TOP_K)
     )
+
+
+# --- Graph centrality over the k-NN graph ------------------------------------
+
+_PR_SCALE = 1 << 20   # fixed-point rank unit (the round-6 quantization trick)
+_PR_K = 3             # out-degree: top-3 integer-dot neighbors per node
+_PR_ITERS = 4         # fixed Lloyd-style unrolled rounds
+_PR_MOD = 5           # centrality panel: vec_id % 5 == 0
+
+
+def _pagerank_oracle() -> str:
+    s, k = _PR_SCALE, _PR_K
+    head = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+               AS qv
+    FROM embeddings WHERE vec_id % {_PR_MOD} = 0
+),
+p AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+    FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+e AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst) AS rk
+        FROM p
+    ) WHERE rk <= {k}
+),
+r0 AS (SELECT vec_id AS v, CAST({s} AS BIGINT) AS r FROM q)"""
+    steps = []
+    for it in range(_PR_ITERS):
+        steps.append(f""",
+r{it + 1} AS (
+    SELECT r0.v,
+           CAST((3 * {s}) // 20
+                + (17 * COALESCE(m.m, 0)) // 20 AS BIGINT) AS r
+    FROM r0 LEFT JOIN (
+        SELECT e.dst AS v, CAST(SUM(r{it}.r // {k}) AS BIGINT) AS m
+        FROM e JOIN r{it} ON r{it}.v = e.src
+        GROUP BY e.dst
+    ) m USING (v)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT v AS vec_id, r AS rank_scaled FROM r{_PR_ITERS}\n"
+    )
+
+
+@register(
+    "pagerank_knn_centrality",
+    survey="NS-sim(ITERATIVE graph centrality: fixed-point PageRank over the k-NN graph),W1-W3,J1",
+    oracle=_pagerank_oracle(),
+)
+def pagerank_knn_centrality(spark, sf_dir):
+    """PageRank over the directed 3-NN graph of the embedding panel
+    (vec_id % 5 == 0) — the coreset/representative-selection signal a
+    curation pipeline uses to pick CENTRAL documents per region of
+    embedding space (and, inverted, to find isolated outliers). The whole
+    computation is fixed-point integer (rank unit 2^20, d = 0.85 = 17/20,
+    out-degree exactly 3, floor divisions), so FOUR full power-iteration
+    rounds stay bit-exact across engines — the round-6 k-means trick
+    extended from one Lloyd step to an unrolled iterative algorithm; the
+    oracle replays all four rounds as chained CTEs.
+
+    Scale shape: edges materialize ONCE (eager localCheckpoint — the
+    SemDeDup 3x-re-execution lesson) and each round is one
+    map-side-combined aggregate on dst plus a broadcast-sized join back
+    to the node list: cost is O(iters x |E|) with no lineage growth. The
+    quantized-dot edge generator here is brute-force over the panel
+    (knn_join_topk's measured shape); at 100 TB the drop-in edge source
+    is the IVF/LSH candidate-pair stage two queries up — the iteration
+    itself never changes."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _PR_MOD == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select("src", "dst", dot.alias("dot"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PR_K)
+        .select("src", "dst")
+        .localCheckpoint()  # materialize the edge list once for all rounds
+    )
+    nodes = q.select(F.col("vec_id").alias("v"))
+    r = nodes.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        # the rank vector is panel-sized (the op's contract — a curation
+        # panel, not the corpus), so broadcasting it into the edge join
+        # keeps each round at ONE aggregate shuffle; a billion-node graph
+        # would instead bucket edges and ranks on the same key
+        contrib = (
+            edges.join(F.broadcast(r), edges.src == r.v)
+            .select("dst", F.expr(f"r div {_PR_K}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("m"))
+        )
+        r = (
+            nodes.join(
+                F.broadcast(contrib), nodes.v == contrib.dst, "left"
+            )
+            .select(
+                "v",
+                (
+                    F.lit((3 * _PR_SCALE) // 20)
+                    + F.expr("17 * coalesce(m, 0) div 20")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return r.select(F.col("v").alias("vec_id"), F.col("r").alias("rank_scaled"))

@@ -701,3 +701,55 @@ def streaming_late_data_e2e(spark, sf_dir):
         agg, f"late_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
     return result.select("window_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "streaming_cdc_upsert_e2e",
+    survey="ST-cdc(foreachBatch keyed UPSERT into a table sink: latest-wins + accumulated counts, real readStream)",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+),
+r AS (
+    SELECT user_id, ts_us, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e
+),
+c AS (SELECT user_id, COUNT(*) AS n_events FROM e GROUP BY user_id)
+SELECT r.user_id,
+       r.ts_us AS last_ts_us,
+       r.event_id AS last_event_id,
+       r.value AS last_value,
+       c.n_events
+FROM r JOIN c USING (user_id)
+WHERE rn = 1
+""",
+)
+def streaming_cdc_upsert_e2e(spark, sf_dir):
+    """The CDC/upsert shape none of the window/join/gate e2e drains cover:
+    events stream through ``foreachBatch`` and each micro-batch MERGES
+    into a keyed parquet state table — latest row per user (total order
+    (ts_us, event_id)) plus an accumulated per-user event count (the
+    materialized-view half: counts survive rows that latest-wins
+    discards). maxFilesPerTrigger=1 forces one merge per staged file, so
+    the multi-batch path is genuinely exercised; both merge rules are
+    confluent, so the final state is batching-independent and the oracle
+    states it as one batch SQL — a leaked intermediate (overwrite racing
+    its own read), a lost update, or double-counted batch each breaks the
+    hash. See streaming/pipelines.cdc_upsert_available_now for the
+    Delta-MERGE correspondence and the 100 TB caveats."""
+    import tempfile
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        cdc_upsert_available_now,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix=f"gridiron_cdc_{uuid.uuid4().hex[:8]}_")
+    stream = stream_events(spark, stage, max_files_per_trigger=1)
+    return cdc_upsert_available_now(
+        stream, f"{run}/state", f"{run}/ckpt"
+    ).select("user_id", "last_ts_us", "last_event_id", "last_value", "n_events")

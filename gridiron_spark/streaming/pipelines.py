@@ -470,3 +470,78 @@ def model_gate_agg(docs: DataFrame) -> DataFrame:
             ).alias("kept_score"),
         )
     )
+
+
+def cdc_upsert_available_now(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """CDC-style keyed UPSERT via ``foreachBatch``: every micro-batch is
+    merged into a parquet state table as latest-wins per user_id (total
+    order (ts_us, event_id) — no ties possible) plus an accumulated
+    per-key event count. Both merge rules are CONFLUENT (max over a total
+    order; counts add), so the final state is independent of how the file
+    source happens to batch the input — which is exactly the property a
+    CDC sink needs for exactly-once-equivalent replay, and what lets the
+    DuckDB oracle state the result as one batch SQL.
+
+    The parquet overwrite is the dependency-free stand-in for a Delta/
+    Iceberg MERGE INTO: the merged frame is materialized (localCheckpoint)
+    BEFORE the overwrite truncates the directory it was read from — the
+    same read-then-replace hazard a real table format solves with
+    snapshots. State stays one row per key, so each merge is a
+    key-cardinality aggregate, not a corpus-scale job. Returns the final
+    state as a batch DataFrame."""
+    spark = events.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = (
+            batch_df.select(
+                "user_id",
+                F.unix_micros("ts_ts").alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("last_ts_us", "last_event_id", "last_value")
+                ).alias("last"),
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            )
+        )
+        import os
+
+        if os.path.isfile(os.path.join(state_dir, "_SUCCESS")):
+            existing = spark.read.parquet(state_dir).select(
+                "user_id",
+                F.struct(
+                    "last_ts_us", "last_event_id", "last_value"
+                ).alias("last"),
+                "n_events",
+            )
+            batch_state = batch_state.unionByName(existing)
+        merged = (
+            batch_state.groupBy("user_id")
+            .agg(
+                F.max("last").alias("last"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.col("last.last_ts_us").alias("last_ts_us"),
+                F.col("last.last_event_id").alias("last_event_id"),
+                F.col("last.last_value").alias("last_value"),
+                "n_events",
+            )
+            .localCheckpoint()  # materialize BEFORE overwriting the source
+        )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)

@@ -398,3 +398,68 @@ def test_corpus_rank_no_single_task_window(spark):
 
     plan = _plan_of(spark, "corpus_rank_quality")
     assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan), plan
+
+
+def test_filter_funnel_single_scan_single_shuffle(spark):
+    """The three-gate funnel must cost ONE corpus scan and ONE
+    map-side-combined aggregate — all three models ride as plan
+    literals, so no joins, no explode, no second scan."""
+    plan = _plan_of(spark, "filter_funnel_report")
+    shuffles = re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    )
+    assert len(shuffles) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_zorder_single_shuffle_no_join(spark):
+    """The Z-order layout stats are one integer map + one bounded
+    aggregate: 1 shuffle, 0 joins, and the scan prunes to the two key
+    columns."""
+    plan = _plan_of(spark, "zorder_layout_sort")
+    shuffles = re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+    )
+    assert len(shuffles) == 1, plan
+    assert "Join" not in plan, plan
+    assert "o_totalprice" not in plan, "scan must prune to custkey+date"
+
+
+def test_bm25_no_corpus_explode(spark):
+    """BM25 over a literal query panel must NOT explode the corpus: tf
+    comes from per-row array filters (a |panel|-row stack), df and the
+    length stats broadcast back, and the top-k is a TakeOrdered — no
+    sort-merge join, no cartesian."""
+    plan = _plan_of(spark, "bm25_search_topk")
+    assert "Generate explode" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dhash_band_join_is_equi(spark):
+    """The perceptual-hash candidate join must key on the 16-bit band
+    values (hash-partitionable at any scale) — never a cartesian or
+    nested-loop pair enumeration."""
+    plan = _plan_of(spark, "image_dhash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_rounds_stay_bounded(spark):
+    """Four unrolled power-iteration rounds = exactly four aggregate
+    shuffles (plus broadcast joins back to the node list); the edge list
+    is pre-materialized by localCheckpoint so the O(n^2) generator runs
+    ONCE and never re-enters the iteration lineage."""
+    from gridiron_spark.queries.similarity import _PR_ITERS
+
+    plan = _plan_of(spark, "pagerank_knn_centrality")
+    # hash/range exchanges move DATA; the SinglePartition exchanges Spark
+    # injects here are 8 MB bloom-filter builds (runtime filters for the
+    # broadcast joins), constant-size at any corpus
+    shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert len(shuffles) == _PR_ITERS, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
