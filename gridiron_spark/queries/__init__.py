@@ -189,6 +189,8 @@ _NEW_R7: tuple[str, ...] = (
     "filter_funnel_report",
     "pagerank_knn_centrality",
     "streaming_cdc_upsert_e2e",
+    "record_linkage_blocked",
+    "kmv_distinct_sketch",
 )
 
 

@@ -563,3 +563,115 @@ def bloom_prefilter_join(spark, sf_dir):
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 32
+
+
+@register(
+    "kmv_distinct_sketch",
+    survey="A-sketch(KMV / k-minimum-values distinct sketch over per-source shingles — mergeable, deterministic)",
+    oracle=f"""
+WITH t AS (
+    SELECT source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           CAST(('0x' || substring(md5(s.s), 1, 8)) AS BIGINT) AS hv
+    FROM t CROSS JOIN LATERAL (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+    ) s
+    WHERE len(toks) >= 3
+),
+r AS (
+    SELECT source, hv,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM sh
+),
+k AS (
+    SELECT source,
+           CAST(MAX(hv) AS BIGINT) AS kth_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM r WHERE rn <= {_KMV_K} GROUP BY source
+),
+x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM sh GROUP BY source)
+SELECT x.source, x.n_exact, k.kth_hash,
+       CAST(CASE WHEN k.n_kept < {_KMV_K} THEN x.n_exact
+                 ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN} // k.kth_hash
+            END AS BIGINT) AS kmv_estimate,
+       CAST(CASE WHEN k.n_kept < {_KMV_K} THEN x.n_exact
+                 ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN} // k.kth_hash
+            END AS DOUBLE) / x.n_exact AS est_ratio
+FROM x JOIN k USING (source)
+""",
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch — the third mergeable
+    sketch family (after count-min and HLL), the one whose sketches also
+    support set-operation estimates (union = merge-and-take-k,
+    intersection via the k-th-value inclusion bound): per source, the 64
+    smallest 32-bit md5 hashes of its word 3-gram shingles; estimate =
+    (k-1)·2³²/h₍ₖ₎ (floor-integer), exact fallback when a source has
+    fewer than k distinct values. The exact count rides along so the
+    driver hash also pins the measured estimate/exact ratio (one IEEE
+    division) — the ±1/√k ≈ 12% accuracy claim is data, not doctrine.
+
+    Scale shape: explode → DISTINCT (source, hash) — the same map-side-
+    combinable dedup shuffle every sketch pays — then a per-source
+    bottom-k window that Spark executes as Partial WindowGroupLimit
+    (each map task forwards ≤ k rows per source, so the window input is
+    maps·k, never the corpus); the exact-count branch exists only for
+    the accuracy report and would be dropped at 100 TB. Merging two
+    sketches = union the hash sets, keep the k smallest — pytest pins
+    split-merge == whole."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    t = docs.select("source", toks.alias("toks")).filter(F.size("toks") >= 3)
+    sh = t.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("s"),
+    )
+    d = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hv"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("hv"))
+    k = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.max("hv").cast("bigint").alias("kth_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    x = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_exact")
+    ).otherwise(F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN} div kth_hash"))
+    return (
+        x.join(F.broadcast(k), "source")
+        .select(
+            "source",
+            "n_exact",
+            "kth_hash",
+            est.cast("bigint").alias("kmv_estimate"),
+            (est.cast("double") / F.col("n_exact")).alias("est_ratio"),
+        )
+    )

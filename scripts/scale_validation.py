@@ -225,10 +225,78 @@ def phase_r6_late(spark, cat, dirs, ks) -> dict:
     return {"timings": results}
 
 
+def phase_r7(spark, cat, dirs, ks) -> dict:
+    """Round-7 additions. Claims under test: bm25 / tfidf /
+    ngram_lm_train_score / filter_funnel_report are linear (maps +
+    vocabulary-bounded count shuffles; note the rename corpus grows the
+    VOCABULARY with k, so the LM/df model tables grow ∝ k — the broadcast
+    payload term — while a real corpus's vocabulary grows sub-linearly).
+    The two deliberately super-linear entries are reported with their
+    adjudication: image_dhash_neardup's hash stage is a map (α≈1) but the
+    rename corpus replicates doc_ids mod 50, so planted FAMILY SIZE grows
+    ∝ k and the verified-pair OUTPUT grows ∝ k² — an artifact of the
+    synthetic families (real corpora grow the family count, not family
+    size); pagerank_knn_centrality's centrality panel grows ∝ k, so its
+    brute-force edge generator pays panel² exactly like knn_join_topk's
+    growing-query-panel term (the iteration itself is linear in |E|)."""
+    r7 = (
+        "bm25_search_topk",
+        "tfidf_topk_terms",
+        "ngram_lm_train_score",
+        "filter_funnel_report",
+        "image_dhash_neardup",
+        "pagerank_knn_centrality",
+    )
+    results: dict[str, dict[int, float]] = {q: {} for q in r7}
+    for k in [1] + ks:
+        for q in r7:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, dirs[k]).count()
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k} {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nround-7 additions:")
+    print(_exponent_table(results, ks))
+
+    # pagerank fixed-panel probe: the growing-panel term above is the edge
+    # GENERATOR (panel² dots — knn_join_topk's adjudication); with the
+    # panel held at x1 size (mod scaled with k) the edge list and the 4
+    # iteration rounds are constant-size, so the timing should be flat —
+    # proving the iteration itself carries no corpus-scale term.
+    import gridiron_spark.queries.similarity as sim
+
+    khi = max(ks)
+    probe: dict[str, float] = {}
+    base_mod = sim._PR_MOD
+    try:
+        for label, corpus_k, mod in (
+            ("x1_panel1x", 1, base_mod),
+            (f"x{khi}_panel1x", khi, base_mod * khi),
+        ):
+            sim._PR_MOD = mod
+            t0 = time.perf_counter()
+            cat["pagerank_knn_centrality"].spark_fn(
+                spark, dirs[corpus_k]
+            ).count()
+            probe[label] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# pagerank {label} (mod={mod}): {probe[label]:.2f}s",
+                file=sys.stderr,
+            )
+    finally:
+        sim._PR_MOD = base_mod
+    print(f"\npagerank fixed-panel probe (edge generator isolated):")
+    for label, dt in probe.items():
+        print(f"| {label} | {dt:.2f} s |")
+    return {"timings": results, "pagerank_fixed_panel_probe": probe}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--r6", "--r6-late")]
+    args = [a for a in sys.argv[1:] if a not in ("--r6", "--r6-late", "--r7")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
+    only_r7 = "--r7" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -240,6 +308,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r7:
+        r7 = phase_r7(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r7.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r7}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r6_late:
         r6b = phase_r6_late(spark, cat, dirs, ks)

@@ -105,3 +105,58 @@ def test_filter_funnel_is_monotone(spark):
         total[3] += r.n_kept
     # each stage must have measurable attrition corpus-wide
     assert total[0] > total[1] > total[2] >= total[3]
+
+
+def test_record_linkage_recall_is_total(spark):
+    """The two blocking passes partition the corrupted positions, so the
+    true source is ALWAYS a candidate: every dirty record must link back
+    to its own customer at distance exactly 1."""
+    from gridiron_spark.queries.dedup import (
+        _RL_CORRUPT_MOD,
+        _RL_DIRTY_OFFSET,
+        record_linkage_blocked,
+    )
+    from gridiron_spark.io.tables import load_table
+
+    rows = record_linkage_blocked(spark, SF_SMALL).collect()
+    assert rows
+    true_links = {
+        (r.dirty_id, r.c_custkey): r.lev
+        for r in rows
+        if r.dirty_id - _RL_DIRTY_OFFSET == r.c_custkey
+    }
+    n_dirty = (
+        load_table(spark, SF_SMALL, "customer")
+        .filter(f"c_custkey % {_RL_CORRUPT_MOD} = 0")
+        .count()
+    )
+    assert len(true_links) == n_dirty, "a dirty record failed to link home"
+    assert all(v == 1 for v in true_links.values())
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    """Estimates stay inside the ±3/sqrt(k) KMV bound for sources with
+    >= k values, and the sketch is mergeable: the k smallest of the union
+    of two halves' bottom-k sets equal the whole corpus's bottom-k."""
+    import hashlib
+
+    from gridiron_spark.queries.scale import _KMV_K, kmv_distinct_sketch
+
+    rows = kmv_distinct_sketch(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact >= _KMV_K:
+            assert abs(r.est_ratio - 1.0) <= 3.0 / (_KMV_K ** 0.5), r
+        else:
+            assert r.kmv_estimate == r.n_exact
+
+    # mergeability on plain python sets of hash values
+    def h(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+
+    vals = [h(f"tok{i}") for i in range(500)]
+    whole = sorted(set(vals))[:_KMV_K]
+    half_a = sorted(set(vals[:250]))[:_KMV_K]
+    half_b = sorted(set(vals[250:]))[:_KMV_K]
+    merged = sorted(set(half_a) | set(half_b))[:_KMV_K]
+    assert merged == whole
