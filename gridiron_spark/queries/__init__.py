@@ -191,6 +191,8 @@ _NEW_R7: tuple[str, ...] = (
     "streaming_cdc_upsert_e2e",
     "record_linkage_blocked",
     "kmv_distinct_sketch",
+    "source_affinity_matrix",
+    "curriculum_schedule",
 )
 
 

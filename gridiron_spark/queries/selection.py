@@ -222,3 +222,120 @@ def robust_outlier_flags(spark, sf_dir):
         "mad",
         (F.col("dev") > 3 * F.col("mad")).cast("bigint").alias("is_outlier"),
     )
+
+
+_CUR_BUCKET_NLP10 = 5  # curriculum phase width in deci-bits
+
+
+@register(
+    "curriculum_schedule",
+    survey="NS-text(curriculum data ordering: difficulty phases + in-phase source interleave, range-exchange global numbering),O-global",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks,
+               x -> {table_sql_literal(unigram_nlp_table())}[{_BUCKET_SQL.format(x="x", b=BUCKETS)}]
+           )), 0) AS BIGINT) AS nlp10_sum
+    FROM t
+),
+b AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN n_tokens = 0 THEN 140 // {_CUR_BUCKET_NLP10}
+                ELSE floor((CAST(nlp10_sum AS DOUBLE) / n_tokens)
+                           / {_CUR_BUCKET_NLP10}) END AS BIGINT) AS phase,
+           md5(CAST(doc_id AS VARCHAR) || '|cur') AS mix
+    FROM s
+)
+SELECT doc_id, source, phase,
+       CAST(ROW_NUMBER() OVER (ORDER BY phase, mix, doc_id) AS BIGINT) AS seq
+FROM b
+""",
+)
+def curriculum_schedule(spark, sf_dir):
+    """Curriculum ordering for a training run: documents are scheduled
+    easy-to-hard by perplexity PHASE (the hashed unigram LM's mean
+    deci-bit cost, floored into 5-deci-bit phases) and, WITHIN each
+    phase, shuffled across sources by an md5 mix key — so a training
+    epoch sees difficulty ramp globally while every phase stays
+    source-interleaved (no long single-source runs, the known
+    batch-correlation failure mode). seq is a true global order.
+
+    Scale shape: scoring is the perplexity_filter map (model is a plan
+    literal, zero exchanges); the global sequence is the
+    ranged_global_sort machinery — repartitionByRange over (phase, mix)
+    + per-partition row_number + a |partitions|-row broadcast offset
+    table — NEVER a single-task global window. The phase boundary is a
+    floor over a bit-identical double, so both engines agree on every
+    bucket edge."""
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    with_toks = doc.select(
+        "doc_id", "source", tokens_expr().alias("toks")
+    )
+    scored = with_toks.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        table_fold(F.col("toks"), unigram_nlp_table()).alias("nlp10_sum"),
+    )
+    phase = F.when(
+        F.col("n_tokens") == 0, F.lit(140 // _CUR_BUCKET_NLP10).cast("bigint")
+    ).otherwise(
+        F.floor(
+            (F.col("nlp10_sum").cast("double") / F.col("n_tokens"))
+            / _CUR_BUCKET_NLP10
+        ).cast("bigint")
+    )
+    b = scored.select(
+        "doc_id",
+        "source",
+        phase.alias("phase"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cur"))).alias(
+            "mix"
+        ),
+    )
+    srt = (
+        b.repartitionByRange(16, "phase", "mix", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = srt.select(
+        "doc_id",
+        "source",
+        "phase",
+        "pid",
+        F.row_number()
+        .over(W.partitionBy("pid").orderBy("phase", "mix", "doc_id"))
+        .alias("local_rn"),
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "pid",
+            (
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("n")
+            ).alias("offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "source",
+            "phase",
+            (F.col("local_rn") + F.col("offset")).cast("bigint").alias("seq"),
+        )
+    )

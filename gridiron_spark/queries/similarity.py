@@ -993,3 +993,113 @@ def pagerank_knn_centrality(spark, sf_dir):
             )
         )
     return r.select(F.col("v").alias("vec_id"), F.col("r").alias("rank_scaled"))
+
+
+_AFF_Q = 1 << 20  # fixed-point unit for the pooled source centroids
+
+
+@register(
+    "source_affinity_matrix",
+    survey="NS-sim(source-level embedding affinity matrix for mixture design),A3-A6,J1",
+    oracle=f"""
+WITH j AS (
+    SELECT d.source, e.embedding
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+long AS (
+    SELECT source, u.dim,
+           CAST(floor(CAST(u.x AS DOUBLE) * {_AFF_Q}) AS BIGINT) AS q
+    FROM j CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS x
+    ) u
+),
+s AS (
+    SELECT source, dim, CAST(SUM(q) AS BIGINT) AS qs
+    FROM long GROUP BY source, dim
+),
+n AS (
+    SELECT source, CAST(SUM(qs * qs) AS BIGINT) AS nrm2
+    FROM s GROUP BY source
+),
+p AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(a.qs * b.qs) AS BIGINT) AS dot
+    FROM s a JOIN s b ON a.dim = b.dim AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.dot,
+       CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                                * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cos_sim
+FROM p
+JOIN n na ON na.source = p.source_a
+JOIN n nb ON nb.source = p.source_b
+""",
+)
+def source_affinity_matrix(spark, sf_dir):
+    """Pairwise embedding affinity between SOURCES — the mixture-design
+    diagnostic that tells a data team which sources are semantically
+    redundant (high cosine → near-duplicate distributions, candidates for
+    down-weighting) before committing a sampling mixture. Each source's
+    centroid is its quantized embedding SUM (fixed-point floor(x·2²⁰) —
+    cosine is scale-invariant, so the sum stands in for the mean with no
+    division); all dots/norms are exact BIGINTs and the single IEEE step
+    per pair is the final dot/(√·√).
+
+    Scale shape: one narrow posexplode → ONE map-side-combined
+    (source, dim) aggregate — output |sources|·dims rows no matter the
+    corpus — then the pairwise stage runs entirely on that bounded table
+    (self-join on dim, |sources|²·dims rows). The corpus is touched
+    exactly once; at 100 TB this is a scan + one shuffle whose reduce
+    side is thousands of rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select("source", "embedding")
+    long = j.select(
+        "source",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _AFF_Q).cast("bigint"),
+            )
+        ).alias("dim0", "q"),
+    ).select("source", (F.col("dim0") + 1).alias("dim"), "q")
+    s = long.groupBy("source", "dim").agg(F.sum("q").cast("bigint").alias("qs"))
+    n = s.groupBy("source").agg(
+        F.sum(F.col("qs") * F.col("qs")).cast("bigint").alias("nrm2")
+    )
+    a = s.select(
+        F.col("source").alias("source_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("qs").alias("qa"),
+    )
+    b = s.select(
+        F.col("source").alias("source_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("qs").alias("qb"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("dim_a") == F.col("dim_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("nrm2").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("nrm2").alias("nb"))
+    return (
+        p.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )

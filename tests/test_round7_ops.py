@@ -160,3 +160,42 @@ def test_kmv_sketch_accuracy_and_merge(spark):
     half_b = sorted(set(vals[250:]))[:_KMV_K]
     merged = sorted(set(half_a) | set(half_b))[:_KMV_K]
     assert merged == whole
+
+
+def test_curriculum_schedule_is_a_phase_monotone_permutation(spark):
+    from gridiron_spark.queries.selection import curriculum_schedule
+
+    rows = curriculum_schedule(spark, SF_SMALL).collect()
+    assert rows
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(1, len(rows) + 1)), "seq must be a permutation"
+    by_seq = sorted(rows, key=lambda r: r.seq)
+    phases = [r.phase for r in by_seq]
+    assert phases == sorted(phases), "difficulty phases must ramp"
+    # in-phase source interleave: the dominant phase must not schedule one
+    # source as a single contiguous block
+    from collections import Counter
+
+    phase_counts = Counter(r.phase for r in rows)
+    top_phase = phase_counts.most_common(1)[0][0]
+    run = [r.source for r in by_seq if r.phase == top_phase]
+    if len(set(run)) > 1:
+        changes = sum(1 for a, b in zip(run, run[1:]) if a != b)
+        assert changes > len(set(run)) - 1, "sources must interleave"
+
+
+def test_source_affinity_matrix_bounds(spark):
+    from gridiron_spark.queries.similarity import source_affinity_matrix
+    from gridiron_spark.io.tables import load_table
+
+    rows = source_affinity_matrix(spark, SF_SMALL).collect()
+    n_sources = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
