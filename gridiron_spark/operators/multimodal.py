@@ -696,3 +696,61 @@ def image_dhash(ids: DataFrame) -> DataFrame:
     return ids.mapInPandas(
         _hash, schema="media_id bigint, hash_hi bigint, hash_lo bigint"
     )
+
+
+AUDIO_WIN = 64  # samples per analysis window
+
+
+def audio_energy_windows(ids: DataFrame, n_samples: int = 256) -> DataFrame:
+    """Windowed audio feature extraction THROUGH the real WAV codec
+    boundary — the VAD/loudness primitive: the deterministic int16 signal
+    (wav_roundtrip_stats' formula) packs into a real RIFF/WAVE container,
+    decodes via ``_decode_payload``, and each 64-sample window reduces to
+    exact integer features — energy Σs², peak |s|, in-window zero
+    crossings. 4 rows per clip, all BIGINT.
+
+    Arrow-batched mapInPandas, map-only; the windowing is a numpy
+    reshape, so per-row cost is O(samples)."""
+    import numpy as np
+
+    n_win = n_samples // AUDIO_WIN
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for raw_id in pdf["media_id"]:
+                mid = int(raw_id)
+                i = np.arange(n_samples, dtype=np.int64)
+                s = (mid * 31 + i * 17) % 65536 - 32768
+                pcm = s.astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                chunks = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+                d = _decode_payload("audio", wav)
+                dec = np.frombuffer(d["pcm"], dtype="<i2").astype(np.int64)
+                w = dec.reshape(n_win, AUDIO_WIN)
+                energy = (w * w).sum(axis=1)
+                peak = np.abs(w).max(axis=1)
+                zc = ((w[:, :-1] * w[:, 1:]) < 0).sum(axis=1)
+                for wi in range(n_win):
+                    out.append(
+                        (mid, wi, int(energy[wi]), int(peak[wi]), int(zc[wi]))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "win_idx", "energy_sq", "peak_abs", "n_zc"],
+            )
+
+    return ids.mapInPandas(
+        _windows,
+        schema=(
+            "media_id bigint, win_idx int, energy_sq bigint,"
+            " peak_abs bigint, n_zc bigint"
+        ),
+    )

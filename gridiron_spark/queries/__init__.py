@@ -193,6 +193,10 @@ _NEW_R7: tuple[str, ...] = (
     "kmv_distinct_sketch",
     "source_affinity_matrix",
     "curriculum_schedule",
+    "audio_energy_windows",
+    "table_snapshot_diff",
+    "k_anonymity_audit",
+    "incremental_agg_maintenance",
 )
 
 

@@ -378,3 +378,48 @@ def image_dhash_neardup(spark, sf_dir):
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 10)
     )
+
+
+@register(
+    "audio_energy_windows",
+    survey="NS-multimodal(windowed audio features through the REAL WAV codec: energy/peak/zero-crossings per 64-sample window)",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           list_transform(range(0, 256),
+               i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS v
+    FROM documents
+),
+w AS (
+    SELECT doc_id, u.wi FROM p
+    CROSS JOIN LATERAL (SELECT unnest(range(0, 4)) AS wi) u
+)
+SELECT w.doc_id AS media_id,
+       CAST(w.wi AS INTEGER) AS win_idx,
+       CAST(list_sum(list_transform(range(0, 64),
+           j -> p.v[w.wi * 64 + j + 1] * p.v[w.wi * 64 + j + 1]))
+           AS BIGINT) AS energy_sq,
+       CAST(list_max(list_transform(range(0, 64),
+           j -> abs(p.v[w.wi * 64 + j + 1]))) AS BIGINT) AS peak_abs,
+       CAST(list_sum(list_transform(range(0, 63),
+           j -> CASE WHEN p.v[w.wi * 64 + j + 1] * p.v[w.wi * 64 + j + 2] < 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_zc
+FROM w JOIN p ON p.doc_id = w.doc_id
+""",
+)
+def audio_energy_windows(spark, sf_dir):
+    """The feature-extraction stage a speech/audio curation pipeline runs
+    after decode (silence trimming, loudness normalization, VAD all start
+    here): per-clip deterministic int16 PCM travels the REAL RIFF/WAVE
+    boundary (operators/multimodal._decode_wav) and each 64-sample window
+    reduces to exact integer energy / peak / zero-crossing features,
+    hash-matched against a formula-replay oracle — green iff container
+    walk, PCM slicing, AND the window arithmetic agree sample-for-sample.
+
+    Scale shape: Arrow-batched map, 4 output rows per clip, zero
+    shuffles — feature extraction runs at scan speed like every codec
+    stage in this repo."""
+    from gridiron_spark.operators.multimodal import audio_energy_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(docs.select(F.col("doc_id").alias("media_id")))

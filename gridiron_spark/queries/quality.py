@@ -740,3 +740,45 @@ from gridiron_spark.operators.lm import (  # noqa: E402
     table_fold,
     unigram_nlp_table,
 )
+
+
+_KANON_K = 10  # re-identification threshold
+
+
+@register(
+    "k_anonymity_audit",
+    survey="NS-privacy(k-anonymity audit over quasi-identifier groups),A3-A6",
+    oracle=f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       COUNT(*) AS n,
+       CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+           AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy-governance audit: group the table by its quasi-identifier
+    tuple (nation × market segment — the columns an attacker could join
+    against an external dataset) and flag every equivalence class smaller
+    than k=10. A release is k-anonymous iff NO group is flagged; the
+    flagged groups are exactly the rows a suppression/generalization pass
+    must treat. Complements the content-level PII family
+    (text_redact_pii, pii_luhn_flags): those find identifiers IN values,
+    this measures re-identification risk of the SCHEMA.
+
+    Scale shape: one map-side-combined aggregate; output is the
+    quasi-identifier domain (|nations|·|segments|), constant in corpus
+    size."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") < _KANON_K).cast("bigint").alias("at_risk"),
+        )
+    )

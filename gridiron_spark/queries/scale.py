@@ -675,3 +675,65 @@ def kmv_distinct_sketch(spark, sf_dir):
             (est.cast("double") / F.col("n_exact")).alias("est_ratio"),
         )
     )
+
+
+_IVM_SPLIT_MOD = 5  # event_id % 5 == 4 -> the arriving delta batch
+
+
+@register(
+    "incremental_agg_maintenance",
+    survey="A-maintenance(incremental view maintenance: partial-aggregate merge == full recompute),A3-A6",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance, proven by construction: the
+    materialized per-event-type stats are computed as state (the historic
+    4/5 of events) PLUS an arriving delta batch (the other 1/5), merged
+    by partial-aggregate algebra — counts add, decimal sums add, distinct
+    users via per-(type,user) partials that merge before the final
+    distinct count. The oracle is the FULL recompute over all events, so
+    the driver hash is literally the IVM identity merge(state, delta) ==
+    recompute — a lost delta row, a double-merged partial, or a
+    non-decomposable aggregate each breaks it.
+
+    Scale shape: this is exactly what a nightly pipeline does to avoid
+    rescanning 100 TB — both branches aggregate independently
+    (map-side-combined), the merge touches |event_type| (and
+    |type×user| for the distinct) rows. The same algebra is why the
+    streaming aggregations drain bit-identical to batch backfill."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    old = ev.filter(F.col("event_id") % _IVM_SPLIT_MOD != _IVM_SPLIT_MOD - 1)
+    delta = ev.filter(F.col("event_id") % _IVM_SPLIT_MOD == _IVM_SPLIT_MOD - 1)
+
+    def partials(df):
+        # per-(type,user) partials: counts + decimal sums. The distinct
+        # dimension stays keyed until the final merge, so user overlap
+        # between state and delta cannot double-count.
+        return df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("p_sum"),
+        )
+
+    merged = (
+        partials(old)
+        .unionByName(partials(delta))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("p_n").alias("u_n"),
+            F.sum("p_sum").alias("u_sum"),
+        )
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("u_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("u_sum").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )

@@ -338,3 +338,96 @@ def ingest_json_roundtrip(spark, sf_dir):
             "n_tagged"
         ),
     )
+
+
+# --- Snapshot diff (lake reconciliation) -------------------------------------
+
+_DIFF_DEL_MOD = 101   # simulated next snapshot: deletes
+_DIFF_UPD_MOD = 97    # updates (price bump)
+_DIFF_INS_MOD = 103   # inserts (new keys)
+_DIFF_INS_OFFSET = 1_000_000_000
+
+
+@register(
+    "table_snapshot_diff",
+    survey="S-maintenance(row-level snapshot diff: added/removed/changed via full outer key join),J1,SET1",
+    oracle=f"""
+WITH new AS (
+    SELECT o_orderkey,
+           o_totalprice + CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 0
+                               THEN 1.0 ELSE 0.0 END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey + {_DIFF_INS_OFFSET}, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % {_DIFF_INS_MOD} = 0
+),
+old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_totalprice <> new.o_totalprice
+   OR old.o_orderstatus <> new.o_orderstatus
+""",
+)
+def table_snapshot_diff(spark, sf_dir):
+    """Row-level reconciliation between two lake snapshots — the audit a
+    data platform runs after every backfill ("what did this rewrite
+    actually change?"): a simulated next snapshot (deterministic deletes,
+    price updates, and key-offset inserts over ``orders``) is full-outer
+    joined to the current one on the primary key and every row is
+    classified added / removed / changed. Field comparison is direct
+    column equality (IEEE doubles compare exactly; no stringified row
+    hashes — float rendering is engine-specific, a lesson encoded in the
+    dtype-sensitivity tests).
+
+    Scale shape: one co-partitioned full-outer shuffle join on the
+    primary key (full outer cannot broadcast) + a residual comparison in
+    codegen; output is bounded by the CHANGE volume, not the table. On a
+    real lakehouse the same query runs against two table-format
+    snapshots; nothing else changes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % _DIFF_UPD_MOD == 0, 1.0)
+                .otherwise(0.0)
+            ).alias("n_totalprice"),
+            F.col("o_orderstatus").alias("n_orderstatus"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % _DIFF_INS_MOD == 0).select(
+                (F.col("o_orderkey") + _DIFF_INS_OFFSET).alias("o_orderkey"),
+                F.col("o_totalprice").alias("n_totalprice"),
+                F.col("o_orderstatus").alias("n_orderstatus"),
+            )
+        )
+    )
+    old = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_price"),
+        F.col("o_orderstatus").alias("o_status"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("o_price").isNull(), "added")
+        .when(F.col("n_totalprice").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("o_price").isNull()
+            | F.col("n_totalprice").isNull()
+            | (F.col("o_price") != F.col("n_totalprice"))
+            | (F.col("o_status") != F.col("n_orderstatus"))
+        )
+        .select("o_orderkey", change.alias("change_type"))
+    )
