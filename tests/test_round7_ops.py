@@ -199,3 +199,34 @@ def test_source_affinity_matrix_bounds(spark):
     for r in rows:
         assert r.source_a < r.source_b
         assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+
+
+def test_snapshot_diff_classes_match_the_planted_edits(spark):
+    from gridiron_spark.queries.sinks import (
+        _DIFF_DEL_MOD,
+        _DIFF_INS_MOD,
+        _DIFF_UPD_MOD,
+        table_snapshot_diff,
+    )
+    from gridiron_spark.io.tables import load_table
+
+    rows = table_snapshot_diff(spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, set()).add(r.o_orderkey)
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    want_removed = {k for k in keys if k % _DIFF_DEL_MOD == 0}
+    want_changed = {
+        k for k in keys if k % _DIFF_UPD_MOD == 0 and k % _DIFF_DEL_MOD != 0
+    }
+    want_added = {
+        k + 1_000_000_000 for k in keys if k % _DIFF_INS_MOD == 0
+    }
+    assert by_type.get("removed", set()) == want_removed
+    assert by_type.get("changed", set()) == want_changed
+    assert by_type.get("added", set()) == want_added
