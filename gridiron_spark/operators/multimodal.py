@@ -641,31 +641,27 @@ def image_dhash(ids: DataFrame) -> DataFrame:
     image — the per-row work is O(pixels), no shuffle."""
     import numpy as np
 
+    n = DHASH_W * DHASH_H
+    # the 50 base patterns are data-independent — build them ONCE on the
+    # driver (50×288 int64 ≈ 115 KB rides in the task closure) so
+    # executors never touch md5
+    base_grays = np.array(
+        [
+            [
+                int(hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:2], 16)
+                for i in range(n)
+            ]
+            for base in range(DHASH_BASES)
+        ],
+        dtype=np.int64,
+    )
+
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        base_cache: dict[int, "np.ndarray"] = {}
-        n = DHASH_W * DHASH_H
-
-        def base_gray(base: int):
-            g = base_cache.get(base)
-            if g is None:
-                g = np.array(
-                    [
-                        int(
-                            hashlib.md5(f"{base}_{i}".encode()).hexdigest()[:2],
-                            16,
-                        )
-                        for i in range(n)
-                    ],
-                    dtype=np.int64,
-                )
-                base_cache[base] = g
-            return g
-
         for pdf in batches:
             out = []
             for raw_id in pdf["media_id"]:
                 mid = int(raw_id)
-                g = base_gray(mid % DHASH_BASES).copy()
+                g = base_grays[mid % DHASH_BASES].copy()
                 if (mid // DHASH_BASES) % 2 == 1:
                     g[::97] = (g[::97] + 128) % 256
                 rgb = np.repeat(g, 3).astype(np.uint8)
