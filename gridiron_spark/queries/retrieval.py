@@ -291,10 +291,13 @@ def ngram_lm_train_score(spark, sf_dir):
     the gate.
 
     Scale shape: training = two canonical count shuffles (bigram counts,
-    unigram counts — both map-side combined, both vocabulary-bounded
-    outputs); V is a 1-row broadcast; scoring joins the exploded doc
-    bigrams against the model tables — vocabulary-sized, so both joins
-    BROADCAST at any corpus scale; then one per-doc aggregation. This is
+    unigram counts — both map-side combined); V is a 1-row broadcast;
+    scoring joins the exploded doc bigrams against the model tables. The
+    unigram table is vocabulary-bounded and always broadcasts; the BIGRAM
+    table broadcasts here (tiny working vocabulary) but grows with
+    observed-bigram count on a web corpus — at that scale drop its
+    F.broadcast hint and the join becomes co-partitioned on the bigram
+    key, nothing else changes. Then one per-doc aggregation. This is
     the backfill-and-gate shape: the same trained tables could be staged
     once per source fingerprint and reused by a streaming gate."""
     d = load_table(spark, sf_dir, "documents").select(
