@@ -197,6 +197,8 @@ _NEW_R7: tuple[str, ...] = (
     "table_snapshot_diff",
     "k_anonymity_audit",
     "incremental_agg_maintenance",
+    "event_funnel_analysis",
+    "cohort_retention",
 )
 
 

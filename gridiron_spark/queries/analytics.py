@@ -135,3 +135,132 @@ def window_frame_stats(spark, sf_dir):
         mx.alias("max_value"),
         F.when(mx > mn, (F.col("value") - mn) / (mx - mn)).alias("value_norm"),
     )
+
+
+# --- Product analytics: funnels and cohorts ----------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "event_funnel_analysis",
+    survey="A-analytics(ordered event funnel: per-user strictly-sequenced step conversion),A3-A6,J1",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+    SELECT user_id, MIN(ts_us) AS t1 FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts_us) AS t2
+    FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts_us) AS t3
+    FROM e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click_after_view', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase_after_click', COUNT(*) FROM s3
+""",
+)
+def event_funnel_analysis(spark, sf_dir):
+    """The ordered conversion funnel (view → click → purchase, each step
+    STRICTLY after the previous step's first occurrence) — the product-
+    analytics query every event warehouse runs, and a shape none of the
+    window/session entries cover: per-user sequential-pattern matching,
+    not bucketing. Step k's timestamp is the MIN event time after step
+    k-1's, so a user who clicks before ever viewing does not convert.
+
+    Scale shape: each step is one filtered map-side-combined per-user
+    aggregate joined to the previous step's (user, t) table — the chain
+    is |steps| co-partitioned shuffles on user_id (Spark reuses the
+    user_id partitioning across them), and the funnel report is three
+    1-row aggregates. No window over the raw stream, no explode."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def count_step(df, step, name):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        ).select("step", "step_name", "n_users")
+
+    return (
+        count_step(s1, 1, "view")
+        .unionByName(count_step(s2, 2, "click_after_view"))
+        .unionByName(count_step(s3, 3, "purchase_after_click"))
+    )
+
+
+@register(
+    "cohort_retention",
+    survey="A-analytics(weekly cohort retention matrix),A3-A6,W1-W3",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+first_wk AS (
+    SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS week_offset
+    FROM e JOIN first_wk f ON e.user_id = f.user_id
+)
+SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+FROM active
+GROUP BY cohort_wk, week_offset
+""",
+)
+def cohort_retention(spark, sf_dir):
+    """The weekly retention matrix: users cohorted by their first-activity
+    epoch week, counted in every later week they return — the
+    (cohort, offset) grid a growth dashboard draws. Epoch-week arithmetic
+    on ts_us keeps it timezone-independent (the repo-wide rule: never
+    session-tz date functions).
+
+    Scale shape: one per-user MIN (map-side combined), a co-partitioned
+    join back on user_id, one DISTINCT on (user, offset) and the final
+    bounded aggregate — output is |weeks|² cells no matter the event
+    volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("wk")
+    )
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = (
+        e.join(first_wk, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .distinct()
+    )
+    return active.groupBy("cohort_wk", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
