@@ -139,7 +139,7 @@ def window_frame_stats(spark, sf_dir):
 
 # --- Product analytics: funnels and cohorts ----------------------------------
 
-_WEEK_US = 7 * 86400 * 1_000_000
+_DAY_US = 86400 * 1_000_000
 
 
 @register(
@@ -224,43 +224,48 @@ def event_funnel_analysis(spark, sf_dir):
 
 @register(
     "cohort_retention",
-    survey="A-analytics(weekly cohort retention matrix),A3-A6,W1-W3",
+    survey="A-analytics(daily cohort retention matrix),A3-A6,W1-W3",
     oracle=f"""
 WITH e AS (
-    SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+    SELECT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
 ),
-first_wk AS (
-    SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+first_d AS (
+    SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
 ),
 active AS (
-    SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS week_offset
-    FROM e JOIN first_wk f ON e.user_id = f.user_id
+    SELECT DISTINCT e.user_id, f.cohort_day, e.d - f.cohort_day AS day_offset
+    FROM e JOIN first_d f ON e.user_id = f.user_id
 )
-SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
 FROM active
-GROUP BY cohort_wk, week_offset
+GROUP BY cohort_day, day_offset
 """,
 )
 def cohort_retention(spark, sf_dir):
-    """The weekly retention matrix: users cohorted by their first-activity
-    epoch week, counted in every later week they return — the
-    (cohort, offset) grid a growth dashboard draws. Epoch-week arithmetic
-    on ts_us keeps it timezone-independent (the repo-wide rule: never
-    session-tz date functions).
+    """The retention matrix: users cohorted by their first-activity epoch
+    DAY, counted on every later day they return — the (cohort, offset)
+    grid a growth dashboard draws (daily grain: the corpus spans ~30
+    days, so the matrix is genuinely two-dimensional). Epoch-day
+    arithmetic on ts_us keeps it timezone-independent (the repo-wide
+    rule: never session-tz date functions).
 
     Scale shape: one per-user MIN (map-side combined), a co-partitioned
     join back on user_id, one DISTINCT on (user, offset) and the final
-    bounded aggregate — output is |weeks|² cells no matter the event
+    bounded aggregate — output is |days|² cells no matter the event
     volume."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("wk")
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("d")
     )
-    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    first_d = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     active = (
-        e.join(first_wk, "user_id")
-        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        e.join(first_d, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("day_offset"),
+        )
         .distinct()
     )
-    return active.groupBy("cohort_wk", "week_offset").agg(
+    return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
