@@ -750,6 +750,16 @@ def streaming_cdc_upsert_e2e(spark, sf_dir):
     stage = _stage_events(spark, sf_dir)
     run = tempfile.mkdtemp(prefix=f"gridiron_cdc_{uuid.uuid4().hex[:8]}_")
     stream = stream_events(spark, stage, max_files_per_trigger=1)
-    return cdc_upsert_available_now(
+    final = cdc_upsert_available_now(
         stream, f"{run}/state", f"{run}/ckpt"
     ).select("user_id", "last_ts_us", "last_event_id", "last_value", "n_events")
+    # pin the final state into Spark storage so the per-run scratch dir
+    # (state + checkpoint) can be reclaimed immediately — every run is a
+    # REAL stream replay (deliberately not fingerprint-staged: the replay
+    # is the thing being proven), so without this the scratch dirs would
+    # accumulate across bench/parity runs
+    import shutil
+
+    final = final.localCheckpoint()
+    shutil.rmtree(run, ignore_errors=True)
+    return final
