@@ -199,6 +199,13 @@ _NEW_R7: tuple[str, ...] = (
     "incremental_agg_maintenance",
     "event_funnel_analysis",
     "cohort_retention",
+    "frame_nearest_defender",
+    "scd2_dimension_build",
+    "interval_islands_merge",
+    "theta_sketch_intersect",
+    "hybrid_retrieval_fusion",
+    "eval_confusion_metrics",
+    "bucketed_join_roundtrip",
 )
 
 

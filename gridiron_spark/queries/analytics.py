@@ -140,6 +140,7 @@ def window_frame_stats(spark, sf_dir):
 # --- Product analytics: funnels and cohorts ----------------------------------
 
 _DAY_US = 86400 * 1_000_000
+_HOUR_US = 3600 * 1_000_000
 
 
 @register(
@@ -268,4 +269,251 @@ def cohort_retention(spark, sf_dir):
     )
     return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# --- Tracking-shaped spatial + dimension-history operators --------------------
+
+
+@register(
+    "frame_nearest_defender",
+    survey="NS-tracking(per-frame nearest-opponent distance — the reference's designed feature-store metric),J1,W3,A3-A6",
+    oracle="""
+WITH t AS (
+    SELECT l_orderkey AS play_id,
+           l_linenumber AS entity_id,
+           l_linenumber % 2 AS team,
+           MIN(l_partkey % 120) AS x,
+           MIN(l_suppkey % 54) AS y
+    FROM lineitem
+    GROUP BY 1, 2, 3
+),
+pairs AS (
+    SELECT o.play_id, o.entity_id,
+           d.entity_id AS def_entity,
+           (o.x - d.x) * (o.x - d.x) + (o.y - d.y) * (o.y - d.y) AS dist_sq
+    FROM t o JOIN t d ON o.play_id = d.play_id
+    WHERE o.team = 0 AND d.team = 1
+),
+w AS (
+    SELECT play_id, entity_id, def_entity, dist_sq,
+           MIN(dist_sq) OVER (PARTITION BY play_id, entity_id) AS min_sq
+    FROM pairs
+)
+SELECT play_id, entity_id,
+       CAST(MIN(dist_sq) AS BIGINT) AS nearest_dist_sq,
+       CAST(MIN(CASE WHEN dist_sq = min_sq THEN def_entity END) AS BIGINT)
+           AS nearest_defender,
+       CAST(COUNT(*) AS BIGINT) AS n_defenders
+FROM w
+GROUP BY play_id, entity_id
+""",
+)
+def frame_nearest_defender(spark, sf_dir):
+    """The reference's designed-but-never-implemented feature-store metric:
+    "distance to nearest defender" (reference README.md:10-11,
+    docs/DATA_LAKE_GUIDE.md:125-133 sketch the side-car but ship no
+    implementation). The tracking snapshot is derived from ``lineitem``
+    with integer-only arithmetic so DuckDB can replay it: each order
+    group is one frame of up to 7 tracked entities (linenumber), even
+    linenumbers are offense, odd are defense, and (x, y) come from
+    partkey/suppkey modulo the 120x53.3 field (reference
+    app/main.py:139-141); duplicate sensor rows for one entity (the
+    synthetic lineitem repeats linenumbers) collapse coordinate-wise by
+    MIN first — the dedup a tracking ingest performs before featurizing. For every offense entity the query returns the
+    squared distance to, identity of, and count of same-frame defenders
+    (squared distance keeps it integer-exact; sqrt is monotone so the
+    NEAREST defender is identical). Ties break to the lowest defender id
+    via the window-min filter, deterministically in both engines.
+
+    Scale shape: one map-side-combined collapse aggregate, then the pair
+    generator is a self-equi-join on the frame key — co-partitioned
+    shuffle, sort-merge, and the group size is bounded by
+    players-per-frame (<=7 here, 23 in NFL tracking), so the fan-out is
+    a constant factor, never quadratic in the corpus. The window-min and
+    final aggregate reuse the same (play, entity) partitioning, so Spark
+    plans one Exchange after the join."""
+    t = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_orderkey").alias("play_id"),
+            F.col("l_linenumber").alias("entity_id"),
+            (F.col("l_linenumber") % 2).alias("team"),
+        )
+        .agg(
+            F.min(F.col("l_partkey") % 120).alias("x"),
+            F.min(F.col("l_suppkey") % 54).alias("y"),
+        )
+    )
+    off = t.filter(F.col("team") == 0).select(
+        "play_id", "entity_id", F.col("x").alias("ox"), F.col("y").alias("oy")
+    )
+    dfn = t.filter(F.col("team") == 1).select(
+        F.col("play_id").alias("d_play"),
+        F.col("entity_id").alias("def_entity"),
+        F.col("x").alias("dx"),
+        F.col("y").alias("dy"),
+    )
+    dsq = (F.col("ox") - F.col("dx")) * (F.col("ox") - F.col("dx")) + (
+        F.col("oy") - F.col("dy")
+    ) * (F.col("oy") - F.col("dy"))
+    pairs = off.join(dfn, F.col("play_id") == F.col("d_play")).select(
+        "play_id", "entity_id", "def_entity", dsq.alias("dist_sq")
+    )
+    w = Window.partitionBy("play_id", "entity_id")
+    return (
+        pairs.withColumn("min_sq", F.min("dist_sq").over(w))
+        .groupBy("play_id", "entity_id")
+        .agg(
+            F.min("dist_sq").cast("bigint").alias("nearest_dist_sq"),
+            F.min(
+                F.when(F.col("dist_sq") == F.col("min_sq"), F.col("def_entity"))
+            )
+            .cast("bigint")
+            .alias("nearest_defender"),
+            F.count(F.lit(1)).alias("n_defenders"),
+        )
+    )
+
+
+@register(
+    "scd2_dimension_build",
+    survey="NS-lakehouse(SCD type-2 dimension history from a change log),W1-W2,O1",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+marked AS (
+    SELECT user_id, event_type, ts_us, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+changes AS (
+    SELECT user_id, event_type, ts_us
+    FROM marked
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       ts_us AS eff_from_us,
+       LEAD(ts_us) OVER w2 AS eff_to_us,
+       ROW_NUMBER() OVER w2 AS version,
+       CAST(LEAD(ts_us) OVER w2 IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+""",
+)
+def scd2_dimension_build(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build — the lakehouse MERGE staple
+    the snapshot-diff/CDC entries (table_snapshot_diff, dedup_cdc_chunks,
+    streaming_cdc_upsert_e2e) don't cover: collapse an append-only change
+    log into versioned effective-dated dimension rows. The per-user
+    attribute is ``event_type``; consecutive duplicates collapse into one
+    validity interval, each surviving row gets [eff_from, eff_to) epoch-us
+    bounds, a version number, and an is_current flag (open interval).
+    Epoch-us integers, never session-tz timestamps (the repo-wide rule).
+
+    Scale shape: one shuffle on the dimension key (user_id), then two
+    pipelined window passes over the SAME partitioning (lag to mark
+    changes, lead/row_number to close intervals) — Spark plans a single
+    Exchange and sorts once; the change-collapse filter runs between
+    them map-side. At 100 TB this is the standard one-key-shuffle
+    dimension rebuild; an incremental variant would stage the current
+    open rows and union the new log tail."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts_us")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("eff_from_us"),
+        F.lead("ts_us").over(w2).alias("eff_to_us"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("ts_us").over(w2).isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "interval_islands_merge",
+    survey="NS-temporal(gaps-and-islands interval coalescing via exclusive cumulative max),W1-W3,A3-A6",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + ((event_id % 5) + 1) * {2 * _HOUR_US} AS e
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     >= s
+                THEN 0 ELSE 1 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(island_id AS BIGINT) AS island_id,
+       MIN(s) AS island_start_us,
+       MAX(e) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM islands
+GROUP BY user_id, island_id
+""",
+)
+def interval_islands_merge(spark, sf_dir):
+    """Gaps-and-islands: coalesce overlapping / touching per-user activity
+    intervals into maximal merged spans — the temporal-coverage shape
+    (session stitching, on-call coverage, validity unioning) that
+    session_window_agg's fixed-gap sessionization cannot express, because
+    here each row carries its OWN end time. Each event opens an interval
+    of (event_id % 5 + 1) x 2h; an interval starts a new island iff it
+    begins after the exclusive running max of all earlier ends (the
+    textbook cumulative-max formulation), and islands aggregate to
+    [min start, max end] with a row count. All epoch-us integers.
+
+    Scale shape: one shuffle on user_id, then two window passes over the
+    same partitioning (exclusive-frame cumulative max, then the running
+    island-id sum) and a final aggregate that reuses the partitioning
+    again — a single Exchange end to end, per-user sorted evaluation,
+    no self-join (the naive interval-overlap formulation is a range
+    self-join; the cumulative-max rewrite is what survives 100 TB)."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (
+            F.col("ts_us")
+            + ((F.col("event_id") % 5) + 1) * F.lit(2 * _HOUR_US)
+        ).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max >= F.col("s"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start_us"),
+        F.max("e").alias("island_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
     )

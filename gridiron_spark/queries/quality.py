@@ -782,3 +782,139 @@ def k_anonymity_audit(spark, sf_dir):
             (F.col("n") < _KANON_K).cast("bigint").alias("at_risk"),
         )
     )
+
+
+# --- Classifier evaluation ----------------------------------------------------
+
+_EVAL_ANCHOR_MOD = 50  # vec_id % 50 == 0 -> 10 anchor vectors, one-ish per class
+
+_EVAL_COS_SQL = """
+list_sum(list_transform(list_zip(e.embedding, a.embedding),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+""".strip()
+
+
+@register(
+    "eval_confusion_metrics",
+    survey="NS-eval(multi-class confusion matrix + exact-rational precision/recall/F1 from a nearest-anchor classifier),A3-A6,J1,W2",
+    oracle=f"""
+WITH anchors AS (
+    SELECT vec_id AS aid, label AS pred_label, embedding
+    FROM embeddings WHERE vec_id % {_EVAL_ANCHOR_MOD} = 0
+),
+assigned AS (
+    SELECT vec_id, true_label, pred_label FROM (
+        SELECT e.vec_id, e.label AS true_label, a.pred_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_EVAL_COS_SQL} DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY true_label, pred_label
+),
+tt AS (SELECT true_label AS label, CAST(SUM(n) AS BIGINT) AS support FROM pairs GROUP BY true_label),
+pt AS (SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM pairs GROUP BY pred_label),
+tp AS (SELECT true_label AS label, CAST(SUM(n) AS BIGINT) AS tp FROM pairs
+       WHERE true_label = pred_label GROUP BY true_label)
+SELECT tt.label,
+       COALESCE(tp.tp, 0) AS tp,
+       COALESCE(pt.n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+       tt.support - COALESCE(tp.tp, 0) AS fn,
+       tt.support,
+       CASE WHEN COALESCE(pt.n_pred, 0) > 0
+            THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / pt.n_pred END AS precision,
+       CAST(COALESCE(tp.tp, 0) AS DOUBLE) / tt.support AS recall,
+       CASE WHEN COALESCE(pt.n_pred, 0) + tt.support > 0
+            THEN CAST(2 * COALESCE(tp.tp, 0) AS DOUBLE)
+                 / (COALESCE(pt.n_pred, 0) + tt.support) END AS f1
+FROM tt
+LEFT JOIN pt ON tt.label = pt.label
+LEFT JOIN tp ON tt.label = tp.label
+""",
+)
+def eval_confusion_metrics(spark, sf_dir):
+    """Model-evaluation metrics as a first-class distributed operator — the
+    missing closing stage of the classifier family (model_quality_score
+    scores, this entry GRADES): a nearest-anchor classifier (broadcast
+    anchor panel, the kmeans_assign idiom: every 50th vector serves as
+    its class's anchor) predicts a label for every embedding, and the
+    query emits the per-class confusion-matrix row (tp/fp/fn/support)
+    plus precision, recall, and F1. Every metric is a SINGLE division of
+    identical integer operands in both engines (F1 computed as
+    2·tp/(n_pred+support), never the composed 2PR/(P+R) form, which
+    would stack three roundings) — hash-stable doubles per the repo
+    discipline.
+
+    Scale shape: inference is one map over the embedding scan against a
+    broadcast O(classes) anchor panel with a per-vector rank-1 window
+    (partial WindowGroupLimit — one survivor per vector leaves each map
+    task); the confusion matrix is a |classes|² aggregate and the metric
+    joins run on |classes| rows. Nothing after the scan grows with the
+    corpus."""
+    from pyspark.sql import Window
+
+    from gridiron_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % _EVAL_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("a_embedding"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "aid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "pred_label",
+            "aid",
+            cosine(F.col("embedding"), F.col("a_embedding")).alias("cs"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", "pred_label")
+    )
+    pairs = assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tt = pairs.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("support")
+    )
+    pt = pairs.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    tp = (
+        pairs.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.sum("n").cast("bigint").alias("tp"))
+    )
+    tp0 = F.coalesce(F.col("tp"), F.lit(0).cast("bigint"))
+    np0 = F.coalesce(F.col("n_pred"), F.lit(0).cast("bigint"))
+    return (
+        tt.join(pt, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            tp0.alias("tp"),
+            (np0 - tp0).alias("fp"),
+            (F.col("support") - tp0).alias("fn"),
+            "support",
+            F.when(np0 > 0, tp0.cast("double") / F.col("n_pred")).alias(
+                "precision"
+            ),
+            (tp0.cast("double") / F.col("support")).alias("recall"),
+            F.when(
+                np0 + F.col("support") > 0,
+                (2 * tp0).cast("double") / (np0 + F.col("support")),
+            ).alias("f1"),
+        )
+    )

@@ -360,3 +360,118 @@ def ngram_lm_train_score(spark, sf_dir):
             ).cast("bigint").alias("keep"),
         )
     )
+
+
+_FUSE_DEPTH = 20
+_FUSE_OUT = 10
+_FUSE_QVEC = 0
+
+_FUSE_COS_SQL = """
+list_sum(list_transform(list_zip(e.embedding, q.embedding),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+""".strip()
+
+
+def _fusion_oracle() -> str:
+    bm25_body = _bm25_oracle()
+    return f"""
+WITH lex0 AS ({bm25_body}),
+lex AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS lex_rank
+    FROM lex0
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {_FUSE_QVEC}),
+sem0 AS (
+    SELECT e.vec_id AS doc_id, {_FUSE_COS_SQL} AS cs
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_FUSE_QVEC}
+    ORDER BY cs DESC, doc_id
+    LIMIT {_FUSE_DEPTH}
+),
+sem AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+    FROM sem0
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       lex_rank,
+       sem_rank,
+       CAST(COALESCE({_FUSE_DEPTH + 1} - lex_rank, 0)
+          + COALESCE({_FUSE_DEPTH + 1} - sem_rank, 0) AS BIGINT) AS fused_score
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY fused_score DESC, doc_id
+LIMIT {_FUSE_OUT}
+"""
+
+
+@register(
+    "hybrid_retrieval_fusion",
+    survey="NS-retrieval(hybrid lexical+semantic rank fusion — integer-exact Borda variant of RRF),SET1,O1-O3",
+    oracle=_fusion_oracle(),
+)
+def hybrid_retrieval_fusion(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 lexical top-20 (bm25_search_topk's
+    exact pipeline, reused) with the embedding cosine top-20 for the
+    probe vector into one ranking, using Borda fusion — score =
+    Σ (depth+1 − rank) over the lists a document appears in. Borda is
+    the integer-exact member of the rank-fusion family: reciprocal-rank
+    fusion's Σ 1/(60+rank) is a sum of non-representable rationals, so
+    per the repo's cross-engine discipline the linear rank discount
+    stands in for the reciprocal one (same monotone-in-each-rank
+    structure; the two CAN order multi-list ties differently, and that
+    deviation is stated here as the module docstring mandates).
+
+    Scale shape: each arm is its already-audited plan (BM25: map-side
+    stack + 3-row df broadcast + TakeOrdered; cosine: broadcast 1-row
+    query against one scan + TakeOrdered); the fusion itself touches
+    2·depth rows — the rank windows and the full-outer join run on
+    <=20-row inputs (bounded by the fusion depth, a query-time constant,
+    never the corpus), so the whole fusion stage is sketch-sized."""
+    lex0 = bm25_search_topk(spark, sf_dir)
+    lex = lex0.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_scaled").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _FUSE_QVEC)
+        .select(F.col("embedding").alias("q_embedding"))
+    )
+    from gridiron_spark.functions.vectors import cosine
+
+    sem0 = (
+        emb.filter(F.col("vec_id") != _FUSE_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("q_embedding")).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "doc_id")
+        .limit(_FUSE_DEPTH)
+    )
+    sem = sem0.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), "doc_id"))
+        .alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(F.lit(_FUSE_DEPTH + 1) - F.col("lex_rank"), F.lit(0))
+                + F.coalesce(F.lit(_FUSE_DEPTH + 1) - F.col("sem_rank"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("fused_score"),
+        )
+    )
+    return fused.orderBy(F.col("fused_score").desc(), "doc_id").limit(_FUSE_OUT)

@@ -431,3 +431,121 @@ def table_snapshot_diff(spark, sf_dir):
         )
         .select("o_orderkey", change.alias("change_type"))
     )
+
+
+# --- Bucketed co-located join round-trip -------------------------------------
+
+_BUCKETS = 8
+
+
+def _bucketed_ddl(name: str, cols: str, key: str, location: str) -> str:
+    return f"""
+CREATE TABLE {name} ({cols})
+USING parquet
+CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_BUCKETS} BUCKETS
+LOCATION '{location}'
+"""
+
+
+@register(
+    "bucketed_join_roundtrip",
+    survey="S5+J1(bucketed table sink + shuffle-free co-located big-big join) as a round-trip",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def bucketed_join_roundtrip(spark, sf_dir):
+    """The bucketed-table answer to repeated big-big joins, as a driver-
+    checkable round-trip (the plan-level guarantee is pinned by
+    tests/test_bucketing.py; this entry gives the WRITER+READER pair
+    driver hash evidence): orders and lineitem are each written as
+    parquet tables bucketed+sorted 8 ways on the order key, re-registered
+    from their staged location with the bucket spec in the DDL, and
+    joined WITHOUT EXCHANGE (merge hint keeps the planner on the
+    sort-merge path the bucketing serves; at 100 TB broadcast is off the
+    table anyway). Any row the bucketed writer misplaces lands in the
+    wrong bucket, the bucket-pruned join drops or duplicates it, and the
+    count/revenue hash flips.
+
+    Scale shape: bucketing pays ONE write-time shuffle per table, then
+    every future join/aggregate on the bucket key is exchange-free —
+    the amortization that makes daily orders-joins-lineitem pipelines
+    linear instead of shuffle-bound. The stage is fingerprint-keyed on
+    BOTH sources (either regenerating rebuilds it); re-registration per
+    session is metadata-only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    stage = stage_path(
+        sf_dir,
+        "bucketed_order_join_v1",
+        "orders",
+        params={
+            "buckets": _BUCKETS,
+            "lineitem_fp": source_fingerprint(sf_dir, "lineitem"),
+        },
+    )
+
+    def write_both(tmp: str) -> None:
+        for tname, df, key, sub in (
+            ("rt_bw_orders", o, "o_orderkey", "orders"),
+            ("rt_bw_lineitem", li, "l_orderkey", "lineitem"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            (
+                df.write.bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .option("path", f"{tmp}/{sub}")
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+            # external table: DROP removes only the catalog entry, the
+            # bucketed files stay for the post-rename re-registration
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    ensure_stage(stage, write_both)
+
+    spark.sql("DROP TABLE IF EXISTS rt_b_orders")
+    spark.sql("DROP TABLE IF EXISTS rt_b_lineitem")
+    spark.sql(
+        _bucketed_ddl(
+            "rt_b_orders",
+            "o_orderkey BIGINT, o_orderpriority STRING",
+            "o_orderkey",
+            f"{stage}/orders",
+        )
+    )
+    spark.sql(
+        _bucketed_ddl(
+            "rt_b_lineitem",
+            "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+            "l_orderkey",
+            f"{stage}/lineitem",
+        )
+    )
+    ob = spark.table("rt_b_orders").hint("merge")
+    lb = spark.table("rt_b_lineitem")
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

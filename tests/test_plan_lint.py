@@ -94,6 +94,9 @@ _BNLJ_OK = {
     "histogram_quantile_sketch", # 1-row bin stats
     "countmin_sketch",           # 1-row sketch row
     "quantile_stats",            # 1-row percentile frame
+    "theta_sketch_intersect",    # 1-row theta / exact-count broadcasts
+    "hybrid_retrieval_fusion",   # 1-row query vector + 1-row BM25 stats
+    "eval_confusion_metrics",    # broadcast O(classes) anchor panel
 }
 
 # constructing these executes real work (streaming drains, staged-artifact
@@ -160,6 +163,9 @@ def test_no_single_task_global_windows(plans):
         "ranged_global_sort", "curriculum_schedule",
         "sequence_pack_bucketed", "mixture_token_budget",
         "temperature_mixture_sample", "corpus_rank_quality",
+        # rank windows over the two post-limit fusion arms (≤20 rows each,
+        # bounded by the fusion depth constant, never the corpus)
+        "hybrid_retrieval_fusion",
     }
     bad = [n for n in bad if n not in allowed]
     assert not bad, f"single-task global window in: {bad}"

@@ -230,3 +230,175 @@ def test_snapshot_diff_classes_match_the_planted_edits(spark):
     assert by_type.get("removed", set()) == want_removed
     assert by_type.get("changed", set()) == want_changed
     assert by_type.get("added", set()) == want_added
+
+
+# --- round-7 second wave ------------------------------------------------------
+
+
+def test_nearest_defender_is_the_true_minimum(spark):
+    """Recompute the pairwise minimum driver-side for a handful of plays
+    and check the operator's nearest/count agree; offense entities are
+    even, defenders odd, and groups are bounded by players-per-frame."""
+    from collections import defaultdict
+
+    from gridiron_spark.queries.analytics import frame_nearest_defender
+    from gridiron_spark.io.tables import load_table
+
+    rows = frame_nearest_defender(spark, SF_SMALL).collect()
+    assert rows
+    by_play = defaultdict(list)
+    for r in rows:
+        assert r.entity_id % 2 == 0
+        assert 1 <= r.n_defenders <= 4
+        by_play[r.play_id].append(r)
+    track = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .selectExpr(
+            "l_orderkey AS play_id",
+            "l_linenumber AS entity_id",
+            "l_partkey % 120 AS x",
+            "l_suppkey % 54 AS y",
+        )
+        .groupBy("play_id", "entity_id")
+        .agg({"x": "min", "y": "min"})
+        .selectExpr("play_id", "entity_id", "`min(x)` AS x", "`min(y)` AS y")
+    )
+    sample_plays = sorted(by_play)[:5]
+    t = track.filter(track.play_id.isin([int(p) for p in sample_plays])).collect()
+    for play in sample_plays:
+        offense = [r for r in t if r.play_id == play and r.entity_id % 2 == 0]
+        defense = [r for r in t if r.play_id == play and r.entity_id % 2 == 1]
+        got = {r.entity_id: r for r in by_play[play]}
+        for o in offense:
+            dists = {
+                d.entity_id: (o.x - d.x) ** 2 + (o.y - d.y) ** 2 for d in defense
+            }
+            if not dists:
+                assert o.entity_id not in got
+                continue
+            g = got[o.entity_id]
+            assert g.nearest_dist_sq == min(dists.values())
+            assert g.n_defenders == len(defense)
+            assert dists[g.nearest_defender] == g.nearest_dist_sq
+
+
+def test_scd2_intervals_tile_each_user_history(spark):
+    """Per user: versions are 1..n, consecutive intervals abut exactly
+    (eff_to == next eff_from), exactly one open current row, and the
+    attribute actually changes at every boundary."""
+    from collections import defaultdict
+
+    from gridiron_spark.queries.analytics import scd2_dimension_build
+
+    rows = scd2_dimension_build(spark, SF_SMALL).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current == 1 and rs[-1].eff_to_us is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.eff_to_us == b.eff_from_us, user
+            assert a.event_type != b.event_type, user
+
+
+def test_islands_are_disjoint_and_cover_all_intervals(spark):
+    """Merged islands within a user never overlap (a gap strictly
+    separates consecutive islands) and interval counts sum to the
+    user's event count."""
+    from collections import defaultdict
+
+    from gridiron_spark.queries.analytics import interval_islands_merge
+    from gridiron_spark.io.tables import load_table
+
+    rows = interval_islands_merge(spark, SF_SMALL).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        assert r.island_start_us < r.island_end_us
+        by_user[r.user_id].append(r)
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_events = {r.user_id: r["count"] for r in ev}
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.island_start_us)
+        for a, b in zip(rs, rs[1:]):
+            assert a.island_end_us < b.island_start_us, user
+        assert sum(r.n_intervals for r in rs) == n_events[user]
+
+
+def test_theta_intersection_estimate_is_in_the_kmv_error_band(spark):
+    """k=64 gives ~12% relative error; allow 4 sigma. The sample can
+    never exceed k, and the estimate is exact when both sets fit in
+    one sketch (theta = full domain)."""
+    from gridiron_spark.queries.scale import theta_sketch_intersect
+
+    (r,) = theta_sketch_intersect(spark, SF_SMALL).collect()
+    assert 0 <= r.n_common <= 64
+    assert r.n_exact > 0
+    assert 0.5 <= r.est_ratio <= 1.5, r
+    if r.theta == 1 << 32:
+        assert r.est_intersection == r.n_exact
+
+
+def test_fusion_scores_decompose_into_the_two_arms(spark):
+    """Every fused row's score equals the Borda sum of its (possibly
+    absent) arm ranks, rows are sorted by (score desc, doc_id), and a
+    doc present in both arms outranks one with the same single-arm
+    rank."""
+    from gridiron_spark.queries.retrieval import (
+        _FUSE_DEPTH,
+        hybrid_retrieval_fusion,
+    )
+
+    rows = hybrid_retrieval_fusion(spark, SF_SMALL).collect()
+    assert rows
+    scores = [(r.fused_score, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        expect = 0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= _FUSE_DEPTH
+            expect += _FUSE_DEPTH + 1 - r.lex_rank
+        if r.sem_rank is not None:
+            assert 1 <= r.sem_rank <= _FUSE_DEPTH
+            expect += _FUSE_DEPTH + 1 - r.sem_rank
+        assert r.fused_score == expect
+
+
+def test_confusion_matrix_is_conservative(spark):
+    """tp+fn == support per class, total support is the corpus size,
+    anchors classify themselves (so every class with an anchor has
+    tp >= 1), and the emitted rationals equal their integer ratios."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.quality import eval_confusion_metrics
+
+    rows = eval_confusion_metrics(spark, SF_SMALL).collect()
+    assert rows
+    n_emb = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.support for r in rows) == n_emb
+    for r in rows:
+        assert r.tp + r.fn == r.support
+        assert r.recall == r.tp / r.support
+        if r.tp + r.fp > 0:
+            assert r.precision == r.tp / (r.tp + r.fp)
+            assert r.f1 == 2 * r.tp / ((r.tp + r.fp) + r.support)
+
+
+def test_bucketed_roundtrip_join_has_no_exchange_before_the_join(spark):
+    """The round-trip entry's executed plan must actually realize the
+    bucketing promise: a sort-merge join fed straight from the bucketed
+    scans — the only Exchange in the plan is the final aggregate's."""
+    from gridiron_spark.queries.sinks import bucketed_join_roundtrip
+
+    df = bucketed_join_roundtrip(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
