@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.selection",
     "gridiron_spark.queries.retrieval",
     "gridiron_spark.queries.layout",
+    "gridiron_spark.queries.features",
 )
 
 # Rotating re-verification ring (round 5+). Every driver window since
@@ -206,6 +207,13 @@ _NEW_R7: tuple[str, ...] = (
     "hybrid_retrieval_fusion",
     "eval_confusion_metrics",
     "bucketed_join_roundtrip",
+    "calibration_reliability_bins",
+    "eval_auc_ranksum",
+    "l_diversity_audit",
+    "target_encode_loo",
+    "interval_overlap_join_binned",
+    "grid_cell_neighbor_join",
+    "recursive_cte_hierarchy",
 )
 
 

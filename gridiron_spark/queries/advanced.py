@@ -1030,3 +1030,65 @@ def asof_forward_tolerance(spark, sf_dir):
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts_us", "ref_ts_us", "ref_value")
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    survey="SQL-surface(WITH RECURSIVE hierarchy walk — Spark 4 recursive CTE vs DuckDB recursive CTE),A3-A6",
+    oracle="""
+WITH RECURSIVE chain AS (
+    SELECT o_orderkey AS node, o_totalprice AS price,
+           o_orderkey AS cur, 0 AS depth
+    FROM orders
+    UNION ALL
+    SELECT node, price, cur // 8, depth + 1
+    FROM chain WHERE cur >= 8
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_roots,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM chain
+WHERE cur < 8
+GROUP BY depth
+""",
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """WITH RECURSIVE — the SQL-surface capability that separates a
+    warehouse from a query runner (org charts, bill-of-materials
+    explosions, graph reachability), newly native in Spark 4's parser
+    and executed as an iterative UnionLoop. Every order walks its
+    synthetic reporting chain (parent = key div 8) up to its root
+    (key < 8); the rollup reports, per chain depth, how many nodes live
+    there, how many distinct roots they reach, and their decimal-exact
+    price total. Depth is log8(max key) — bounded by the KEY DOMAIN, so
+    the loop iterates ~6 times regardless of row count.
+
+    Scale shape: each recursion step is a map-only projection + filter
+    over the frontier (no join — the parent is computed, not looked up;
+    a foreign-key hierarchy would make each step a co-partitioned join,
+    same loop). The frontier SHRINKS monotonically (rows retire at their
+    root), the final aggregate is map-side combined on ~6 depth groups,
+    and the decimal sum follows the repo's exact-aggregation discipline.
+    The oracle runs the IDENTICAL recursive SQL in DuckDB — dialect
+    difference is exactly `div` vs `//`."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rec_hierarchy_orders"
+    )
+    return spark.sql("""
+WITH RECURSIVE chain AS (
+    SELECT o_orderkey AS node, o_totalprice AS price,
+           o_orderkey AS cur, 0 AS depth
+    FROM rec_hierarchy_orders
+    UNION ALL
+    SELECT node, price, cur div 8, depth + 1
+    FROM chain WHERE cur >= 8
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_roots,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM chain
+WHERE cur < 8
+GROUP BY depth
+""")

@@ -796,6 +796,42 @@ list_sum(list_transform(list_zip(e.embedding, a.embedding),
 """.strip()
 
 
+def _anchor_assigned(spark, sf_dir):
+    """Shared nearest-anchor inference pass: every vector classified by its
+    most-cosine-similar anchor (vec_id % _EVAL_ANCHOR_MOD == 0, broadcast
+    O(classes) panel), returning (vec_id, true_label, pred_label, cs)
+    where cs is the winning anchor's cosine — the classifier's confidence.
+    One map over the embedding scan + a per-vector rank-1 window
+    (partial WindowGroupLimit); consumed by eval_confusion_metrics (which
+    drops cs) and calibration_reliability_bins (which bins it)."""
+    from pyspark.sql import Window
+
+    from gridiron_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % _EVAL_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("a_embedding"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "aid")
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "pred_label",
+            "aid",
+            cosine(F.col("embedding"), F.col("a_embedding")).alias("cs"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", "pred_label", "cs")
+    )
+
+
 @register(
     "eval_confusion_metrics",
     survey="NS-eval(multi-class confusion matrix + exact-rational precision/recall/F1 from a nearest-anchor classifier),A3-A6,J1,W2",
@@ -857,31 +893,8 @@ def eval_confusion_metrics(spark, sf_dir):
     task); the confusion matrix is a |classes|² aggregate and the metric
     joins run on |classes| rows. Nothing after the scan grows with the
     corpus."""
-    from pyspark.sql import Window
-
-    from gridiron_spark.functions.vectors import cosine
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % _EVAL_ANCHOR_MOD == 0).select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("pred_label"),
-        F.col("embedding").alias("a_embedding"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "aid")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(anchors))
-        .select(
-            "vec_id",
-            F.col("label").alias("true_label"),
-            "pred_label",
-            "aid",
-            cosine(F.col("embedding"), F.col("a_embedding")).alias("cs"),
-        )
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "true_label", "pred_label")
+    assigned = _anchor_assigned(spark, sf_dir).select(
+        "vec_id", "true_label", "pred_label"
     )
     pairs = assigned.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
@@ -916,5 +929,238 @@ def eval_confusion_metrics(spark, sf_dir):
                 np0 + F.col("support") > 0,
                 (2 * tp0).cast("double") / (np0 + F.col("support")),
             ).alias("f1"),
+        )
+    )
+
+
+@register(
+    "calibration_reliability_bins",
+    survey="NS-eval(reliability-diagram calibration bins for the nearest-anchor classifier),A3-A6,W2",
+    oracle=f"""
+WITH anchors AS (
+    SELECT vec_id AS aid, label AS pred_label, embedding
+    FROM embeddings WHERE vec_id % {_EVAL_ANCHOR_MOD} = 0
+),
+assigned AS (
+    SELECT vec_id, true_label, pred_label, cs FROM (
+        SELECT e.vec_id, e.label AS true_label, a.pred_label,
+               {_EVAL_COS_SQL} AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_EVAL_COS_SQL} DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ) WHERE rn = 1
+)
+SELECT CAST(FLOOR(cs * 10) AS BIGINT) AS conf_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS accuracy
+FROM assigned
+GROUP BY 1
+""",
+)
+def calibration_reliability_bins(spark, sf_dir):
+    """Reliability-diagram bins — the calibration half of the evaluation
+    family (eval_confusion_metrics grades discrimination; this entry
+    grades whether the classifier's CONFIDENCE means anything): the
+    nearest-anchor classifier's winning cosine is its confidence score,
+    binned at width 0.1 (floor(cs*10): cosine lives in [-1, 1], so there
+    are at most 21 bins — a constant, never corpus-sized), and each bin
+    reports how often the prediction was actually right. A calibrated
+    classifier shows accuracy rising with the bin; the gap per bin is the
+    ECE integrand. The accuracy is ONE division of identical integers;
+    the bin edge is floor() of a double whose bits are engine-identical
+    (cosine = fold-ordered products, the established discipline), so the
+    binning is exact in both engines. Mean-confidence-per-bin is
+    deliberately NOT emitted: it would be a SUM over computed doubles,
+    the one aggregation shape the cross-engine hash cannot certify.
+
+    Scale shape: the inference map is shared with eval_confusion_metrics
+    (_anchor_assigned — broadcast O(classes) panel, rank-1
+    WindowGroupLimit), and the calibration rollup is a <=21-group
+    map-side-combined aggregate: nothing after the scan grows with the
+    corpus."""
+    assigned = _anchor_assigned(spark, sf_dir)
+    binned = assigned.select(
+        F.floor(F.col("cs") * 10).cast("bigint").alias("conf_bin"),
+        (F.col("true_label") == F.col("pred_label")).cast("bigint").alias("ok"),
+    )
+    return (
+        binned.groupBy("conf_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ok").cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "conf_bin",
+            "n",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n")).alias("accuracy"),
+        )
+    )
+
+
+# AUC score-bucket width in price units: floor(o_totalprice / 1000) spans
+# ~1..500 buckets — bounded by the PRICE RANGE over the bucket width (a
+# distribution constant), never by the row count.
+_AUC_BUCKET = 1000
+
+
+@register(
+    "eval_auc_ranksum",
+    survey="NS-eval(exact tie-aware ROC AUC via the Mann-Whitney rank-sum over a bounded score histogram),A3-A6,W1",
+    oracle=f"""
+WITH h AS (
+    SELECT CAST(FLOOR(o_totalprice / {_AUC_BUCKET}.0) AS BIGINT) AS score_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS npos
+    FROM orders
+    GROUP BY 1
+),
+c AS (
+    SELECT score_bucket, n, npos,
+           COALESCE(CAST(SUM(n) OVER (
+               ORDER BY score_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cum_before
+    FROM h
+),
+t AS (
+    SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+           CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+           CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS r2
+    FROM c
+)
+SELECT n_pos, n_neg,
+       r2 - n_pos * (n_pos + 1) AS u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2 * n_pos * n_neg) END AS auc
+FROM t
+""",
+)
+def eval_auc_ranksum(spark, sf_dir):
+    """Exact tie-aware ROC AUC — the threshold-free discrimination metric
+    that completes the evaluation trio (confusion = one operating point,
+    calibration = confidence quality, AUC = the whole ranking): does
+    order price rank finished ('F') orders above open ones? Computed by
+    the Mann-Whitney identity AUC = (R_pos − n_pos(n_pos+1)/2) /
+    (n_pos·n_neg) with midrank tie handling, kept integer-exact by
+    carrying TWICE the rank sum: a bucket whose cumulative predecessor
+    count is c with n members has midrank c+(n+1)/2, so 2·midrank =
+    2c+n+1 — integers all the way, one IEEE division at the very end.
+    The score is the bucketed price floor(p/{_AUC_BUCKET}) — declaring
+    the predictor bucket-granular makes the tie set explicit and the
+    histogram bounded.
+
+    Scale shape: the ONLY corpus-sized stage is the score-histogram
+    aggregate (map-side combined, one shuffle of <=500 groups). The
+    cumulative window then runs over the histogram — bounded by
+    price-range/{_AUC_BUCKET}, a distribution constant, so the
+    empty-partition window is a deliberate, reviewed exception (the same
+    contract as the |partitions|-sized offsets tables) — and the final
+    reduction is a 1-row aggregate. AUC at 100 TB costs exactly one
+    pass + one tiny shuffle."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.floor(F.col("o_totalprice") / F.lit(float(_AUC_BUCKET)))
+            .cast("bigint")
+            .alias("score_bucket"),
+            (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+        )
+        .groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("npos"),
+        )
+    )
+    w = Window.orderBy("score_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = h.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n").over(w).cast("bigint"), F.lit(0).cast("bigint")
+        ),
+    )
+    t = c.agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return t.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+
+
+_LDIV_L = 3  # minimum distinct sensitive values per quasi-identifier group
+_LDIV_BAND = 1000  # account-balance band width (the sensitive attribute)
+
+
+@register(
+    "l_diversity_audit",
+    survey="NS-privacy(l-diversity audit: distinct sensitive values per quasi-identifier group),A3-A6",
+    oracle=f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_LDIV_BAND}.0) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_LDIV_BAND}.0)
+                                          AS BIGINT)) < {_LDIV_L}
+                 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the privacy check k-anonymity
+    (k_anonymity_audit) cannot express: a group can be large (k-safe) yet
+    still leak if every member shares the same SENSITIVE value
+    (homogeneity attack, Machanavajjhala et al. 2007). Per
+    quasi-identifier group (nation x market segment) the audit counts
+    DISTINCT sensitive values — the account-balance band
+    floor(bal/{_LDIV_BAND}) — and flags groups with fewer than
+    {_LDIV_L}: publishing those rows reveals a member's balance band from
+    the quasi-identifiers alone.
+
+    Scale shape: a single distinct-aggregate — Spark plans it as the
+    standard two-phase (group+value partial dedup, then per-group count),
+    both phases map-side combined, one shuffle keyed by the QI group, and
+    the sensitive-band domain is bounded (~11 bands), so the partial
+    dedup state per task is tiny. Same cost profile as the k-anonymity
+    scan it extends."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(float(_LDIV_BAND))).cast(
+        "bigint"
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(band).cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") < _LDIV_L).cast("bigint").alias("at_risk"),
         )
     )

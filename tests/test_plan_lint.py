@@ -97,6 +97,7 @@ _BNLJ_OK = {
     "theta_sketch_intersect",    # 1-row theta / exact-count broadcasts
     "hybrid_retrieval_fusion",   # 1-row query vector + 1-row BM25 stats
     "eval_confusion_metrics",    # broadcast O(classes) anchor panel
+    "calibration_reliability_bins",  # same broadcast anchor panel
 }
 
 # constructing these executes real work (streaming drains, staged-artifact
@@ -166,6 +167,9 @@ def test_no_single_task_global_windows(plans):
         # rank windows over the two post-limit fusion arms (≤20 rows each,
         # bounded by the fusion depth constant, never the corpus)
         "hybrid_retrieval_fusion",
+        # cumulative window over the price-bucket histogram (≤500 rows,
+        # bounded by price-range/bucket-width — a distribution constant)
+        "eval_auc_ranksum",
     }
     bad = [n for n in bad if n not in allowed]
     assert not bad, f"single-task global window in: {bad}"

@@ -402,3 +402,203 @@ def test_bucketed_roundtrip_join_has_no_exchange_before_the_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_auc_matches_brute_force_pair_counting(spark):
+    """The rank-sum identity must equal the definitional AUC: over all
+    (positive, negative) bucket pairs, count score_pos > score_neg as 1
+    and ties as 1/2 — doubled to stay integer, compared exactly."""
+    from gridiron_spark.queries.quality import _AUC_BUCKET, eval_auc_ranksum
+    from gridiron_spark.io.tables import load_table
+
+    row = eval_auc_ranksum(spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    scored = [
+        (int(o.o_totalprice // _AUC_BUCKET), o.o_orderstatus == "F")
+        for o in orders
+    ]
+    pos = [s for s, y in scored if y]
+    neg = [s for s, y in scored if not y]
+    u2_brute = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.u2 == u2_brute
+    assert abs(row.auc - u2_brute / (2 * len(pos) * len(neg))) == 0.0
+
+
+def test_calibration_bins_conserve_the_confusion_totals(spark):
+    """The reliability diagram is a re-binning of the same inference pass
+    the confusion matrix aggregates: total n = corpus size, total
+    n_correct = trace(confusion) = sum of per-class tp, and every bin
+    accuracy is a valid proportion."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.quality import (
+        calibration_reliability_bins,
+        eval_confusion_metrics,
+    )
+
+    bins = calibration_reliability_bins(spark, SF_SMALL).collect()
+    conf = eval_confusion_metrics(spark, SF_SMALL).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(b.n for b in bins) == n_vecs
+    assert sum(b.n_correct for b in bins) == sum(c.tp for c in conf)
+    for b in bins:
+        assert 0 <= b.n_correct <= b.n
+        assert abs(b.accuracy - b.n_correct / b.n) == 0.0
+        assert -10 <= b.conf_bin <= 10
+
+
+def test_target_encoding_never_contains_the_rows_own_label(spark):
+    """The leakage property LOO encoding exists for: adding the row's own
+    y back to the numerator reconstructs the full category sum, and two
+    rows of the same category with different y get DIFFERENT encodings
+    (the own-label exclusion is visible)."""
+    from collections import defaultdict
+
+    from gridiron_spark.queries.features import target_encode_loo
+
+    rows = target_encode_loo(spark, SF_SMALL).collect()
+    cat_sum = defaultdict(int)
+    cat_n = defaultdict(int)
+    for r in rows:
+        cat_sum[r.cat] += r.y
+        cat_n[r.cat] += 1
+    for r in rows:
+        assert r.loo_num + r.y == cat_sum[r.cat]
+        assert r.loo_den == cat_n[r.cat] - 1
+        if r.loo_den > 0:
+            assert abs(r.loo_enc - r.loo_num / r.loo_den) == 0.0
+    # own-label exclusion is observable: same category, different y ->
+    # different encoding (numerators differ by exactly 1)
+    by_cat = defaultdict(set)
+    for r in rows:
+        if r.loo_den > 0:
+            by_cat[r.cat].add((r.y, r.loo_num))
+    for cat, pairs in by_cat.items():
+        ys = {y for y, _ in pairs}
+        if len(ys) == 2:
+            nums = {num for _, num in pairs}
+            assert len(nums) == 2
+
+
+def test_l_diversity_flags_exactly_the_homogeneous_groups(spark):
+    """Replay the audit driver-side: distinct sensitive bands per QI group
+    computed brute-force must match, and at_risk = (l < 3)."""
+    from collections import defaultdict
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.quality import (
+        _LDIV_BAND,
+        _LDIV_L,
+        l_diversity_audit,
+    )
+
+    rows = l_diversity_audit(spark, SF_SMALL).collect()
+    customers = load_table(spark, SF_SMALL, "customer").collect()
+    import math
+
+    bands = defaultdict(set)
+    counts = defaultdict(int)
+    for c in customers:
+        key = (c.c_nationkey, c.c_mktsegment)
+        bands[key].add(math.floor(c.c_acctbal / _LDIV_BAND))
+        counts[key] += 1
+    assert len(rows) == len(bands)
+    for r in rows:
+        key = (r.c_nationkey, r.c_mktsegment)
+        assert r.n == counts[key]
+        assert r.l_distinct == len(bands[key])
+        assert r.at_risk == (1 if r.l_distinct < _LDIV_L else 0)
+
+
+def test_binned_interval_join_equals_the_naive_pair_set(spark):
+    """The bin-replication rewrite must emit EXACTLY the naive quadratic
+    join's pairs — no duplicate from multi-bin meetings, no miss at bin
+    boundaries — replayed brute-force driver-side."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.analytics import interval_overlap_join_binned
+    import datetime
+
+    out = {
+        (r.custkey, r.a_key, r.b_key): r.overlap_days
+        for r in interval_overlap_join_binned(spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    epoch = datetime.date(1992, 1, 1)
+    iv = []
+    for o in orders:
+        s = (o.o_orderdate.date() - epoch).days
+        iv.append(
+            (o.o_custkey, o.o_orderkey, o.o_orderpriority, s,
+             s + 30 + o.o_orderkey % 60)
+        )
+    a = [t for t in iv if t[2] in ("1-URGENT", "2-HIGH")]
+    b = [t for t in iv if t[2] in ("4-NOT SPECIFIED", "5-LOW")]
+    naive = {}
+    for ck, ak, _, as_, ae in a:
+        for ck2, bk, _, bs, be in b:
+            if ck == ck2 and as_ <= be and bs <= ae:
+                naive[(ck, ak, bk)] = min(ae, be) - max(as_, bs) + 1
+    assert out == naive
+    assert naive, "the planted intervals must actually overlap"
+
+
+def test_grid_neighbors_match_brute_force(spark):
+    """The 3x3 cell join must find every within-r pair the O(n^2) scan
+    finds — including isolated points as explicit zero rows."""
+    import hashlib
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.analytics import (
+        _GRID_R2,
+        grid_cell_neighbor_join,
+    )
+
+    out = {
+        r.point_id: (r.n_neighbors, r.nearest_dist_sq)
+        for r in grid_cell_neighbor_join(spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    pts = {}
+    for o in orders:
+        h = int(hashlib.md5(str(o.o_orderkey).encode()).hexdigest()[:12], 16)
+        pts[o.o_orderkey] = (h % 360, (h // 360) % 180)
+    assert set(out) == set(pts)
+    for pid, (x, y) in pts.items():
+        d2s = [
+            (x - x2) ** 2 + (y - y2) ** 2
+            for pid2, (x2, y2) in pts.items()
+            if pid2 != pid and (x - x2) ** 2 + (y - y2) ** 2 <= _GRID_R2
+        ]
+        assert out[pid] == (len(d2s), min(d2s) if d2s else None)
+    assert any(n > 0 for n, _ in out.values()), "some neighbors must exist"
+
+
+def test_recursive_hierarchy_depths_follow_the_key_domain(spark):
+    """parent = key div 8 means depth(k) = number of base-8 digits above
+    the root band: closed-form node counts per depth must match, and the
+    depths must partition the whole table."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.advanced import recursive_cte_hierarchy
+
+    rows = {r.depth: r for r in recursive_cte_hierarchy(spark, SF_SMALL).collect()}
+    n = load_table(spark, SF_SMALL, "orders").count()
+    max_key = n - 1  # keys are 0..n-1
+
+    def depth_of(k):
+        d = 0
+        while k >= 8:
+            k //= 8
+            d += 1
+        return d
+
+    expected = {}
+    for k in range(max_key + 1):
+        expected[depth_of(k)] = expected.get(depth_of(k), 0) + 1
+    assert {d: r.n_nodes for d, r in rows.items()} == expected
+    assert sum(r.n_nodes for r in rows.values()) == n
+    for r in rows.values():
+        assert 1 <= r.n_roots <= 8
