@@ -214,6 +214,8 @@ _NEW_R7: tuple[str, ...] = (
     "interval_overlap_join_binned",
     "grid_cell_neighbor_join",
     "recursive_cte_hierarchy",
+    "triangle_count_knn",
+    "weighted_sample_topk",
 )
 
 

@@ -392,3 +392,63 @@ def lsh_recall_curve(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+_WS_K = 100      # sample size
+_WS_SCALE = 1024  # priority resolution multiplier
+
+
+@register(
+    "weighted_sample_topk",
+    survey="NS-sampling(deterministic weighted sample without replacement via integer hash priorities),O5,O1",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, source, n_chars,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) * {_WS_SCALE} // GREATEST(n_chars, 1) AS priority
+    FROM documents
+)
+SELECT doc_id, source, n_chars, priority
+FROM s
+ORDER BY priority, doc_id
+LIMIT {_WS_K}
+""",
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Deterministic weighted sampling without replacement — the mixture
+    primitive that upgrades O5's uniform exact-n sampler to
+    IMPORTANCE-weighted selection (sample long documents more, the
+    standard length-proportional pretraining draw): each doc gets an
+    integer priority hash(id)*{_WS_SCALE} div weight and the {_WS_K}
+    smallest win. This is the integer-exact member of the
+    Efraimidis-Spirakis A-ES family: A-ES ranks by u^(1/w) (equivalently
+    -ln(u)/w, exponential races), which is exactly weight-proportional
+    but needs ln/pow — engine-divergent in the last ulp, so not
+    hash-certifiable; the linear-ratio priority keeps the same
+    hash-uniform, weight-monotone race (double the weight, halve the
+    expected priority) with every comparison on BIGINTs, and the
+    deviation from exact w-proportional inclusion is stated here, as the
+    fusion entry's Borda-for-RRF substitution established. Reruns are
+    reproducible bit-for-bit and the sample is stable under corpus
+    re-partitioning — the properties a training-data draw actually
+    needs.
+
+    Scale shape: priorities are a pure map over the scan;
+    selection is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — per-task {_WS_K}-row heaps and a
+    driver-side merge of maps x {_WS_K} rows, NO global sort, no
+    shuffle of the corpus. At 100 TB the cost is the scan plus a
+    constant-size reduction; a per-source stratified draw is the same
+    plan with the heap keyed by source (topk_per_group's
+    WindowGroupLimit shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            f"cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+            f" as bigint) * {_WS_SCALE} div greatest(n_chars, 1L)"
+        ).alias("priority"),
+    )
+    return s.orderBy("priority", "doc_id").limit(_WS_K)

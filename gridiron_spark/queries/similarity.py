@@ -870,6 +870,70 @@ _PR_ITERS = 4         # fixed Lloyd-style unrolled rounds
 _PR_MOD = 5           # centrality panel: vec_id % 5 == 0
 
 
+def _panel_knn_edges(spark, sf_dir):
+    """Shared directed 3-NN edge generator over the centrality panel
+    (vec_id % _PR_MOD == 0, 64x-quantized integer dots, top-_PR_K by
+    (dot desc, dst)): returns (panel q with columns vec_id/qv, edges
+    src/dst). Consumed by pagerank_knn_centrality (power iteration) and
+    triangle_count_knn (clustering structure) — one generator, two graph
+    algorithms, so the two entries are guaranteed to describe the SAME
+    graph."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _PR_MOD == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select("src", "dst", dot.alias("dot"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PR_K)
+        .select("src", "dst")
+    )
+    return q, edges
+
+
+# the directed-3NN edge CTEs (q, p, e) shared by the pagerank and triangle
+# oracles — mirror of _panel_knn_edges
+_KNN_EDGE_CTES = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+               AS qv
+    FROM embeddings WHERE vec_id % {_PR_MOD} = 0
+),
+p AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+    FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+e AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst) AS rk
+        FROM p
+    ) WHERE rk <= {_PR_K}
+)""".strip()
+
+
 def _pagerank_oracle() -> str:
     s, k = _PR_SCALE, _PR_K
     head = f"""
@@ -939,34 +1003,8 @@ def pagerank_knn_centrality(spark, sf_dir):
     (knn_join_topk's measured shape); at 100 TB the drop-in edge source
     is the IVF/LSH candidate-pair stage two queries up — the iteration
     itself never changes."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % _PR_MOD == 0).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
-        ).alias("qv"),
-    )
-    a = q.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
-        .select("src", "dst", dot.alias("dot"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
-    edges = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PR_K)
-        .select("src", "dst")
-        .localCheckpoint()  # materialize the edge list once for all rounds
-    )
+    q, edges = _panel_knn_edges(spark, sf_dir)
+    edges = edges.localCheckpoint()  # materialize once for all rounds
     nodes = q.select(F.col("vec_id").alias("v"))
     r = nodes.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(_PR_ITERS):
@@ -1102,4 +1140,143 @@ def source_affinity_matrix(spark, sf_dir):
                    * F.sqrt(F.col("nb").cast("double")))
             ).alias("cos_sim"),
         )
+    )
+
+
+@register(
+    "triangle_count_knn",
+    survey="NS-sim(per-node triangle count + clustering coefficient over the k-NN graph, degree-ordered orientation),J1,A3-A6",
+    oracle=f"""
+{_KNN_EDGE_CTES},
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+),
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+    GROUP BY n
+),
+ok AS (
+    SELECT n, d, d * 4294967296 + n AS okey FROM deg
+),
+o AS (
+    SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS a,
+           CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS b,
+           CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS okey_b
+    FROM und
+    JOIN ok ku ON und.u = ku.n
+    JOIN ok kv ON und.v = kv.n
+),
+tri AS (
+    SELECT w1.a AS x, w1.b AS y, w2.b AS z
+    FROM o w1
+    JOIN o w2 ON w1.a = w2.a AND w1.okey_b < w2.okey_b
+    JOIN o cl ON cl.a = w1.b AND cl.b = w2.b
+),
+tn AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (SELECT x AS n FROM tri
+          UNION ALL SELECT y AS n FROM tri
+          UNION ALL SELECT z AS n FROM tri)
+    GROUP BY n
+)
+SELECT deg.n AS vec_id, deg.d AS degree,
+       COALESCE(tn.t, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tn.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1)) END AS clustering
+FROM deg LEFT JOIN tn ON deg.n = tn.n
+""",
+)
+def triangle_count_knn(spark, sf_dir):
+    """Per-node triangle count and local clustering coefficient over the
+    panel k-NN graph — the third graph algorithm on the SAME edge
+    generator as pagerank_knn_centrality (shared _panel_knn_edges):
+    components answer "which", PageRank answers "how central", triangles
+    answer "how CLUSTERED" — high-clustering embedding neighborhoods are
+    semantic clumps (dedup candidates), zero-clustering hubs are
+    boundary/outlier points. Uses the degree-ordered orientation
+    algorithm (orient every undirected edge from its (degree, id)-lower
+    endpoint; a triangle x<y<z is found exactly once, as the wedge at x
+    closed by y->z), the standard way to bound distributed triangle
+    enumeration: wedge fan-out is sum of ORIENTED out-degrees squared
+    <= O(m^1.5) instead of the unoriented sum-deg^2 that explodes on
+    hubs. Clustering coefficient = ONE division 2t / d(d-1).
+
+    Scale shape: symmetrize + degree are linear shuffles on node id; the
+    orientation lookups broadcast the panel-sized degree table; the
+    wedge and closing joins are EQUI-joins on node and (node, node)
+    keys (no nested loop past the shared, reviewed pair generator). At
+    corpus scale the panel generator swaps for the IVF/LSH candidate
+    stage exactly as pagerank's docstring prescribes; orientation and
+    closing join are corpus-safe as-is."""
+    q, edges = _panel_knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ok = deg.select(
+        "n", "d", (F.col("d") * F.lit(4294967296) + F.col("n")).alias("okey")
+    )
+    ku = ok.select(F.col("n").alias("ku_n"), F.col("okey").alias("ku_okey"))
+    kv = ok.select(F.col("n").alias("kv_n"), F.col("okey").alias("kv_okey"))
+    flip = F.col("ku_okey") < F.col("kv_okey")
+    o = (
+        und.join(F.broadcast(ku), F.col("u") == F.col("ku_n"))
+        .join(F.broadcast(kv), F.col("v") == F.col("kv_n"))
+        .select(
+            F.when(flip, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(flip, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(flip, F.col("kv_okey"))
+            .otherwise(F.col("ku_okey"))
+            .alias("okey_b"),
+        )
+    )
+    w1 = o.select(
+        F.col("a").alias("w1_a"), F.col("b").alias("w1_b"),
+        F.col("okey_b").alias("w1_ob"),
+    )
+    w2 = o.select(
+        F.col("a").alias("w2_a"), F.col("b").alias("w2_b"),
+        F.col("okey_b").alias("w2_ob"),
+    )
+    cl = o.select(F.col("a").alias("cl_a"), F.col("b").alias("cl_b"))
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w1_a") == F.col("w2_a"))
+            & (F.col("w1_ob") < F.col("w2_ob")),
+        )
+        .join(
+            cl,
+            (F.col("cl_a") == F.col("w1_b"))
+            & (F.col("cl_b") == F.col("w2_b")),
+        )
+        .select(
+            F.col("w1_a").alias("x"), F.col("w1_b").alias("y"),
+            F.col("w2_b").alias("z"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0).cast("bigint"))
+    return deg.join(tn, "n", "left").select(
+        F.col("n").alias("vec_id"),
+        F.col("d").alias("degree"),
+        t0.alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            (2 * t0).cast("double") / (F.col("d") * (F.col("d") - 1)),
+        ).alias("clustering"),
     )

@@ -98,6 +98,7 @@ _BNLJ_OK = {
     "hybrid_retrieval_fusion",   # 1-row query vector + 1-row BM25 stats
     "eval_confusion_metrics",    # broadcast O(classes) anchor panel
     "calibration_reliability_bins",  # same broadcast anchor panel
+    "triangle_count_knn",        # broadcast panel pair generator (shared)
 }
 
 # constructing these executes real work (streaming drains, staged-artifact

@@ -602,3 +602,80 @@ def test_recursive_hierarchy_depths_follow_the_key_domain(spark):
     assert sum(r.n_nodes for r in rows.values()) == n
     for r in rows.values():
         assert 1 <= r.n_roots <= 8
+
+
+def test_triangle_counts_match_brute_force_enumeration(spark):
+    """Replay the degree-ordered algorithm against the O(n^3)-ish brute
+    force over the materialized undirected edge set: per-node triangle
+    membership counts and the clustering identity 2t/(d(d-1))."""
+    from itertools import combinations
+
+    from gridiron_spark.queries.similarity import (
+        _panel_knn_edges,
+        triangle_count_knn,
+    )
+
+    out = {
+        r.vec_id: (r.degree, r.n_triangles, r.clustering)
+        for r in triangle_count_knn(spark, SF_SMALL).collect()
+    }
+    _, edges = _panel_knn_edges(spark, SF_SMALL)
+    und = {
+        tuple(sorted((r.src, r.dst))) for r in edges.collect()
+    }
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_count = dict.fromkeys(adj, 0)
+    n_triangles = 0
+    for node, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if node < a and b in adj.get(a, set()):
+                n_triangles += 1
+                for m in (node, a, b):
+                    tri_count[m] += 1
+    assert set(out) == set(adj)
+    assert n_triangles > 0, "the k-NN graph must contain triangles"
+    for n, (d, t, c) in out.items():
+        assert d == len(adj[n])
+        assert t == tri_count[n]
+        if d >= 2:
+            assert abs(c - 2 * t / (d * (d - 1))) == 0.0
+        else:
+            assert c is None
+
+
+def test_weighted_sample_prefers_heavy_documents(spark):
+    """The integer-priority race must (a) match the brute-force selection
+    exactly and (b) actually express the weights: the selected docs'
+    mean length exceeds the corpus mean (at sf0.01, where the sample is
+    a strict subset)."""
+    import hashlib
+
+    from tests.conftest import SF_ORACLE
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.curation import (
+        _WS_K,
+        _WS_SCALE,
+        weighted_sample_topk,
+    )
+
+    rows = weighted_sample_topk(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    assert len(docs) > _WS_K, "sf0.01 must make the sample a strict subset"
+
+    def prio(doc_id, n_chars):
+        hv = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return hv * _WS_SCALE // max(n_chars, 1)
+
+    brute = sorted(
+        ((prio(d.doc_id, d.n_chars), d.doc_id) for d in docs)
+    )[:_WS_K]
+    assert [(r.priority, r.doc_id) for r in rows] == brute
+    sel_mean = sum(r.n_chars for r in rows) / len(rows)
+    corpus_mean = sum(d.n_chars for d in docs) / len(docs)
+    assert sel_mean > corpus_mean
