@@ -871,3 +871,101 @@ def dup_span_coverage_stats(docs: DataFrame, k: int) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT pairs: every ordered (contained,
+    container) pair with |A∩B| / |A| ≥ threshold, A ≠ B.
+
+    Containment is the asymmetric cousin of Jaccard and catches what a
+    Jaccard threshold structurally cannot: a short excerpt quoted inside a
+    much longer document has tiny Jaccard (|A∩B|/|A∪B| ≈ |A|/|B|) but
+    containment ≈ 1 — the quote/excerpt duplication mode in web corpora.
+
+    Candidate generation adapts AllPairs prefix filtering (Bayardo et al.,
+    WWW'07, overlap form) to the asymmetric predicate: containment ≥ t
+    means overlap ≥ ⌈t·|A|⌉, so under a global (df asc, shingle asc)
+    shingle order the first |A| − ⌈t·|A|⌉ + 1 shingles of the CONTAINED
+    side must intersect the container's FULL set — index prefixes on the
+    contained side only, the full inverted index on the container side,
+    and recall is exactly 1. The size filter |B| ≥ ⌈t·|A|⌉ (overlap can't
+    exceed |B|) prunes before verification. The contained-side prefix is
+    ~(1−t) of each doc's RAREST shingles, so hot-shingle buckets fan out
+    as (tiny prefix count) × (full count) — linear in the full index, not
+    quadratic in it.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # contained-side prefix: |A| - ceil(t*|A|) + 1 rarest shingles
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+            + 1
+        )
+        .select(
+            F.col("doc_id").alias("doc_in"),
+            "shingle",
+            F.col("sz").alias("sz_in"),
+        )
+    )
+    full = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_out"), "shingle", F.col("sz").alias("sz_out")
+    )
+    cand = (
+        prefix.join(
+            full,
+            (prefix.shingle == full.shingle)
+            & (F.col("doc_in") != F.col("doc_out"))
+            # overlap <= |B|: containment >= t forces |B| >= ceil(t*|A|)
+            & (
+                F.col("sz_out")
+                >= F.ceil(F.lit(threshold) * F.col("sz_in") - F.lit(1e-9))
+            ),
+        )
+        .select("doc_in", "doc_out")
+        .dropDuplicates(["doc_in", "doc_out"])
+    )
+    inter = (
+        cand.join(sh.alias("a"), F.col("doc_in") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_out") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_in", "doc_out")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_in"),
+                F.col("sz").cast("bigint").alias("sz_in"),
+            ),
+            "doc_in",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_out"),
+                F.col("sz").cast("bigint").alias("sz_out"),
+            ),
+            "doc_out",
+        )
+        .withColumn("cont_pct", F.expr("inter * 100 div sz_in"))
+        .filter(F.col("cont_pct") >= F.lit(int(round(threshold * 100))))
+        .select("doc_in", "doc_out", "inter", "sz_in", "sz_out", "cont_pct")
+    )

@@ -216,6 +216,12 @@ _NEW_R7: tuple[str, ...] = (
     "recursive_cte_hierarchy",
     "triangle_count_knn",
     "weighted_sample_topk",
+    "markov_next_event",
+    "trend_slope_by_group",
+    "data_quality_contract",
+    "key_skew_audit",
+    "pmi_collocations",
+    "containment_dup_pairs",
 )
 
 

@@ -741,3 +741,213 @@ def grid_cell_neighbor_join(spark, sf_dir):
         ),
         "nearest_dist_sq",
     )
+
+
+@register(
+    "markov_next_event",
+    survey="NS-seq(first-order Markov transition matrix over per-user event sequences),W1,A3",
+    oracle="""
+WITH tr AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS to_type
+    FROM events
+),
+c AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+t AS (
+    SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+    FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+       c.n_transitions * 1000000 // t.n_from AS p_ppm
+FROM c JOIN t ON c.from_type = t.from_type
+""",
+)
+def markov_next_event(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    for every (from_type, to_type) pair, the transition count and the
+    empirical next-event probability in ppm — the sequence-model prior a
+    behavioral pipeline fits before anything fancier (and the funnel
+    entries' natural generalization from one hand-picked path to ALL
+    paths). Probability is integer ppm (count*1e6 div row-total), exact in
+    both engines; the ordering key includes event_id so ties in ts never
+    make the lead() nondeterministic.
+
+    Scale shape: ONE shuffle on user_id for the lead window (the module's
+    standard per-entity frame — sorted within partitions, no global sort),
+    then a map-side-combined aggregate to |event_types|² cells; the
+    row-total join runs on that tiny matrix, never on the corpus. At
+    100 TB this is the same plan with more user partitions."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    tr = (
+        ev.select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    c = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    t = c.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return c.join(t, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.expr("n_transitions * 1000000 div n_from").alias("p_ppm"),
+    )
+
+
+# Fixed centering constants for the OLS trend: keep every product inside
+# BIGINT at the test scales (x in ±~1300 days around the TPC-H date-range
+# midpoint, y in ±~2.5e5 dollars around the mean order price).
+_TREND_X0 = "1995-06-01"
+_TREND_Y0 = 150000
+
+
+@register(
+    "trend_slope_by_group",
+    survey="NS-stats(exact per-group OLS trend: integer moment sums, translation-invariant slope),A3-A6,F2",
+    oracle=f"""
+WITH b AS (
+    SELECT o_orderpriority,
+           CAST(datediff('day', DATE '{_TREND_X0}',
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+           CAST(floor(o_totalprice) AS BIGINT) - {_TREND_Y0} AS y
+    FROM orders
+),
+s AS (
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+    FROM b GROUP BY o_orderpriority
+)
+SELECT priority, n,
+       n*sxy - sx*sy AS cov_num,
+       n*sxx - sx*sx AS var_num,
+       CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS slope_per_day
+FROM s
+""",
+)
+def trend_slope_by_group(spark, sf_dir):
+    """Exact per-group OLS trend (is order value drifting over time, per
+    priority class): slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with every
+    moment an integer sum — x = days since a fixed epoch midpoint, y =
+    whole dollars around a fixed center (the formula is
+    translation-invariant, so constant centering changes nothing but keeps
+    nΣxy inside BIGINT: ~3e17 at sf0.1). The slope itself is the single
+    division of two identical BIGINTs in both engines — bit-stable. The
+    numerator/denominator are emitted too, so a consumer can re-derive
+    intercept or r² without re-scanning.
+
+    Scale shape: ONE map-side-combined aggregate over the scan to
+    |groups| rows of 5 moments; no join, no window, no second pass. At
+    corpus scale the only change is wider partial-agg buffers; past
+    ~1e9 rows/group the moments move to DECIMAL(38,0) accumulators (the
+    one disclosed adaptation)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(_TREND_X0).cast("date")
+    ).cast("bigint")
+    y = F.floor("o_totalprice").cast("bigint") - F.lit(_TREND_Y0)
+    s = (
+        o.select(F.col("o_orderpriority").alias("priority"), x.alias("x"), y.alias("y"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "priority",
+        "n",
+        cov.alias("cov_num"),
+        var.alias("var_num"),
+        (cov.cast("double") / var).alias("slope_per_day"),
+    )
+
+
+_SESSION_GAP_US = 28_800 * 1_000_000  # 8h inactivity closes a session
+
+
+@register(
+    "session_stats_batch",
+    survey="NS-behavior(batch gap-rule sessionization: islands via lag+running-sum, per-session stats),W1,A3",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+    SELECT user_id, event_type, t,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+    FROM o
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       MIN(t) AS start_us, MAX(t) AS end_us,
+       MAX(t) - MIN(t) AS duration_us
+FROM s
+GROUP BY user_id, session_idx
+""",
+)
+def session_stats_batch(spark, sf_dir):
+    """Batch sessionization by the inactivity-gap rule (8 h here — sized
+    to this corpus's 7.7 h median inter-event gap): the islands pattern —
+    a lag() marks session BREAKS, a per-user running sum turns break
+    flags into session indices, and a final aggregate emits per-session
+    stats (event count, distinct types, span). This is the batch twin of
+    the streaming session window (session_window_agg /
+    streaming_session_e2e) with identical semantics on at-rest data,
+    which is how a lambda-architecture backfill must behave.
+
+    Scale shape: BOTH windows (lag and running sum) and the final
+    aggregate share ONE user_id partitioning — a single Exchange, then
+    per-partition sorted evaluation; session counts per user are bounded
+    by the gap rule, so no key explodes. All arithmetic is epoch-µs
+    BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _w()
+    wsum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brk = (
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    s = (
+        ev.select("user_id", "event_id", "event_type", "ts_us")
+        .withColumn("brk", brk)
+        .withColumn("session_idx", F.sum("brk").over(wsum).cast("bigint"))
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from gridiron_spark.io.tables import load_table
 from gridiron_spark.operators.dedup import (
+    containment_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     prefix_filtered_pairs,
@@ -1162,3 +1163,46 @@ def record_linkage_blocked(spark, sf_dir):
         cand.filter(lev <= 1)
         .select("dirty_id", "c_custkey", lev.cast("int").alias("lev"))
     )
+
+
+@register(
+    "containment_dup_pairs",
+    survey="NS-dedup(asymmetric set-containment pairs — excerpt/quote duplication the Jaccard threshold can't see),J1",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+    SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM inv a JOIN inv b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh)
+SELECT doc_in, doc_out, inter,
+       sa.sz AS sz_in, sb.sz AS sz_out,
+       inter * 100 // sa.sz AS cont_pct
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_in
+JOIN sz sb ON sb.doc_id = doc_out
+WHERE inter * 100 // sa.sz >= 80
+""",
+)
+def containment_dup_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: ordered (contained, container) pairs
+    with |A∩B|/|A| ≥ 0.8 — the excerpt/quote duplication mode that a
+    Jaccard threshold is structurally blind to (a page quoted inside a
+    10× longer page has Jaccard ≈ 0.1 but containment ≈ 1.0). Output
+    keeps the integer evidence (intersection size, both set sizes) plus
+    the floored containment percent, so the dedup policy layer can keep
+    the container and drop the contained copy.
+
+    Scale shape (operators/dedup.containment_prefix_pairs): AllPairs
+    prefix filtering adapted to the asymmetric predicate — the contained
+    side indexes only its ~(1−t) globally-rarest shingles, the container
+    side the full inverted index, recall exactly 1 by the overlap form of
+    the Bayardo bound, with an |B| ≥ ⌈t·|A|⌉ size prune before
+    verification. The oracle re-derives the same pairs from the naive
+    full self-join; the Spark plan never runs it."""
+    doc = load_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(doc, threshold=0.8, shingle_k=3)

@@ -861,3 +861,78 @@ def theta_sketch_intersect(spark, sf_dir):
             ).alias("est_ratio"),
         )
     )
+
+
+_SKEW_TOPN = 20
+
+
+@register(
+    "key_skew_audit",
+    survey="NS-ops(shuffle-key skew audit: heavy hitters, share-of-total, Herfindahl concentration),A3,O1-O3",
+    oracle=f"""
+WITH c AS (
+    SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_partkey
+),
+s AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM c
+)
+SELECT key, cnt,
+       cnt * 1000000 // total AS share_ppm,
+       n_keys, total,
+       max_cnt * n_keys * 1000 // total AS skew_x1000,
+       CAST(sum_sq AS DOUBLE) / (total * total) AS hhi
+FROM c, s
+ORDER BY cnt DESC, key
+LIMIT {_SKEW_TOPN}
+""",
+)
+def key_skew_audit(spark, sf_dir):
+    """Shuffle-key skew audit — the diagnostic you run BEFORE picking a
+    join/agg strategy at 100 TB: per-key counts for a prospective shuffle
+    key (here lineitem.l_partkey), the top-{_SKEW_TOPN} heavy hitters with
+    their share of all rows (ppm), the key cardinality, a skew factor
+    (max/mean, ×1000 — 1000 means perfectly uniform), and the Herfindahl
+    concentration index Σ(share²) as one double division of exact integer
+    operands. skew_x1000 ≫ 1000 is the signal to salt
+    (salted_hot_key_agg) or let AQE split the straggler partitions; HHI
+    near 1/n_keys says broadcast/bucketing decisions can assume uniform
+    buckets. All ratios are integer (ppm / ×1000) or single identical-
+    operand divisions, so the report hash-matches cross-engine.
+
+    Scale shape: ONE map-side-combined count per key (the same shuffle the
+    audited operation would do, minus its payload), then a 1-row global
+    reduction over the (key-cardinality-sized, corpus-independent) count
+    table and a broadcast of that 1 row back onto it;
+    TakeOrderedAndProject for the top-{_SKEW_TOPN} — per-task heaps, no
+    global sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    s = c.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return (
+        c.join(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            "n_keys",
+            "total",
+            F.expr("max_cnt * n_keys * 1000 div total").alias("skew_x1000"),
+            (F.col("sum_sq").cast("double") / (F.col("total") * F.col("total"))).alias(
+                "hhi"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(_SKEW_TOPN)
+    )

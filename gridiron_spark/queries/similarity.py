@@ -1280,3 +1280,137 @@ def triangle_count_knn(spark, sf_dir):
             (2 * t0).cast("double") / (F.col("d") * (F.col("d") - 1)),
         ).alias("clustering"),
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    parts = [
+        _KNN_EDGE_CTES,
+        """,
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
+),
+n0 AS (
+    SELECT DISTINCT n
+    FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+),
+e0 AS (SELECT u, v FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS n FROM e{r-1} UNION ALL SELECT v AS n FROM e{r-1})
+    GROUP BY n
+),
+k{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
+e{r} AS (
+    SELECT p.u, p.v FROM e{r-1} p
+    JOIN k{r} a ON p.u = a.n JOIN k{r} b ON p.v = b.n
+)""")
+    parts.append(f""",
+df AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+    GROUP BY n
+),
+d0f AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+    GROUP BY n
+)
+SELECT n0.n AS vec_id,
+       d0f.d AS deg0,
+       CAST(CASE WHEN k{rounds}.n IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS in_core,
+       COALESCE(df.d, 0) AS core_deg
+FROM n0
+JOIN d0f ON d0f.n = n0.n
+LEFT JOIN k{rounds} ON k{rounds}.n = n0.n
+LEFT JOIN df ON df.n = n0.n""")
+    return "".join(parts)
+
+
+@register(
+    "kcore_decompose_knn",
+    survey=f"NS-sim({_KCORE_K}-core peel over the k-NN graph: bounded-round degree peeling, dense-region extraction),J1,A3",
+    oracle=_kcore_oracle(),
+)
+def kcore_decompose_knn(spark, sf_dir):
+    """{k}-core extraction over the panel k-NN graph — the FOURTH consumer
+    of the shared ``_panel_knn_edges`` generator (components → "which",
+    PageRank → "how central", triangles → "how clustered", k-core → "how
+    DENSE a region each node survives in"). Nodes are peeled in rounds:
+    drop everything with degree < {k} in the surviving subgraph, repeat —
+    the classic dense-subgraph primitive for picking the semantic cores of
+    embedding neighborhoods (core members are redundancy candidates;
+    early-peeled nodes are fringe/outliers). Both engines run the same
+    FIXED {r} rounds (the pagerank_knn_centrality determinism pattern —
+    no data-dependent loop in the oracle), and pytest proves {r} rounds
+    reach the true fixpoint on this corpus, so ``in_core`` IS the 2-core,
+    not an approximation of it.
+
+    Scale shape: each round is a linear degree aggregate plus two
+    equi-joins of the edge list against the (shrinking) keep set — the
+    connected-components shuffle anatomy, never a pairwise blow-up; the
+    edge list is materialized once (localCheckpoint) and only SHRINKS.
+    At corpus scale the panel generator swaps for the LSH candidate
+    stage, peeling unchanged; a convergence-checked variant would reuse
+    the CC fingerprint loop (operators/dedup.connected_components)."""
+    _, edges = _panel_knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()  # shared generator run once; rounds only shrink
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    n0 = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    d0 = degrees(und)
+    e = und
+    keep = None
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(e).filter(F.col("d") >= _KCORE_K).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "ku"), e.u == F.col("ku"))
+            .join(keep.withColumnRenamed("n", "kv"), e.v == F.col("kv"))
+            .select("u", "v")
+        )
+    df_final = degrees(e)
+    return (
+        n0.join(d0.withColumnRenamed("d", "deg0"), "n")
+        .join(
+            keep.withColumn("flag", F.lit(1).cast("bigint")), "n", "left"
+        )
+        .join(df_final.withColumnRenamed("d", "core_deg"), "n", "left")
+        .select(
+            F.col("n").alias("vec_id"),
+            "deg0",
+            F.coalesce(F.col("flag"), F.lit(0).cast("bigint")).alias("in_core"),
+            F.coalesce(F.col("core_deg"), F.lit(0).cast("bigint")).alias(
+                "core_deg"
+            ),
+        )
+    )
+
+
+kcore_decompose_knn.__doc__ = kcore_decompose_knn.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
+)

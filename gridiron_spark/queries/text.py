@@ -983,3 +983,91 @@ def doc_embedding_pool(spark, sf_dir):
         )
         .alias("val"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 100
+
+
+@register(
+    "pmi_collocations",
+    survey="NS-text(collocation mining: adjacent-bigram PMI ranking, word2phrase-style),A3,J1,O1",
+    oracle=f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+big AS (
+    SELECT unnest(list_transform(range(0, len(t) - 1),
+                                 i -> t[i+1] || ' ' || t[i+2])) AS bigram
+    FROM t
+),
+uni AS (SELECT unnest(t) AS w FROM t),
+cxy AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy FROM big GROUP BY bigram),
+cx AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY w),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM big)
+SELECT bigram, n_xy, a.n AS n_x, b.n AS n_y, n_bigrams,
+       n_xy * n_bigrams * 1000 // (a.n * b.n) AS pmi_x1000
+FROM cxy
+JOIN cx a ON a.w = split_part(bigram, ' ', 1)
+JOIN cx b ON b.w = split_part(bigram, ' ', 2), nb
+WHERE n_xy >= {_PMI_MIN_COUNT}
+ORDER BY pmi_x1000 DESC, bigram
+LIMIT {_PMI_TOPK}
+""",
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining — the word2phrase step that decides which
+    adjacent word pairs are PHRASES before tokenizer training: rank
+    bigrams by pointwise mutual information, expressed as the integer
+    ratio p(xy)/(p(x)p(y)) = n_xy·N / (n_x·n_y), scaled ×1000 (the log in
+    PMI is monotone, so ranking by the ratio ranks by PMI — the same
+    monotone-substitute rationale as BM25's rational idf). The
+    ≥{_PMI_MIN_COUNT}-count floor is the standard guard against
+    rare-pair PMI blow-up; ties break on the bigram itself so the
+    top-{_PMI_TOPK} frontier is deterministic.
+
+    Scale shape: bigram assembly is the token-row lead-window (one linear
+    user-bounded shuffle on doc_id — shingle_rows' measured pattern, no
+    per-lambda re-split); both count tables are map-side-combined
+    aggregates; the bigram⋈unigram joins are equi-joins on the word key
+    (vocabulary-sized right side — hash-join, AQE broadcasts it when it
+    fits); the 1-row bigram total broadcasts; top-{_PMI_TOPK} is
+    TakeOrderedAndProject. Nothing quadratic, no global sort."""
+    from pyspark.sql import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        doc.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("w").over(w_doc))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat_ws(" ", "w", "nxt").alias("bigram"),
+            F.col("w").alias("w1"),
+            F.col("nxt").alias("w2"),
+        )
+    )
+    cxy = big.groupBy("bigram", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    cx = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nb = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"))
+    return (
+        cxy.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .join(cx.select(F.col("w").alias("w1"), F.col("n").alias("n_x")), "w1")
+        .join(cx.select(F.col("w").alias("w2"), F.col("n").alias("n_y")), "w2")
+        .join(F.broadcast(nb))
+        .select(
+            "bigram",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n_bigrams",
+            F.expr("n_xy * n_bigrams * 1000 div (n_x * n_y)").alias("pmi_x1000"),
+        )
+        .orderBy(F.col("pmi_x1000").desc(), "bigram")
+        .limit(_PMI_TOPK)
+    )

@@ -75,19 +75,28 @@ def test_tier_order():
 
 def test_window_rotation():
     """Every first-driver-row queue entry must be inside the driver's
-    50-entry verification window; the stalest (round-3 leftover) tier comes
-    next, and the remainder fills from round-4 evidence — no round-5/6
-    entry may leapfrog a round-4 entry while round-4 entries wait."""
+    50-entry verification window; whatever slots remain go to the stalest
+    tier in order (round-3 oracle-bearing leftovers first) — no fresher
+    tier may leapfrog a staler one while its entries wait outside."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R7) <= window
-    assert _EVIDENCE_R3 <= window, "round-3 leftovers must all re-verify"
-    fresher_in_window = window & (_EVIDENCE_R5 | _EVIDENCE_R6)
-    if _EVIDENCE_R4 - window:
-        assert not fresher_in_window, (
-            "fresh-evidence entries in the window while stale round-4 "
-            f"entries wait outside: {sorted(fresher_in_window)}"
+    assert set(_NEW_R7) <= window, "a new query missed its first-row slot"
+    filler = window - set(_NEW_R7)
+    assert filler <= _EVIDENCE_R3, (
+        "window filler must come from the stalest tier: "
+        f"{sorted(filler - _EVIDENCE_R3)}"
+    )
+    r3_oracle = _EVIDENCE_R3 - _ROWS_ONLY_R3
+    if r3_oracle - window:
+        assert not (window & _ROWS_ONLY_R3), (
+            "rows-only round-3 entries may not leapfrog oracle-bearing ones"
         )
+    for fresher in (_EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6):
+        if _EVIDENCE_R3 - window:
+            assert not (window & fresher), (
+                "fresh-evidence entries in the window while stale round-3 "
+                f"entries wait outside: {sorted(window & fresher)}"
+            )
 
 
 def test_queries_and_oracles_consistent():

@@ -99,6 +99,8 @@ _BNLJ_OK = {
     "eval_confusion_metrics",    # broadcast O(classes) anchor panel
     "calibration_reliability_bins",  # same broadcast anchor panel
     "triangle_count_knn",        # broadcast panel pair generator (shared)
+    "key_skew_audit",            # 1-row skew stats broadcast
+    "pmi_collocations",          # 1-row bigram total broadcast
 }
 
 # constructing these executes real work (streaming drains, staged-artifact

@@ -679,3 +679,190 @@ def test_weighted_sample_prefers_heavy_documents(spark):
     sel_mean = sum(r.n_chars for r in rows) / len(rows)
     corpus_mean = sum(d.n_chars for d in docs) / len(docs)
     assert sel_mean > corpus_mean
+
+
+def test_markov_rows_conserve_and_probabilities_sum(spark):
+    """Transition counts per from_type sum to n_from; total transitions =
+    total events minus one per user with >= 1 event; p_ppm per row
+    replays as the exact integer division."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.analytics import markov_next_event
+
+    rows = markov_next_event(spark, SF_SMALL).collect()
+    assert rows
+    ev = load_table(spark, SF_SMALL, "events").select("user_id").collect()
+    n_events = len(ev)
+    n_users = len({r.user_id for r in ev})
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+        assert r.p_ppm == r.n_transitions * 1000000 // r.n_from
+    for group in by_from.values():
+        assert sum(r.n_transitions for r in group) == group[0].n_from
+
+
+def test_trend_slope_matches_numpy_ols(spark):
+    """The integer-moment slope equals numpy's lstsq slope on the same
+    (days, floor-dollars) pairs, per group."""
+    import numpy as np
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.analytics import trend_slope_by_group
+
+    out = {r.priority: r for r in trend_slope_by_group(spark, SF_SMALL).collect()}
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    import collections
+    import datetime
+    import math
+
+    pts = collections.defaultdict(list)
+    epoch = datetime.date(1995, 6, 1)
+    for r in o:
+        x = (r.o_orderdate.date() - epoch).days
+        y = math.floor(r.o_totalprice)
+        pts[r.o_orderpriority].append((x, y))
+    assert set(out) == set(pts)
+    for prio, xy in pts.items():
+        x = np.array([p[0] for p in xy], dtype=float)
+        y = np.array([p[1] for p in xy], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(out[prio].slope_per_day - slope) < 1e-6, prio
+        assert out[prio].n == len(xy)
+
+
+def test_data_contract_finds_the_two_real_generator_defects(spark):
+    """The audit earns its keep on the synthetic lake: it exposes the two
+    expectations the generator REALLY violates — duplicate
+    (l_orderkey, l_linenumber) composite keys and lineitems shipping
+    before their order date (shipdate is drawn independently) — with
+    violation counts that replay exactly from a collected brute force,
+    and no other check may false-positive."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.quality import data_quality_contract
+
+    rows = {r.check_name: r for r in data_quality_contract(spark, SF_SMALL).collect()}
+    assert len(rows) == 8
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    ).collect()
+    odate = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    n_li = len(li)
+    n_dups = n_li - len({(r.l_orderkey, r.l_linenumber) for r in li})
+    n_early = sum(1 for r in li if r.l_shipdate < odate[r.l_orderkey])
+    assert n_dups > 0 and n_early > 0, "the generator defects this test pins"
+    assert rows["lineitem_pk_unique"].n_bad == n_dups
+    assert rows["lineitem_ship_after_order"].n_bad == n_early
+    defects = {"lineitem_pk_unique", "lineitem_ship_after_order"}
+    for name, r in rows.items():
+        if name not in defects:
+            assert r.n_bad == 0, f"{name}: {r.n_bad} violations"
+    assert rows["lineitem_pk_unique"].n_rows == n_li
+    assert rows["lineitem_orderkey_fk"].n_rows == n_li
+    assert rows["lineitem_ship_after_order"].n_rows == n_li
+
+
+def test_skew_audit_replays_brute_force(spark):
+    """share_ppm / skew_x1000 / hhi replay exactly from a collected count
+    map, and the top-20 frontier is the (cnt desc, key) order."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.scale import key_skew_audit
+
+    rows = key_skew_audit(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey").collect()
+    import collections
+
+    cnt = collections.Counter(r.l_partkey for r in li)
+    total = sum(cnt.values())
+    sum_sq = sum(c * c for c in cnt.values())
+    n_keys = len(cnt)
+    max_cnt = max(cnt.values())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.key, r.cnt) for r in rows] == expect
+    for r in rows:
+        assert r.share_ppm == r.cnt * 1000000 // total
+        assert r.skew_x1000 == max_cnt * n_keys * 1000 // total
+        assert r.n_keys == n_keys and r.total == total
+        assert r.hhi == sum_sq / (total * total)
+
+
+def test_pmi_prefers_collocations_over_frequency(spark):
+    """PMI ranking is genuinely different from raw-count ranking (the two
+    top-k frontiers differ), every emitted score replays exactly, and all
+    pairs clear the count floor."""
+    from gridiron_spark.queries.text import pmi_collocations, word_topk
+
+    rows = pmi_collocations(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_xy >= 5
+        assert r.pmi_x1000 == r.n_xy * r.n_bigrams * 1000 // (r.n_x * r.n_y)
+    # scores are in ranked order
+    scores = [(r.pmi_x1000, r.bigram) for r in rows]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
+def test_containment_catches_a_planted_excerpt(spark):
+    """A short doc whose shingles are a strict subset of a long doc has
+    low Jaccard but containment 1.0: the operator must emit it, orient it
+    (contained -> container), and agree with a brute-force set replay."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.dedup import containment_prefix_pairs
+
+    doc = load_table(spark, SF_SMALL, "documents")
+    base = doc.orderBy("doc_id").limit(1).collect()[0]
+    words = base.text.lower().split(" ")
+    long_text = " ".join(words)
+    short_text = " ".join(words[: max(6, len(words) // 4)])
+    planted = spark.createDataFrame(
+        [(900000001, long_text), (900000002, short_text)], "doc_id long, text string"
+    )
+    out = containment_prefix_pairs(planted, threshold=0.8)
+    rows = {(r.doc_in, r.doc_out): r for r in out.collect()}
+    assert (900000002, 900000001) in rows
+    r = rows[(900000002, 900000001)]
+    assert r.cont_pct == 100 and r.inter == r.sz_in
+    # jaccard of the planted pair is far below the containment threshold
+    assert r.inter / (r.sz_in + r.sz_out - r.inter) < 0.5
+
+
+def test_containment_matches_brute_force_on_the_corpus(spark):
+    """Prefix-filtered candidates lose nothing: the emitted pair set at
+    t=0.8 equals the brute-force shingle-set replay over the corpus."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.dedup import containment_dup_pairs
+
+    out = {
+        (r.doc_in, r.doc_out): (r.inter, r.sz_in, r.sz_out, r.cont_pct)
+        for r in containment_dup_pairs(spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        t = text.lower().split(" ")
+        if len(t) < 3:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {d.doc_id: shingles(d.text) for d in docs}
+    brute = {}
+    items = sorted(sets.items())
+    for a, sa in items:
+        for b, sb in items:
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter and inter * 100 // len(sa) >= 80:
+                brute[(a, b)] = (inter, len(sa), len(sb), inter * 100 // len(sa))
+    assert out == brute
+    assert brute, "the corpus must contain containment pairs"
