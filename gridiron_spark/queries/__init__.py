@@ -66,27 +66,32 @@ _QUERY_MODULES = (
 # round 4 came back 50/50 green, so every catalog query carries a driver
 # evidence row; the window's job is freshness. Each query is tiered by the
 # ROUND of its most recent driver evidence row (computed from
-# CORRECTNESS_r0{1..6}): new queries first, then oldest evidence first, so
+# CORRECTNESS_r0{1..8}): new queries first, then oldest evidence first, so
 # no query's evidence ever goes more than ~3 rounds stale. In-repo pytest
 # (test_oracle_parity) still re-checks every oracle each run, so nothing
 # regresses silently while out of the driver's window. Update after each
 # round's CORRECTNESS lands. Round 6: _EVIDENCE_R2 retired. Round 7:
 # CORRECTNESS_r06 was 50/50 green → its 50 rows became _EVIDENCE_R6
-# (emptying _NEW_R6 and 28 of the 44 round-3 entries).
+# (emptying _NEW_R6 and 28 of the 44 round-3 entries). Round 9 fold:
+# CORRECTNESS_r07 AND r08 were the same 50/50-green window (round 8
+# shipped no code), so those 50 rows became _EVIDENCE_R7 — the 40
+# round-7 additions, the two late-registered stragglers
+# (kcore_decompose_knn, session_stats_batch), and 8 re-verified round-3
+# entries — leaving 8 round-3 stragglers as the ring's head for the
+# round-9 window, followed by all 50 _EVIDENCE_R4 entries (42 of which
+# fit the 50-slot window alongside them when _NEW_R8 is empty).
 
-# Latest driver evidence row is from round 3 — the stalest tier: the 16
-# entries that did not fit the round-6 window. The rows-only entries (no
-# hash to refresh — the driver records the same weaker rows-only check
-# every time) sort AFTER the oracle-bearing ones, so oracle hash evidence
-# is refreshed first.
+# Latest driver evidence row is from round 3 — the stalest tier: the 8
+# entries that did not fit the round-7/8 window. The rows-only entries
+# (no hash to refresh — the driver records the same weaker rows-only
+# check every time) sort AFTER the oracle-bearing ones, so oracle hash
+# evidence is refreshed first.
 _EVIDENCE_R3 = frozenset(
     {
-        "ann_recall_eval", "embedding_quantize", "grouped_map_tensorize",
-        "keyed_dedup_earliest", "knn_join_topk", "mllib_ann_brp_topk",
-        "mllib_minhash_banded", "mllib_minhash_sim_join", "multimodal_embed",
-        "multimodal_resize", "sequence_pack_bucketed", "session_window_agg",
-        "streaming_join_e2e", "streaming_sliding_e2e",
-        "training_data_pipeline", "window_lag_delta",
+        "grouped_map_tensorize", "mllib_ann_brp_topk",
+        "mllib_minhash_banded", "mllib_minhash_sim_join",
+        "multimodal_embed", "multimodal_resize", "streaming_join_e2e",
+        "training_data_pipeline",
     }
 )
 
@@ -178,51 +183,40 @@ _EVIDENCE_R6 = frozenset(
     }
 )
 
-# CORRECTNESS_r06 had zero red rows, so there is no fixed-reds tier this
-# round. Tier 1 = first-driver-row queue: the genuinely-new round-7
-# queries as they land.
-_NEW_R7: tuple[str, ...] = (
-    "bm25_search_topk",
-    "tfidf_topk_terms",
-    "ngram_lm_train_score",
-    "zorder_layout_sort",
-    "image_dhash_neardup",
-    "filter_funnel_report",
-    "pagerank_knn_centrality",
-    "streaming_cdc_upsert_e2e",
-    "record_linkage_blocked",
-    "kmv_distinct_sketch",
-    "source_affinity_matrix",
-    "curriculum_schedule",
-    "audio_energy_windows",
-    "table_snapshot_diff",
-    "k_anonymity_audit",
-    "incremental_agg_maintenance",
-    "event_funnel_analysis",
-    "cohort_retention",
-    "frame_nearest_defender",
-    "scd2_dimension_build",
-    "interval_islands_merge",
-    "theta_sketch_intersect",
-    "hybrid_retrieval_fusion",
-    "eval_confusion_metrics",
-    "bucketed_join_roundtrip",
-    "calibration_reliability_bins",
-    "eval_auc_ranksum",
-    "l_diversity_audit",
-    "target_encode_loo",
-    "interval_overlap_join_binned",
-    "grid_cell_neighbor_join",
-    "recursive_cte_hierarchy",
-    "triangle_count_knn",
-    "weighted_sample_topk",
-    "markov_next_event",
-    "trend_slope_by_group",
-    "data_quality_contract",
-    "key_skew_audit",
-    "pmi_collocations",
-    "containment_dup_pairs",
+# Latest driver evidence row is from rounds 7 AND 8 (the identical
+# 50/50-green window, re-run on unchanged code): the 40 round-7
+# additions + the two late-registered stragglers + 8 re-verified
+# round-3 entries. Freshest tier — re-verified last.
+_EVIDENCE_R7 = frozenset(
+    {
+        "ann_recall_eval", "audio_energy_windows", "bm25_search_topk",
+        "bucketed_join_roundtrip", "calibration_reliability_bins",
+        "cohort_retention", "containment_dup_pairs", "curriculum_schedule",
+        "data_quality_contract", "embedding_quantize", "eval_auc_ranksum",
+        "eval_confusion_metrics", "event_funnel_analysis",
+        "filter_funnel_report", "frame_nearest_defender",
+        "grid_cell_neighbor_join", "hybrid_retrieval_fusion",
+        "image_dhash_neardup", "incremental_agg_maintenance",
+        "interval_islands_merge", "interval_overlap_join_binned",
+        "k_anonymity_audit", "kcore_decompose_knn", "key_skew_audit",
+        "keyed_dedup_earliest", "kmv_distinct_sketch", "knn_join_topk",
+        "l_diversity_audit", "markov_next_event", "ngram_lm_train_score",
+        "pagerank_knn_centrality", "pmi_collocations",
+        "record_linkage_blocked", "recursive_cte_hierarchy",
+        "scd2_dimension_build", "sequence_pack_bucketed",
+        "session_stats_batch", "session_window_agg",
+        "source_affinity_matrix", "streaming_cdc_upsert_e2e",
+        "streaming_sliding_e2e", "table_snapshot_diff", "target_encode_loo",
+        "tfidf_topk_terms", "theta_sketch_intersect", "trend_slope_by_group",
+        "triangle_count_knn", "weighted_sample_topk", "window_lag_delta",
+        "zorder_layout_sort",
+    }
 )
+
+# CORRECTNESS_r07/r08 had zero red rows, so there is no fixed-reds tier
+# this round. Tier 1 = first-driver-row queue: the genuinely-new round-9
+# queries as they land.
+_NEW_R8: tuple[str, ...] = ()
 
 
 def register(name: str, *, oracle: str | None, survey: str):
@@ -241,17 +235,18 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R7)
+    #   1. first-driver-row queue (_NEW_R8)
     #   2. anything without an evidence row (safety net; empty by audit)
     #   3. stalest evidence (round 3, oracle-bearing) — the ring's head
     #   4. round-3 rows-only (no hash to refresh) — after the oracles
     #   5. round-4 evidence — fills whatever window slots remain
     #   6. round-5 evidence
-    #   7. round-6 evidence — freshest, re-verified last
-    new_r7 = set(_NEW_R7)
+    #   7. round-6 evidence
+    #   8. round-7/8 evidence — freshest, re-verified last
+    new_r8 = set(_NEW_R8)
 
     def tier(name: str) -> int:
-        if name in new_r7:
+        if name in new_r8:
             return 1
         if name in _ROWS_ONLY_R3:
             return 4
@@ -263,6 +258,8 @@ def catalog() -> dict[str, CatalogEntry]:
             return 6
         if name in _EVIDENCE_R6:
             return 7
+        if name in _EVIDENCE_R7:
+            return 8
         return 2
 
     entries = list(_CATALOG.items())

