@@ -354,11 +354,118 @@ def kmeans_fit(
     return cents
 
 
+def two_level_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    groups: int,
+    probes: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse-then-fine Lloyd assignment — the scaled-k regime's answer
+    to the n×k distance fan-out (the ann_ivf_topk probe pattern applied
+    to clustering itself).
+
+    Level 0 (centroid-side, k rows — driver-trivial): the first
+    ``groups`` centroids seed branches; every centroid joins its nearest
+    seed's branch, and the branch's super-centroid is the fixed-point
+    quantized mean of its members (floor(x·2²⁰) BIGINT sums + two IEEE
+    divisions — exact and order-free, see quantized_lloyd_update).
+
+    Level 1 (vector-side): each vector ranks the ``groups``
+    super-centroids (×g map-side fan-out, broadcast), keeps the
+    ``probes`` nearest branches (Partial WindowGroupLimit — prunes
+    map-side), and runs the exact argmin only against those branches'
+    centroids: ×(probes·k/g) expected fan-out. With g = ⌈√k⌉ the
+    per-vector cost is O(√k) distances instead of O(k) — sub-quadratic
+    even when k grows with the corpus (the SemDeDup paper's k≈100k over
+    5B embeddings). The assignment is APPROXIMATE (a vector whose true
+    centroid lives in an unprobed branch lands on the best probed one)
+    but fully deterministic, so it is oracle-replayable; recall follows
+    the IVF probe trade-off.
+
+    Returns (id, embedding, cluster, dist2) — the lloyd_assign schema,
+    so semdedup_flags and any other assignment consumer can swap it in.
+    """
+    from pyspark.sql import Window
+
+    seeds = centroids.filter(F.col("cluster") < groups).select(
+        F.col("cluster").alias("grp"), F.col("cvec").alias("gvec")
+    )
+    # branch membership: each centroid to its nearest seed (k×g work)
+    cw = Window.partitionBy("cluster").orderBy("cdist2", "grp")
+    cmem = (
+        centroids.crossJoin(F.broadcast(seeds))
+        .select(
+            "cluster",
+            "cvec",
+            "grp",
+            l2_sq(F.col("cvec"), F.col("gvec")).alias("cdist2"),
+        )
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "cvec", "grp")
+    )
+    # super-centroid = quantized branch mean (grp×dims rows)
+    sup = (
+        cmem.select("grp", F.posexplode("cvec").alias("dim", "x"))
+        .groupBy("grp", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(float(KMEANS_SCALE)))
+                .cast("bigint")
+            ).alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "grp",
+            "dim",
+            (
+                (F.col("qsum").cast("double") / F.col("n"))
+                / F.lit(float(KMEANS_SCALE))
+            ).alias("val"),
+        )
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+        .select("grp", F.col("dv.val").alias("gvec"))
+    )
+    # level 1: probe the `probes` nearest branches per vector
+    pw = Window.partitionBy(id_col).orderBy("gdist2", "grp")
+    probed = (
+        emb.crossJoin(F.broadcast(sup))
+        .select(
+            id_col,
+            "embedding",
+            "grp",
+            l2_sq(F.col("embedding"), F.col("gvec")).alias("gdist2"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= probes)
+        .select(id_col, "embedding", "grp")
+    )
+    # exact argmin within the probed branches only
+    aw = Window.partitionBy(id_col).orderBy("dist2", "cluster")
+    return (
+        probed.join(
+            F.broadcast(cmem.select("grp", "cluster", "cvec")), "grp"
+        )
+        .select(
+            id_col,
+            "embedding",
+            "cluster",
+            l2_sq(F.col("embedding"), F.col("cvec")).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def semdedup_flags(
     emb: DataFrame,
     centroids: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     intra-cluster cosine pruning. Returns (id, cluster, keep ∈ {0,1}).
@@ -377,10 +484,9 @@ def semdedup_flags(
     skew-join territory. The drop set is |duplicates|-sized and joins back
     broadcast-cheap. Caveat measured at ×10 scale: once k grows with n, the
     BRUTE-FORCE assignment's n×k distance fan-out becomes the dominant
-    (quadratic) term before the pairwise stage does — at large k, swap
-    ``lloyd_assign`` for coarse-quantized assignment (the ann_ivf_topk
-    two-level pattern: assign to √k super-centroids, then only that
-    branch's centroids) to keep assignment sub-quadratic.
+    (quadratic) term before the pairwise stage does — at large k, pass
+    ``assign=two_level_assign(emb, centroids, groups=⌈√k⌉)`` to keep
+    assignment sub-quadratic (O(√k) distances per vector).
     """
     # The assignment is referenced three times (pair-left, pair-right, and
     # the final flag join-back); without a lineage cut Spark re-runs the
@@ -388,7 +494,9 @@ def semdedup_flags(
     # corpus passes. localCheckpoint materializes it once (the staged
     # "cluster assignment" artifact a real curation pipeline would persist
     # anyway).
-    a = lloyd_assign(emb, centroids, id_col).localCheckpoint(eager=False)
+    if assign is None:
+        assign = lloyd_assign(emb, centroids, id_col)
+    a = assign.localCheckpoint(eager=False)
     left = a.select(
         "cluster",
         F.col(id_col).alias("va"),

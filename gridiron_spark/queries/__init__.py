@@ -216,7 +216,9 @@ _EVIDENCE_R7 = frozenset(
 # CORRECTNESS_r07/r08 had zero red rows, so there is no fixed-reds tier
 # this round. Tier 1 = first-driver-row queue: the genuinely-new round-9
 # queries as they land.
-_NEW_R8: tuple[str, ...] = ()
+_NEW_R8: tuple[str, ...] = (
+    "semdedup_two_level",
+)
 
 
 def register(name: str, *, oracle: str | None, survey: str):

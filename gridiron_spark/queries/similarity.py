@@ -569,6 +569,123 @@ def semdedup_prune(spark, sf_dir):
     )
 
 
+_SD2_K = 32  # scaled-k regime: 4× the converged-kmeans catalog k
+_SD2_G = 6  # ⌈√32⌉ super-centroid branches
+_SD2_PROBES = 2
+
+_L2_SEED = """
+list_sum(list_transform(list_zip({a}, {b}),
+         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+""".strip()
+
+
+@register(
+    "semdedup_two_level",
+    survey="NS-dedup(SemDeDup scaled-k regime: two-level √k coarse-then-fine assignment + intra-cluster cosine pruning),J1,W2",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < {_SD2_K}
+),
+gseed AS (
+    SELECT cluster AS grp, cvec AS gvec FROM cents WHERE cluster < {_SD2_G}
+),
+cmem AS (
+    SELECT cluster, cvec, grp FROM (
+        SELECT c.cluster, c.cvec, s.grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster
+                   ORDER BY {_L2_SEED.format(a="c.cvec", b="s.gvec")}, s.grp
+               ) AS rn
+        FROM cents c CROSS JOIN gseed s
+    ) WHERE rn = 1
+),
+supd AS (
+    SELECT m.grp, u.i AS dim,
+           (CAST(SUM(CAST(FLOOR(m.cvec[u.i + 1] * 1048576.0) AS BIGINT))
+                 AS DOUBLE) / COUNT(*)) / 1048576.0 AS val
+    FROM cmem m, unnest(range(0, len(m.cvec))) AS u(i)
+    GROUP BY m.grp, u.i
+),
+sup AS (
+    SELECT grp, list(val ORDER BY dim) AS gvec FROM supd GROUP BY grp
+),
+probed AS (
+    SELECT vec_id, embedding, grp FROM (
+        SELECT e.vec_id, e.embedding, s.grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_L2_SEED.format(a="e.embedding", b="s.gvec")},
+                            s.grp
+               ) AS rn
+        FROM embeddings e CROSS JOIN sup s
+    ) WHERE rn <= {_SD2_PROBES}
+),
+a AS (
+    SELECT vec_id, cluster, dist2, v FROM (
+        SELECT p.vec_id, m.cluster,
+               {_L2_SEED.format(a="p.embedding", b="m.cvec")} AS dist2,
+               p.embedding AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_L2_SEED.format(a="p.embedding", b="m.cvec")},
+                            m.cluster
+               ) AS rn
+        FROM probed p JOIN cmem m USING (grp)
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM a x JOIN a y ON x.cluster = y.cluster
+     AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
+    WHERE {_COS_AB.format(a="x.v", b="y.v")} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+""",
+)
+def semdedup_two_level(spark, sf_dir):
+    """SemDeDup in the SCALED-K regime: the k=80/×10 probe (BASELINE.md
+    round 6) measured the brute-force n×k assignment going 6.4×
+    super-linear once k grows with the corpus — this entry is the
+    promised fix. Assignment runs through
+    operators/similarity.two_level_assign: the k={k} centroids are
+    grouped into g={g} branches (nearest-of-first-g, quantized branch
+    means as super-centroids), each vector ranks only the g
+    super-centroids and then the {p} probed branches' centroids —
+    O(√k) distances per vector instead of O(k). The intra-cluster
+    cosine pruning on top is byte-identical to semdedup_prune
+    (rank-by-distance, drop any member whose better-ranked mate is
+    cosine ≥ {t}).
+
+    Scale shape: every centroid-side table (branches, super-centroids,
+    membership) is k-sized and broadcast; the vector side is two
+    map-side fan-outs (×g, then ×probes·k/g) each pruned by a Partial
+    WindowGroupLimit — no corpus shuffle until the cluster-keyed
+    pairwise stage, which is the same bounded self-join as
+    semdedup_prune. The assignment is approximate-but-deterministic
+    (IVF probe trade-off), so the oracle replays it exactly; pytest
+    pins that probes==groups degrades to the exact argmin.
+    """.format(k=_SD2_K, g=_SD2_G, p=_SD2_PROBES, t=_SEMDEDUP_THRESHOLD)
+    from gridiron_spark.operators.similarity import (
+        semdedup_flags,
+        two_level_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _SD2_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    assign = two_level_assign(
+        emb, cents, groups=_SD2_G, probes=_SD2_PROBES
+    )
+    return semdedup_flags(emb, cents, _SEMDEDUP_THRESHOLD, assign=assign)
+
+
 def staged_kmeans_centroids(spark, sf_dir):
     """The converged (capped-round) k-means centroids as a staged artifact
     shared by kmeans_converged_assign, semdedup_prune, and

@@ -291,3 +291,68 @@ def test_source_fingerprint_tracks_content(tmp_path):
     assert fp1 != fp2
     os.remove(f)
     assert source_fingerprint(str(tmp_path), "documents") == "nostat"
+
+
+def test_two_level_assign_full_probe_equals_exact(spark):
+    """With probes == groups every branch is probed, so the candidate set
+    is all k centroids and the two-level assignment MUST equal the exact
+    lloyd_assign argmin row-for-row — the degenerate case that pins the
+    machinery itself (branch build, probe ranking, fine argmin) as exact."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        lloyd_assign,
+        two_level_assign,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    exact = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in lloyd_assign(emb, cents).collect()
+    }
+    two = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in two_level_assign(emb, cents, groups=4, probes=4).collect()
+    }
+    assert two == exact
+
+
+def test_two_level_assign_probe_tradeoff(spark):
+    """With probes < groups the assignment is approximate: every vector
+    still gets exactly one cluster, its distance can never BEAT the exact
+    argmin (the probed candidate set is a subset), and on real embeddings
+    the agreement rate stays high (the IVF recall trade-off)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        lloyd_assign,
+        two_level_assign,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    exact = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in lloyd_assign(emb, cents).collect()
+    }
+    two = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in two_level_assign(emb, cents, groups=4, probes=2).collect()
+    }
+    assert set(two) == set(exact) and len(two) == n  # total assignment
+    eps = 1e-9
+    assert all(two[v][1] >= exact[v][1] - eps for v in two)
+    agree = sum(1 for v in two if two[v][0] == exact[v][0])
+    assert agree / n >= 0.8, f"agreement {agree}/{n}"
