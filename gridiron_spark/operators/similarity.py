@@ -314,6 +314,8 @@ def kmeans_fit(
     k: int = 8,
     rounds: int = 4,
     id_col: str = "vec_id",
+    two_level_groups: int | None = None,
+    probes: int = 2,
 ) -> DataFrame:
     """Lloyd's algorithm TO CONVERGENCE (capped at ``rounds``): iterate
     assign → quantized update from the first-K seeds, early-exiting when
@@ -339,9 +341,18 @@ def kmeans_fit(
     cents = seed_centroids(emb, k, id_col)
     prev_fp = None
     for _ in range(rounds):
-        assigned = lloyd_assign(emb, cents, id_col).localCheckpoint(
-            eager=False
-        )
+        if two_level_groups is not None:
+            # scaled-k regime: O(√k) distances per vector per round
+            # (coarse-then-fine; see two_level_assign) — the training-side
+            # twin of the semdedup_two_level assignment
+            assigned = two_level_assign(
+                emb, cents, groups=two_level_groups, probes=probes,
+                id_col=id_col,
+            ).localCheckpoint(eager=False)
+        else:
+            assigned = lloyd_assign(emb, cents, id_col).localCheckpoint(
+                eager=False
+            )
         fp = assigned.agg(
             F.bit_xor(F.xxhash64(id_col, "cluster")).alias("fp")
         ).collect()[0]["fp"]

@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "gridiron_spark.queries.retrieval",
     "gridiron_spark.queries.layout",
     "gridiron_spark.queries.features",
+    "gridiron_spark.queries.domains",
 )
 
 # Rotating re-verification ring (round 5+). Every driver window since
@@ -218,6 +219,8 @@ _EVIDENCE_R7 = frozenset(
 # queries as they land.
 _NEW_R8: tuple[str, ...] = (
     "semdedup_two_level",
+    "domain_cap_keep",
+    "domain_contamination_rollup",
 )
 
 

@@ -1,0 +1,260 @@
+"""Domain/URL-grain curation — the CC-pipeline stage that operates on the
+registrable domain (eTLD+1) instead of the document: per-domain document
+caps (no single site may dominate the training mix) and the per-domain
+contamination/quality rollup a data team reads before whitelisting a
+domain. The reference has no counterpart (NFL tracking data has no URLs);
+these are north-star operators in the SURVEY §2.11 sense.
+
+The synthetic corpus carries no URL column, so one is SYNTHESIZED
+deterministically from doc metadata (md5-derived, Zipf-skewed so one
+domain per source genuinely dominates — the exact situation domain caps
+exist for, and a realistic skew profile for the cap's hot-key story), and
+the registrable domain is then EXTRACTED from the URL string with the
+public-suffix-lite rule (last two labels, or three when the suffix is a
+two-label 'co.uk'-style one) — the parse itself is part of the operator
+under test, not an input convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridiron_spark.io.tables import load_table
+from gridiron_spark.queries import register
+from gridiron_spark.queries.dedup import _SHINGLES_CTE
+
+_DOMAIN_CAP = 5  # max docs any registrable domain may contribute
+
+# ---------------------------------------------------------------------------
+# URL synthesis + registrable-domain extraction (shared by both queries)
+#
+# h     = first 8 md5 hex digits of doc_id, as BIGINT (the repo's standard
+#         deterministic hash-integer; curation.py uses the same form)
+# dnum  = 1000 div (1 + h mod 1000)  — Zipf-ish: dnum=1 captures ~half the
+#         docs, dnum=2 ~1/6, a long tail above (the "one hot site" shape)
+# sfx   = 'co.uk' for h mod 7 == 0 else 'com'  — keeps the two-label
+#         public-suffix branch of the extractor live
+# sub   = 'www.' / 'cdn.' / ''  by h mod 3     — subdomains to strip
+# url   = https://{sub}d{dnum}-{source}.{sfx}/p/{doc_id}
+
+_H_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+    "as bigint)"
+)
+_H_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+_URL_SPARK = f"""
+concat(
+  'https://',
+  element_at(array('www.', 'cdn.', ''), cast(({_H_SPARK}) % 3 + 1 as int)),
+  'd', cast(1000 div (1 + ({_H_SPARK}) % 1000) as string),
+  '-', source, '.',
+  case when ({_H_SPARK}) % 7 = 0 then 'co.uk' else 'com' end,
+  '/p/', cast(doc_id as string)
+)
+""".strip()
+
+_URL_SQL = f"""
+'https://'
+  || (['www.', 'cdn.', ''])[CAST(({_H_SQL}) % 3 + 1 AS INTEGER)]
+  || 'd' || CAST(1000 // (1 + ({_H_SQL}) % 1000) AS VARCHAR)
+  || '-' || source || '.'
+  || CASE WHEN ({_H_SQL}) % 7 = 0 THEN 'co.uk' ELSE 'com' END
+  || '/p/' || CAST(doc_id AS VARCHAR)
+""".strip()
+
+# registrable-domain extraction from a url column named `url`:
+# host = 3rd '/'-segment; labels = '.'-split of host; registrable = last
+# two labels, or last three when the trailing pair is the two-label suffix
+_DOMAIN_SPARK = """
+case
+  when element_at(split(element_at(split(url, '/'), 3), '\\\\.'), -2) = 'co'
+   and element_at(split(element_at(split(url, '/'), 3), '\\\\.'), -1) = 'uk'
+  then concat_ws('.',
+         slice(split(element_at(split(url, '/'), 3), '\\\\.'),
+               size(split(element_at(split(url, '/'), 3), '\\\\.')) - 2, 3))
+  else concat_ws('.',
+         slice(split(element_at(split(url, '/'), 3), '\\\\.'),
+               size(split(element_at(split(url, '/'), 3), '\\\\.')) - 1, 2))
+end
+""".strip()
+
+_DOMAIN_SQL = """
+CASE
+  WHEN string_split(string_split(url, '/')[3], '.')[-2] = 'co'
+   AND string_split(string_split(url, '/')[3], '.')[-1] = 'uk'
+  THEN array_to_string(
+         string_split(string_split(url, '/')[3], '.')[-3:], '.')
+  ELSE array_to_string(
+         string_split(string_split(url, '/')[3], '.')[-2:], '.')
+END
+""".strip()
+
+_DOC_DOMAIN_CTE = f"""
+dd AS (
+    SELECT doc_id, lang, source, n_chars, domain FROM (
+        SELECT doc_id, lang, source, n_chars, {_DOMAIN_SQL} AS domain
+        FROM (SELECT *, {_URL_SQL} AS url FROM documents)
+    )
+)
+""".strip()
+
+
+def doc_domains(spark, sf_dir):
+    """documents + synthesized url + extracted registrable domain."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_URL_SPARK))
+        .withColumn("domain", F.expr(_DOMAIN_SPARK))
+        .drop("url")
+    )
+
+
+@register(
+    "domain_cap_keep",
+    survey="NS-curation(per-registrable-domain document caps: URL synthesis, eTLD+1 extraction, deterministic keep-n per domain),W2,A3-A6",
+    oracle=f"""
+WITH {_DOC_DOMAIN_CTE},
+r AS (
+    SELECT doc_id, domain,
+           ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM dd
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM r
+GROUP BY domain
+""",
+)
+def domain_cap_keep(spark, sf_dir):
+    """Per-registrable-domain document cap — the anti-monoculture stage of
+    a crawl-curation pipeline (no domain may contribute more than
+    {cap} docs to the mix): synthesize the URL, extract the registrable
+    domain (public-suffix-lite: last 2 labels, 3 for co.uk-style
+    suffixes), rank each domain's docs in deterministic md5-priority
+    order, keep rank ≤ {cap}. Output is the per-domain audit (total,
+    kept, and an exact kept-membership checksum) rather than the kept
+    rows themselves, so the driver hash pins WHICH docs survive.
+
+    Scale shape: the keep rank is a rank-filter window → Spark plants a
+    Partial WindowGroupLimit BEFORE the domain shuffle, so each map task
+    forwards at most {cap} rows per domain — the Zipf-hot domain (~50%
+    of a source's docs by construction) never concentrates in one task's
+    sort beyond its pruned remnant. The n_docs side is a plain
+    map-side-combined count. Two linear corpus passes, both skew-proof;
+    everything after is domain-cardinality.
+    """.format(cap=_DOMAIN_CAP)
+    from pyspark.sql import Window
+
+    dd = doc_domains(spark, sf_dir)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = (
+        dd.select("doc_id", "domain")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+    totals = dd.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return totals.join(kept, "domain").select(
+        "domain", "n_docs", "n_kept", "kept_id_sum"
+    )
+
+
+@register(
+    "domain_contamination_rollup",
+    survey="NS-curation(domain-grain contamination/quality rollup: benchmark-overlap + lexical signals aggregated to eTLD+1),J1,A3-A6",
+    oracle=f"""
+WITH {_DOC_DOMAIN_CTE},
+{_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (
+    SELECT DISTINCT shingle FROM ex WHERE doc_id % 50 = 0
+),
+cont AS (
+    SELECT t.doc_id
+    FROM (SELECT doc_id, shingle FROM ex WHERE doc_id % 50 <> 0) t
+    JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
+    HAVING COUNT(DISTINCT t.shingle) >= 2
+)
+SELECT dd.domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(c.doc_id) * 1000000 // COUNT(*) AS BIGINT)
+           AS contaminated_ppm,
+       CAST(SUM(CASE WHEN dd.n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short,
+       CAST(SUM(dd.n_chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT dd.lang) AS BIGINT) AS n_langs
+FROM dd LEFT JOIN cont c USING (doc_id)
+GROUP BY dd.domain
+""",
+)
+def domain_contamination_rollup(spark, sf_dir):
+    """The per-domain scorecard a curation team reads before whitelisting
+    a domain: how much of it is benchmark-contaminated (shares ≥2
+    distinct word 3-grams with the held-out ``doc_id % 50 == 0``
+    benchmark set — the same leak rule decontaminate_ngram_overlap
+    applies at doc grain), how much is too short to train on, its volume
+    (docs, chars), and its language spread — all rolled up to the
+    registrable domain extracted from the synthesized URL.
+
+    Scale shape: the benchmark's distinct shingles broadcast (eval sets
+    don't grow with the crawl), so the contamination branch is the
+    decontaminate_ngram_overlap plan — linear shingle assembly, map-side
+    broadcast join, overlap-sized per-doc aggregate. The contaminated
+    doc set then LEFT-joins the doc→domain table on doc_id
+    (co-partitioned equi-join) and ONE map-side-combined aggregate on
+    domain produces the rollup (count-distinct lang rides the same pass
+    via Expand). No pairwise work anywhere; the hot Zipf domain is
+    absorbed by partial aggregation.
+    """
+    from gridiron_spark.queries.dedup import shingle_rows
+
+    dd = doc_domains(spark, sf_dir)
+    doc = load_table(spark, sf_dir, "documents")
+    bench = (
+        shingle_rows(doc.filter(F.col("doc_id") % 50 == 0))
+        .select("shingle")
+        .distinct()
+    )
+    cont = (
+        shingle_rows(doc.filter(F.col("doc_id") % 50 != 0), distinct=False)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("doc_id", F.lit(1).alias("is_cont"))
+    )
+    return (
+        dd.join(cont, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("is_cont").cast("bigint").alias("n_contaminated"),
+            F.expr("count(is_cont) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("contaminated_ppm"),
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )

@@ -292,11 +292,96 @@ def phase_r7(spark, cat, dirs, ks) -> dict:
     return {"timings": results, "pagerank_fixed_panel_probe": probe}
 
 
+def phase_r9(spark, cat, dirs, ks) -> dict:
+    """Round-9 probes, both closing adjudications left open by rounds 6-8.
+
+    1. SemDeDup k-regime, two-level fix (round-6 probe follow-up): the
+       brute-force n×k assignment measured 6.4× at k=80/×10; re-measure
+       the same train+prune at x{khi} under (a) fixed k=8 brute,
+       (b) scaled k=8·khi brute (the round-6 pathology), (c) scaled
+       k=8·khi TWO-LEVEL (groups=⌈√k⌉, probes=2 — both training rounds
+       and the final assignment go coarse-then-fine). Claim: (c) lands
+       near (a)·(pairwise growth), far below (b).
+
+    2. image_dhash fixed-family probe (the pagerank fixed-panel trick):
+       the rename corpus replicates doc_ids, so with DHASH_BASES held at
+       50 the planted FAMILY SIZE grows ∝k and verified-pair output grows
+       ∝k² (α=1.79 measured r7 — adjudicated as synthetic-family
+       artifact). Scaling DHASH_BASES with k holds family size constant
+       (real corpora grow the family COUNT): hash stage is a map, band
+       join output now grows ∝k, so α should fall to ≈1."""
+    import math as _math
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import kmeans_fit, semdedup_flags, two_level_assign
+
+    khi = max(ks)
+    probe: dict[str, float] = {}
+    kk = 8 * khi
+    g = _math.isqrt(kk) + (0 if _math.isqrt(kk) ** 2 == kk else 1)
+    for label, corpus_k, k_clusters, two_level in (
+        ("x1_k8_brute", 1, 8, False),
+        (f"x{khi}_k8_brute", khi, 8, False),
+        (f"x{khi}_k{kk}_brute", khi, kk, False),
+        (f"x{khi}_k{kk}_twolevel_g{g}", khi, kk, True),
+    ):
+        emb = load_table(spark, dirs[corpus_k], "embeddings")
+        t0 = time.perf_counter()
+        if two_level:
+            cents = kmeans_fit(emb, k=k_clusters, rounds=8,
+                               two_level_groups=g)
+            assign = two_level_assign(emb, cents, groups=g, probes=2)
+            semdedup_flags(emb, cents, 0.4, assign=assign).count()
+        else:
+            cents = kmeans_fit(emb, k=k_clusters, rounds=8)
+            semdedup_flags(emb, cents, 0.4).count()
+        probe[label] = round(time.perf_counter() - t0, 3)
+        print(f"# semdedup {label}: {probe[label]:.2f}s", file=sys.stderr)
+        spark._jvm.System.gc()
+    print(f"\nsemdedup two-level k-regime probe (train+prune, no stage):")
+    for label, dt in probe.items():
+        print(f"| {label} | {dt:.2f} s |")
+
+    import gridiron_spark.operators.multimodal as mm
+
+    dh: dict[str, float] = {}
+    base = mm.DHASH_BASES
+    try:
+        for label, corpus_k, bases in (
+            ("x1_fam50", 1, base),
+            (f"x{khi}_fam50x{khi}", khi, base * khi),
+        ):
+            mm.DHASH_BASES = bases
+            t0 = time.perf_counter()
+            n = cat["image_dhash_neardup"].spark_fn(
+                spark, dirs[corpus_k]
+            ).count()
+            dh[label] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# dhash {label} (bases={bases}): {dh[label]:.2f}s"
+                f" ({n} pairs)",
+                file=sys.stderr,
+            )
+            spark._jvm.System.gc()
+    finally:
+        mm.DHASH_BASES = base
+    alpha = _math.log(max(dh[f"x{khi}_fam50x{khi}"], 1e-3)
+                      / max(dh["x1_fam50"], 1e-3)) / _math.log(khi)
+    print(f"\nimage_dhash fixed-family probe: alpha(x1->x{khi}) = {alpha:.2f}")
+    for label, dt in dh.items():
+        print(f"| {label} | {dt:.2f} s |")
+    return {"semdedup_two_level_probe": probe,
+            "dhash_fixed_family_probe": dh,
+            "dhash_fixed_family_alpha": round(alpha, 3)}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--r6", "--r6-late", "--r7")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--r6", "--r6-late", "--r7", "--r9")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
+    only_r9 = "--r9" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -308,6 +393,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r9:
+        r9 = phase_r9(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r9.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r9}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r7:
         r7 = phase_r7(spark, cat, dirs, ks)

@@ -463,3 +463,27 @@ def test_pagerank_rounds_stay_bounded(spark):
     assert len(shuffles) == _PR_ITERS, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_cap_partial_window_group_limit(spark):
+    """domain_cap_keep's scale contract: the keep rank must plant a
+    *Partial* WindowGroupLimit before the domain exchange (each map task
+    forwards at most cap rows per domain — the Zipf-hot domain never
+    concentrates in one task's sort), and no quadratic join kind may
+    appear anywhere."""
+    plan = _plan_of(spark, "domain_cap_keep")
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_domain_rollup_bench_broadcast_one_domain_agg(spark):
+    """domain_contamination_rollup: the benchmark shingle set must
+    broadcast (the corpus-side contamination join is map-side, like
+    decontaminate_ngram_overlap) and the rollup must touch the corpus
+    with equi-joins only — no cartesian/BNLJ, no sort-merge join."""
+    plan = _plan_of(spark, "domain_contamination_rollup")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
