@@ -96,13 +96,15 @@ _EVIDENCE_R3 = frozenset(
     }
 )
 
-# The rows-only subset of _EVIDENCE_R3 (seeded-JVM MLlib family, 3-D
-# tensor output, model-boundary embeddings): re-verified last within the
-# tier (see note above).
+# The rows-only subset of _EVIDENCE_R3 (the seeded-JVM MLlib family —
+# hash families DuckDB cannot reproduce): re-verified last within the
+# tier (see note above). Round 9 upgraded grouped_map_tensorize and
+# multimodal_embed OUT of this set: both now carry full SQL-replay
+# oracles over their scalar digests.
 _ROWS_ONLY_R3 = frozenset(
     {
-        "grouped_map_tensorize", "mllib_ann_brp_topk", "mllib_minhash_banded",
-        "mllib_minhash_sim_join", "multimodal_embed",
+        "mllib_ann_brp_topk", "mllib_minhash_banded",
+        "mllib_minhash_sim_join",
     }
 )
 

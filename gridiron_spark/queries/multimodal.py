@@ -94,16 +94,41 @@ def multimodal_resize(spark, sf_dir):
 
 @register(
     "multimodal_embed",
-    survey="NS-multimodal(feature extraction via pandas_udf) — rows-only",
-    oracle=None,  # the embedding body is the swappable model boundary, so
-    # only the plumbing contract is graded here
+    survey="NS-multimodal(feature extraction via pandas_udf, digest hash-checked)",
+    # The embedding body is the swappable model boundary, but THIS body is
+    # deterministic (md5-chunk bytes / 255 as float32), so the digest IS
+    # SQL-replayable: DuckDB rebuilds each element from the payload md5,
+    # reproduces the float32 widening + 6-dp rounding + string form, and
+    # hashes the same comma-joined digest. The element domain is the 256
+    # byte values, so the float-formatting agreement is exhaustively
+    # covered by any corpus touching all bytes. (Upgraded from rows-only
+    # in round 9 — the digest was designed for exactly this.)
+    oracle="""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS kind,
+           md5(text) AS h
+    FROM documents
+)
+SELECT media_id, kind, CAST(16 AS INTEGER) AS emb_dim,
+       md5(array_to_string(list_transform(range(0, 16), i ->
+           CAST(ROUND(CAST(CAST(
+               CAST(('0x' || substring(h, CAST(i*2+1 AS INTEGER), 2))
+                    AS BIGINT) / 255.0
+           AS FLOAT) AS DOUBLE), 6) AS VARCHAR)), ',')) AS emb_md5
+FROM m
+""",
 )
 def multimodal_embed(spark, sf_dir):
     """The pandas_udf embedding stage, with the array<float> output projected
     to scalar digests for the driver's row canonicalizer (which cannot hash
     list cells): vector dimension + md5 of the 6-dp-rounded values. The
-    digest pins every element's value, so the UDF plumbing is still fully
-    exercised and regressions still flip the hash."""
+    digest pins every element's value, so the UDF plumbing is fully
+    exercised and regressions flip the hash — and since the fake-model
+    body is md5-chunk-deterministic, the oracle replays the whole digest
+    (payload bytes → md5 → byte/255 float32 → 6-dp round → string → md5)
+    in SQL, making this a full hash-checked entry, not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     emb = extract_media_embedding(media_from_documents(docs), dims=16)
     rounded = F.transform(

@@ -1,10 +1,12 @@
-"""Grouped-map tensorization on driver tables (rows-only check).
+"""Grouped-map tensorization on driver tables (hash-checked via digest).
 
 The long→wide pivot (operators/tensorize.py, reference
-docs/DATA_LAKE_GUIDE.md:73-109) is inherently non-SQL output (nested 3-D
-float arrays), so this entry takes the driver's weaker rows-only check; its
-numeric correctness is pytest-covered on tracking-shaped fixtures
-(tests/test_features.py)."""
+docs/DATA_LAKE_GUIDE.md:73-109) emits nested 3-D float arrays the driver's
+row canonicalizer cannot hash, so the catalog entry projects the block to a
+quantized-integer digest — and since floor(x·2²⁰) is exact for float32, the
+oracle replays the whole pivot in SQL (round 9; rows-only before that).
+Numeric correctness is additionally pytest-covered on tracking-shaped
+fixtures (tests/test_features.py)."""
 
 from __future__ import annotations
 
@@ -40,26 +42,115 @@ def _tensorize_events(spark, sf_dir, subset_mod: int | None):
     )
     t = tensorize_plays(tracking_shaped, max_frames=16, max_players=23)
     # Project the 3-D float block to a scalar digest for the driver's row
-    # canonicalizer (it cannot hash list cells). to_json serializes every
-    # element, so any numeric drift in the pivot still flips the md5.
+    # canonicalizer (it cannot hash list cells). Elements are quantized
+    # floor(x·2²⁰) BIGINTs — exact for float32 inputs (power-of-two
+    # scaling shifts the exponent only) and therefore SQL-replayable,
+    # unlike a to_json float rendering (engine float-formatting rules
+    # differ). The digest covers every padded cell in frame-major order,
+    # so any drift in the applyInPandas pivot — values, ordering,
+    # truncation, padding — flips the md5.
+    q = F.transform(
+        "tensor",
+        lambda fr: F.transform(
+            fr,
+            lambda pl: F.transform(
+                pl,
+                lambda v: F.floor(v.cast("double") * F.lit(1048576.0)).cast(
+                    "bigint"
+                ),
+            ),
+        ),
+    )
     return t.select(
         "gameId",
         "playId",
         "n_frames",
         "n_players",
-        F.md5(F.to_json("tensor")).alias("tensor_md5"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.flatten(F.flatten(q)), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ).alias("tensor_q20_md5"),
     )
 
 
 @register(
     "grouped_map_tensorize",
-    survey="§2.9 grouped-map pandas UDF (long→wide tensor) — rows-only",
-    oracle=None,
+    survey="§2.9 grouped-map pandas UDF (long→wide tensor), digest hash-checked",
+    # Full SQL replay of the applyInPandas pivot (upgraded from rows-only
+    # in round 9): rebuild the tracking shape, index frames (row_number,
+    # truncate 16) and players (nflId asc NULLS LAST), scatter the
+    # quantized features into a dense 16×23×4 grid via a LEFT JOIN
+    # against the flattened index range (absent cell = padding 0), and
+    # hash the frame-major string_agg — cell for cell the digest Spark
+    # computes FROM THE UDF OUTPUT.
+    oracle="""
+WITH base AS (
+    SELECT user_id AS gameId,
+           CAST(event_id % 8 AS INTEGER) AS playId,
+           CASE WHEN event_id % 23 = 0 THEN NULL
+                ELSE CAST(event_id % 23 AS INTEGER) END AS nflId,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id % 8
+               ORDER BY epoch_us(ts), event_id) AS INTEGER) AS frameId,
+           CAST(value AS FLOAT) AS x,
+           CAST(epoch_us(ts) % 1000 AS FLOAT) AS y,
+           CAST(value AS FLOAT) AS s,
+           CAST(0.0 AS FLOAT) AS a
+    FROM events WHERE user_id % 20 = 0
+),
+pm AS (
+    SELECT gameId, playId, nflId,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY gameId, playId
+               ORDER BY nflId ASC NULLS LAST) - 1 AS BIGINT) AS pidx
+    FROM (SELECT DISTINCT gameId, playId, nflId FROM base)
+),
+stats AS (
+    SELECT gameId, playId,
+           CAST(LEAST(COUNT(DISTINCT frameId), 16) AS INTEGER) AS n_frames,
+           CAST(LEAST(COUNT(DISTINCT nflId)
+                + MAX(CASE WHEN nflId IS NULL THEN 1 ELSE 0 END), 23)
+               AS INTEGER) AS n_players
+    FROM base GROUP BY gameId, playId
+),
+cells AS (
+    SELECT b.gameId, b.playId,
+           CAST(b.frameId - 1 AS BIGINT) * 92 + pm.pidx * 4 + u.k AS i,
+           CAST(FLOOR(CAST(CASE u.k WHEN 0 THEN b.x WHEN 1 THEN b.y
+                           WHEN 2 THEN b.s ELSE b.a END AS DOUBLE)
+                      * 1048576.0) AS BIGINT) AS qv
+    FROM base b
+    JOIN pm ON pm.gameId = b.gameId AND pm.playId = b.playId
+           AND pm.nflId IS NOT DISTINCT FROM b.nflId,
+         unnest(range(0, 4)) AS u(k)
+    WHERE b.frameId <= 16
+),
+grid AS (
+    SELECT p.gameId, p.playId, g.i, COALESCE(c.qv, 0) AS qv
+    FROM (SELECT DISTINCT gameId, playId FROM base) p
+    CROSS JOIN (SELECT unnest(range(0, 1472)) AS i) g
+    LEFT JOIN cells c
+           ON c.gameId = p.gameId AND c.playId = p.playId AND c.i = g.i
+)
+SELECT s.gameId, s.playId, s.n_frames, s.n_players,
+       md5(string_agg(CAST(g.qv AS VARCHAR), ',' ORDER BY g.i))
+           AS tensor_q20_md5
+FROM grid g JOIN stats s ON s.gameId = g.gameId AND s.playId = g.playId
+GROUP BY s.gameId, s.playId, s.n_frames, s.n_players
+""",
 )
 def grouped_map_tensorize(spark, sf_dir):
     """Events recast into the tracking shape (entity-frame time series), then
     tensorized per (user, lane) group via applyInPandas — one shuffle on the
     group key, per-group pivot inside Arrow batches, nothing on the driver.
+    The 3-D block is projected to a quantized-integer digest computed FROM
+    the UDF output, and the oracle replays the entire pivot (frame/player
+    indexing, truncation, padding, quantization) in SQL — so the Arrow
+    grouped-map machinery itself is hash-checked, not just row-counted.
 
     1-in-20 user subset: the entry demonstrates the grouped-map plan, not a
     full-corpus materialization. The full-corpus cost is timed separately

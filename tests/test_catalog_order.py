@@ -121,17 +121,17 @@ def test_queries_and_oracles_consistent():
 
 def test_round8_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-8 catalog (208 queries / 203 oracles) so the docs can't
-    drift from the code."""
+    frozen round-8 catalog (208 queries; 205 oracles after the round-9
+    digest-oracle upgrades) so the docs can't drift from the code."""
     q = queries()
     o = oracle_sql()
     assert len(q) == 208 + len(_NEW_R8), len(q)
-    assert len(o) == len(q) - 5, (len(q), len(o))
+    assert len(o) == len(q) - 3, (len(q), len(o))
     rows_only = set(q) - set(o)
-    assert {
-        "grouped_map_tensorize", "multimodal_embed", "mllib_ann_brp_topk",
-        "mllib_minhash_sim_join", "mllib_minhash_banded",
-    } <= rows_only, rows_only
+    assert rows_only == {
+        "mllib_ann_brp_topk", "mllib_minhash_sim_join",
+        "mllib_minhash_banded",
+    }, rows_only
 
 
 def test_catalog_documented():
