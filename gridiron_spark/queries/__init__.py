@@ -223,6 +223,7 @@ _NEW_R8: tuple[str, ...] = (
     "semdedup_two_level",
     "domain_cap_keep",
     "domain_contamination_rollup",
+    "url_canonical_dedup",
 )
 
 

@@ -258,3 +258,156 @@ def domain_contamination_rollup(spark, sf_dir):
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-exact dedup: the re-crawl collapse stage.
+# Messy URL synthesis (per-doc noise over a shared base resource so ~4 docs
+# collide per canonical URL): scheme case, host case, explicit :443 port,
+# trailing slash, utm_* tracking params, #fragment — all md5-branch-derived.
+
+_N_URL_BASES = 128
+
+_H2_SPARK = (
+    "cast(conv(substring(md5(concat('u', cast(doc_id as string))), 1, 8), "
+    "16, 10) as bigint)"
+)
+_H2_SQL = (
+    "CAST(('0x' || substring(md5('u' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+_MESSY_URL_SPARK = f"""
+concat(
+  case when ({_H2_SPARK}) % 2 = 0 then 'https' else 'HTTPS' end, '://',
+  case when ({_H2_SPARK}) % 3 = 0
+       then upper(concat('b', cast(doc_id % {_N_URL_BASES} as string), '.example.com'))
+       else concat('b', cast(doc_id % {_N_URL_BASES} as string), '.example.com') end,
+  case when ({_H2_SPARK}) % 5 = 0 then ':443' else '' end,
+  '/a/', cast(doc_id % {_N_URL_BASES} as string),
+  case when ({_H2_SPARK}) % 7 = 0 then '/' else '' end,
+  '?',
+  case when ({_H2_SPARK}) % 2 = 1
+       then concat('utm_source=s', cast(({_H2_SPARK}) % 4 as string), '&')
+       else '' end,
+  'id=', cast(doc_id % {_N_URL_BASES} as string),
+  case when ({_H2_SPARK}) % 3 = 1
+       then concat('#sec', cast(({_H2_SPARK}) % 10 as string))
+       else '' end
+)
+""".strip()
+
+_MESSY_URL_SQL = f"""
+(CASE WHEN ({_H2_SQL}) % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+|| (CASE WHEN ({_H2_SQL}) % 3 = 0
+         THEN upper('b' || CAST(doc_id % {_N_URL_BASES} AS VARCHAR) || '.example.com')
+         ELSE 'b' || CAST(doc_id % {_N_URL_BASES} AS VARCHAR) || '.example.com' END)
+|| (CASE WHEN ({_H2_SQL}) % 5 = 0 THEN ':443' ELSE '' END)
+|| '/a/' || CAST(doc_id % {_N_URL_BASES} AS VARCHAR)
+|| (CASE WHEN ({_H2_SQL}) % 7 = 0 THEN '/' ELSE '' END)
+|| '?'
+|| (CASE WHEN ({_H2_SQL}) % 2 = 1
+         THEN 'utm_source=s' || CAST(({_H2_SQL}) % 4 AS VARCHAR) || '&'
+         ELSE '' END)
+|| 'id=' || CAST(doc_id % {_N_URL_BASES} AS VARCHAR)
+|| (CASE WHEN ({_H2_SQL}) % 3 = 1
+         THEN '#sec' || CAST(({_H2_SQL}) % 10 AS VARCHAR)
+         ELSE '' END)
+""".strip()
+
+
+@register(
+    "url_canonical_dedup",
+    survey="NS-curation(URL canonicalization + URL-exact re-crawl collapse: defragment, case-fold scheme/host, strip default port / trailing slash / tracking params),F4-F6,A2",
+    oracle=f"""
+WITH u AS (
+    SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+),
+steps AS (
+    SELECT doc_id,
+           string_split(url, '#')[1] AS defrag
+    FROM u
+),
+parts AS (
+    SELECT doc_id,
+           lower(string_split(defrag, '://')[1]) AS scheme,
+           string_split(string_split(defrag, '://')[2], '/')[1] AS hostport,
+           substring(string_split(defrag, '://')[2],
+                     CAST(len(string_split(string_split(defrag, '://')[2],
+                                           '/')[1]) + 1 AS INTEGER)) AS pathq
+    FROM steps
+),
+canon AS (
+    SELECT doc_id,
+           scheme || '://' || lower(replace(hostport, ':443', ''))
+           || regexp_replace(string_split(pathq, '?')[1], '/$', '')
+           || CASE WHEN array_to_string(list_filter(
+                        string_split(string_split(pathq, '?')[2], '&'),
+                        x -> NOT starts_with(x, 'utm_')), '&') = ''
+                   THEN ''
+                   ELSE '?' || array_to_string(list_filter(
+                        string_split(string_split(pathq, '?')[2], '&'),
+                        x -> NOT starts_with(x, 'utm_')), '&') END
+               AS canonical_url
+    FROM parts
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(SUM(doc_id) AS BIGINT) AS dup_id_sum
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-exact dedup — the re-crawl collapse every
+    web pipeline runs before content dedup (the same page fetched as
+    `HTTPS://Host:443/a/5/?utm_source=x&id=5#frag` and
+    `https://host/a/5?id=5` is ONE resource). The canonicalizer operates
+    on the URL string alone: drop the fragment, case-fold scheme and
+    host, strip the protocol-default :443 port and the trailing slash,
+    drop utm_* tracking params (preserving real ones and their order).
+    Docs sharing a canonical URL collapse to the earliest doc_id; output
+    is the per-URL group audit (count, keeper, exact membership sum).
+
+    Scale shape: canonicalization is a pure whole-stage-codegen string
+    pipeline (split/lower/replace/filter — no UDF, no regex backtracking
+    risk: the only regex is the '/$' literal anchor); the dedup is one
+    map-side-combined aggregate on the canonical URL — dedup_exact's
+    anatomy with the canonical string as the key. At 100 TB the key is
+    ~60 bytes/row of shuffle, and a hot canonical URL (a mass re-crawl)
+    is absorbed by partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    defrag = F.expr("element_at(split(url, '#'), 1)")
+    u = u.select("doc_id", defrag.alias("defrag"))
+    u = u.select(
+        "doc_id",
+        F.expr("lower(element_at(split(defrag, '://'), 1))").alias("scheme"),
+        F.expr(
+            "element_at(split(element_at(split(defrag, '://'), 2), '/'), 1)"
+        ).alias("hostport"),
+        F.expr(
+            "substring(element_at(split(defrag, '://'), 2), "
+            "length(element_at(split(element_at(split(defrag, '://'), 2), "
+            "'/'), 1)) + 1)"
+        ).alias("pathq"),
+    )
+    canon_q = (
+        "array_join(filter(split(element_at(split(pathq, '\\\\?'), 2), '&'),"
+        " x -> NOT startswith(x, 'utm_')), '&')"
+    )
+    canonical = F.expr(
+        "concat(scheme, '://', lower(replace(hostport, ':443', '')), "
+        "regexp_replace(element_at(split(pathq, '\\\\?'), 1), '/$', ''), "
+        f"case when {canon_q} = '' then '' else concat('?', {canon_q}) end)"
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keeper_id"),
+            F.sum("doc_id").cast("bigint").alias("dup_id_sum"),
+        )
+    )

@@ -356,3 +356,39 @@ def test_two_level_assign_probe_tradeoff(spark):
     assert all(two[v][1] >= exact[v][1] - eps for v in two)
     agree = sum(1 for v in two if two[v][0] == exact[v][0])
     assert agree / n >= 0.8, f"agreement {agree}/{n}"
+
+
+def test_url_canonical_dedup_invariants(spark):
+    """Canonical URLs must be fully normalized (no fragment, no :443, no
+    utm_ params, lowercase scheme/host, no trailing slash before the
+    query) and the planted collision structure must hold exactly: docs
+    collapse by doc_id % 128, every group keeps its smallest doc_id, and
+    group sizes sum back to the corpus."""
+    from gridiron_spark.queries import catalog
+    from tests.conftest import SF_SMALL
+
+    from gridiron_spark.io.tables import load_table
+
+    rows = (
+        catalog()["url_canonical_dedup"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_dups"] for r in rows) == n_docs
+    for r in rows:
+        u = r["canonical_url"]
+        assert "#" not in u and ":443" not in u and "utm_" not in u, u
+        assert u.startswith("https://b"), u  # scheme+host case-folded
+        host = u.split("/")[2]
+        assert host == host.lower(), u
+        path = u.split("?")[0]
+        assert not path.endswith("/"), u
+        # planted structure: base id appears in host, path, and id param
+        base = int(u.split("id=")[1])
+        assert f"b{base}.example.com" in u and f"/a/{base}?" in u
+        assert r["keeper_id"] % 128 == base
+    # keeper is the minimum member: keeper_id <= every member implies
+    # keeper_id * n <= dup_id_sum
+    for r in rows:
+        assert r["keeper_id"] * r["n_dups"] <= r["dup_id_sum"]
