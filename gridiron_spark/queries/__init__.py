@@ -79,8 +79,8 @@ _QUERY_MODULES = (
 # round-7 additions, the two late-registered stragglers
 # (kcore_decompose_knn, session_stats_batch), and 8 re-verified round-3
 # entries — leaving 8 round-3 stragglers as the ring's head for the
-# round-9 window, followed by all 50 _EVIDENCE_R4 entries (42 of which
-# fit the 50-slot window alongside them when _NEW_R8 is empty).
+# round-9 window, followed by the _EVIDENCE_R4 entries (as many as fit
+# the 50 slots after _NEW_R8 and the stragglers take theirs).
 
 # Latest driver evidence row is from round 3 — the stalest tier: the 8
 # entries that did not fit the round-7/8 window. The rows-only entries
@@ -224,6 +224,7 @@ _NEW_R8: tuple[str, ...] = (
     "domain_cap_keep",
     "domain_contamination_rollup",
     "url_canonical_dedup",
+    "domain_holdout_split",
 )
 
 

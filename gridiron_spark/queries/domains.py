@@ -411,3 +411,59 @@ def url_canonical_dedup(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("dup_id_sum"),
         )
     )
+
+
+@register(
+    "domain_holdout_split",
+    survey="NS-curation(leakage-free train/val/test split at domain grain: split is a pure function of the registrable domain),F4-F6,A3-A6",
+    oracle=f"""
+WITH {_DOC_DOMAIN_CTE},
+sp AS (
+    SELECT doc_id, source, n_chars, domain,
+           CASE WHEN CAST(('0x' || substring(md5(domain), 1, 8)) AS BIGINT)
+                     % 100 < 10 THEN 'test'
+                WHEN CAST(('0x' || substring(md5(domain), 1, 8)) AS BIGINT)
+                     % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM dd
+)
+SELECT split, source,
+       CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM sp
+GROUP BY split, source
+""",
+)
+def domain_holdout_split(spark, sf_dir):
+    """Leakage-free holdout split at the registrable-domain grain — the
+    GroupShuffleSplit a web-data team uses so near-duplicate pages from
+    one site can never straddle train and eval (doc-grain random splits
+    leak): the split is a PURE FUNCTION of the domain (md5 bucket:
+    10% test / 10% val / 80% train), so every doc of a domain lands in
+    the same split by construction, deterministically and with no
+    coordination state. Output is the per-(split, source) audit —
+    domain and doc counts, volume, and an exact doc-membership checksum
+    — the table a pipeline records next to the split manifest. The
+    cluster-grain analog is cluster_split_assign; this is its
+    URL-world twin over the synthesized domain column.
+
+    Scale shape: the split column is a map-side expression over the
+    domain projection; ONE map-side-combined aggregate on
+    (split, source) — count-distinct domain rides the same pass via
+    Expand — and nothing else. No join, no window, no second pass."""
+    dd = doc_domains(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(domain), 1, 8), 16, 10) as bigint) % 100"
+    )
+    sp = dd.withColumn(
+        "split",
+        F.when(h < 10, "test").when(h < 20, "val").otherwise("train"),
+    )
+    return sp.groupBy("split", "source").agg(
+        F.countDistinct("domain").cast("bigint").alias("n_domains"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )

@@ -392,3 +392,47 @@ def test_url_canonical_dedup_invariants(spark):
     # keeper_id * n <= dup_id_sum
     for r in rows:
         assert r["keeper_id"] * r["n_dups"] <= r["dup_id_sum"]
+
+
+def test_domain_holdout_split_no_straddle(spark):
+    """The split must be a pure function of the domain: recompute the
+    doc-grain assignment and assert no domain appears in two splits,
+    and the per-(split, source) audit reconciles with the doc grain."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries import catalog
+    from gridiron_spark.queries.domains import doc_domains
+    from tests.conftest import SF_SMALL
+
+    audit = {
+        (r["split"], r["source"]): (r["n_domains"], r["n_docs"])
+        for r in catalog()["domain_holdout_split"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    dd = doc_domains(spark, SF_SMALL)
+    h = F.expr(
+        "cast(conv(substring(md5(domain), 1, 8), 16, 10) as bigint) % 100"
+    )
+    doc = [
+        (r["domain"], r["source"], r["split"])
+        for r in dd.withColumn(
+            "split",
+            F.when(h < 10, "test").when(h < 20, "val").otherwise("train"),
+        ).collect()
+    ]
+    by_domain = {}
+    for dom, src, sp in doc:
+        by_domain.setdefault(dom, set()).add(sp)
+    assert all(len(v) == 1 for v in by_domain.values()), "domain straddles"
+    # audit reconciles with the doc grain
+    import collections
+
+    docs_per = collections.Counter((sp, src) for _, src, sp in doc)
+    doms_per = collections.defaultdict(set)
+    for dom, src, sp in doc:
+        doms_per[(sp, src)].add(dom)
+    for k, (n_domains, n_docs) in audit.items():
+        assert docs_per[k] == n_docs
+        assert len(doms_per[k]) == n_domains
+    assert set(audit) == set(docs_per)
