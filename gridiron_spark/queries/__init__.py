@@ -225,6 +225,7 @@ _NEW_R8: tuple[str, ...] = (
     "domain_contamination_rollup",
     "url_canonical_dedup",
     "domain_holdout_split",
+    "knn_graph_ivf",
 )
 
 

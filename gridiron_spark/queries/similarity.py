@@ -1531,3 +1531,149 @@ def kcore_decompose_knn(spark, sf_dir):
 kcore_decompose_knn.__doc__ = kcore_decompose_knn.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-to-corpus approximate k-NN GRAPH via IVF cells — the measured scale
+# path the panel generator's docstring promises: candidates come from shared
+# probed cells, never from an all-pairs join.
+
+_GIVF_STRIDE = 50   # deterministic coarse centroids: vec_id % stride == 0
+_GIVF_PROBES = 2
+_GIVF_K = 3
+
+
+def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
+                        probes=_GIVF_PROBES, k=_GIVF_K):
+    """Approximate k-NN graph over the WHOLE embeddings table (not the
+    centrality panel): quantize (floor(x·64) — the _panel_knn_edges
+    integer-dot metric), assign every vector to its ``probes`` nearest
+    coarse cells, self-join on the cell id, dedup candidate pairs, exact
+    integer-dot rank top-``k`` per source. Deterministic end to end."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+    cents = q.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qc")
+    )
+    cdot = F.aggregate(
+        F.zip_with("qv", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    assigned = (
+        q.join(F.broadcast(cents))
+        .select("vec_id", "qv", "cid", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= probes)
+        .select("vec_id", "cid")
+    )
+    cand = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(q.select(F.col("vec_id").alias("src"),
+                           F.col("qv").alias("qa")), "src")
+        .join(q.select(F.col("vec_id").alias("dst"),
+                       F.col("qv").alias("qb")), "dst")
+        .select("src", "dst", pdot.alias("dot"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "dot")
+    )
+
+
+@register(
+    "knn_graph_ivf",
+    survey="NS-sim(corpus-to-corpus approximate k-NN GRAPH via IVF cells: probe-2 coarse assignment, cell-joined candidates, exact integer-dot verify),J1,W2",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % {_GIVF_STRIDE} = 0
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(v.qv, c.qc),
+                                     x -> x[1] * x[2])) DESC, c.cid
+               ) AS rn
+        FROM q v CROSS JOIN cents c
+    ) WHERE rn <= {_GIVF_PROBES}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+scored AS (
+    SELECT c.src, c.dst,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                    x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.src
+    JOIN q qb ON qb.vec_id = c.dst
+)
+SELECT src, dst, dot FROM (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scored
+) WHERE rk <= {_GIVF_K}
+""",
+)
+def knn_graph_ivf(spark, sf_dir):
+    """The corpus-to-corpus k-NN GRAPH at scale — the candidate-stage
+    upgrade the graph family's docstrings promise (pagerank / triangles /
+    k-core consume a brute-force panel generator whose panel² term was
+    measured α≈2; THIS is the replacement shape for a full-corpus graph):
+    every vector joins its {p} probed IVF cells, candidates are pairs
+    sharing a cell (a pure equi-join on the cell id — pair fan-out
+    bounded by Σ(probes·|cell|)², never n²), and the exact 64×-quantized
+    integer dot (the _panel_knn_edges metric — order-free, hash-exact)
+    ranks the top-{k} neighbors per source through a Partial
+    WindowGroupLimit. Approximate-but-deterministic: recall follows the
+    IVF probe trade-off; pytest pins that probing ALL cells degrades to
+    the exact brute-force graph.
+
+    Scale shape: centroids broadcast (stride-derived, corpus/stride
+    rows); assignment is one map-side fan-out pruned to {p} rows/vector
+    before its exchange; the candidate join shuffles (vec_id, cid) pairs
+    on the cell key — hot cells are AQE skew-join territory, and stride
+    grows with the corpus to hold cells bounded; the verify joins are
+    id-equi-joins carrying the quantized vectors; the final rank prunes
+    map-side to {k} rows/source. No all-pairs stage anywhere.
+    """.format(p=_GIVF_PROBES, k=_GIVF_K)
+    return knn_graph_ivf_edges(spark, sf_dir)

@@ -436,3 +436,64 @@ def test_domain_holdout_split_no_straddle(spark):
         assert docs_per[k] == n_docs
         assert len(doms_per[k]) == n_domains
     assert set(audit) == set(docs_per)
+
+
+def test_knn_graph_ivf_full_probe_equals_brute(spark):
+    """Probing ALL cells makes the candidate set all pairs, so the IVF
+    graph must equal the brute-force exact top-k graph edge for edge —
+    pinning assignment, candidate dedup, and verify as exact machinery.
+    With probes=2 the edges must be a subset-quality approximation:
+    same schema, <= k edges per source, dots never exceed the brute
+    top-1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.similarity import knn_graph_ivf_edges
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("src"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("dst"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    brute = {
+        (r["src"], r["dst"]): r["dot"]
+        for r in a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", dot.alias("dot"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    n_cells = q.filter(F.col("vec_id") % 10 == 0).count()
+    full = {
+        (r["src"], r["dst"]): r["dot"]
+        for r in knn_graph_ivf_edges(
+            spark, SF_SMALL, stride=10, probes=n_cells, k=3
+        ).collect()
+    }
+    assert full == brute
+    approx = list(
+        knn_graph_ivf_edges(spark, SF_SMALL, stride=10, probes=2, k=3)
+        .collect()
+    )
+    import collections
+
+    per_src = collections.Counter(r["src"] for r in approx)
+    assert all(v <= 3 for v in per_src.values())
+    best_brute = {}
+    for (s, d), v in brute.items():
+        best_brute[s] = max(best_brute.get(s, v), v)
+    for r in approx:
+        assert r["dot"] <= best_brute[r["src"]]
