@@ -497,3 +497,29 @@ def test_knn_graph_ivf_full_probe_equals_brute(spark):
         best_brute[s] = max(best_brute.get(s, v), v)
     for r in approx:
         assert r["dot"] <= best_brute[r["src"]]
+
+
+def test_kmeans_fit_two_level_full_probe_equals_brute(spark):
+    """kmeans_fit(two_level_groups=g, probes=g) must train the IDENTICAL
+    centroids as the brute path: with every branch probed the per-round
+    assignment is the exact argmin, and the quantized update is a pure
+    function of the assignment — so the whole training trajectory
+    coincides bit for bit."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import kmeans_fit
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    brute = {
+        r["cluster"]: r["cvec"]
+        for r in kmeans_fit(emb, k=8, rounds=3).collect()
+    }
+    two = {
+        r["cluster"]: r["cvec"]
+        for r in kmeans_fit(
+            emb, k=8, rounds=3, two_level_groups=3, probes=3
+        ).collect()
+    }
+    assert two == brute
