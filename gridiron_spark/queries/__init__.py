@@ -226,6 +226,7 @@ _NEW_R8: tuple[str, ...] = (
     "url_canonical_dedup",
     "domain_holdout_split",
     "knn_graph_ivf",
+    "hll_rollup_merge",
 )
 
 

@@ -936,3 +936,139 @@ def key_skew_audit(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "key")
         .limit(_SKEW_TOPN)
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "hll_rollup_merge",
+    survey="A-sketch(HLL pre-aggregation rollup: per-day register shards MAX-merged at query time, merge==direct pinned in-plan),A3,W2",
+    oracle=f"""
+WITH h AS (
+    SELECT event_type,
+           epoch_us(ts) // {_DAY_US} AS day,
+           CAST(('0x' || substring(md5(user_id || '|b'), 1, 8)) AS BIGINT)
+               % {_HLL_BUCKETS} AS bucket,
+           CASE WHEN CAST(('0x' || substring(md5(user_id || '|r'), 1, 8))
+                          AS BIGINT) = 0 THEN 33
+                ELSE 33 - length(bin(CAST(('0x' ||
+                     substring(md5(user_id || '|r'), 1, 8)) AS BIGINT))) END
+               AS rho,
+           user_id
+    FROM events
+),
+reg_day AS (
+    SELECT event_type, day, bucket, MAX(rho) AS r
+    FROM h GROUP BY event_type, day, bucket
+),
+merged AS (
+    SELECT event_type, bucket, MAX(r) AS merged_rho
+    FROM reg_day GROUP BY event_type, bucket
+),
+direct AS (
+    SELECT event_type, bucket, MAX(rho) AS direct_rho
+    FROM h GROUP BY event_type, bucket
+),
+days AS (
+    SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+    FROM h GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+    FROM h GROUP BY event_type
+)
+SELECT m.event_type, d.n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_set,
+       CAST(SUM(CASE WHEN m.merged_rho <> x.direct_rho THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched_cells,
+       CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - m.merged_rho AS INTEGER))
+            + ({_HLL_BUCKETS} - COUNT(*)) * (CAST(1 AS BIGINT) << 33)
+            AS BIGINT) AS denom_scaled,
+       MAX(e.exact_distinct) AS exact_distinct
+FROM merged m
+JOIN direct x ON x.event_type = m.event_type AND x.bucket = m.bucket
+JOIN days d ON d.event_type = m.event_type
+JOIN exact e ON e.event_type = m.event_type
+GROUP BY m.event_type, d.n_days
+""",
+)
+def hll_rollup_merge(spark, sf_dir):
+    """The lakehouse pre-aggregation pattern the HLL sketch exists for,
+    demonstrated IN the plan: per-(event_type, day) register shards —
+    what a pipeline materializes nightly — are rolled up to event_type
+    grain by cell-wise MAX at query time, and the rollup is compared
+    cell-for-cell against registers computed directly from the raw rows.
+    ``n_mismatched_cells`` is hash-pinned (the mergeability theorem made
+    a driver-checked output: any break in the merge path flips the
+    hash), ``denom_scaled`` is the HLL harmonic denominator as an EXACT
+    dyadic integer (Σ 2^(33−ρ) over set cells + 2³³ per empty cell — no
+    float ever enters the plan; the float estimate α·m²/denom is one
+    driver-side division away), and ``exact_distinct`` rides along as
+    the eval baseline (at 100 TB you would drop it — its shuffle carries
+    every distinct key, which is precisely what the sketch avoids).
+
+    Scale shape: the shard table is ≤ |types|·days·m rows (map-side
+    combined — the only corpus-scale pass), the merge is an aggregate
+    over that tiny table, and the comparison joins are register-table
+    equi-joins. Day shards MAX-merge associatively across any partition
+    of the data — per-file, per-day, per-cluster — which is why the full
+    register array costs one bounded shuffle at any input size."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(uid, F.lit("|b"))), 1, 8), 16, 10)
+        .cast("bigint") % _HLL_BUCKETS
+    )
+    w = F.conv(
+        F.substring(F.md5(F.concat(uid, F.lit("|r"))), 1, 8), 16, 10
+    ).cast("bigint")
+    rho = F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w)))
+    h = ev.select(
+        "event_type",
+        F.expr(f"ts_us div {_DAY_US}").alias("day"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+        "user_id",
+    )
+    reg_day = h.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = reg_day.groupBy("event_type", "bucket").agg(
+        F.max("r").alias("merged_rho")
+    )
+    direct = h.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("direct_rho")
+    )
+    days = h.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    exact = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    cell_term = F.expr(
+        "shiftleft(cast(1 as bigint), cast(33 - merged_rho as int))"
+    )
+    return (
+        merged.join(direct, ["event_type", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_set"),
+            F.sum(
+                F.when(F.col("merged_rho") != F.col("direct_rho"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_mismatched_cells"),
+            (
+                F.sum(cell_term)
+                + (_HLL_BUCKETS - F.count(F.lit(1)))
+                * F.expr("shiftleft(cast(1 as bigint), 33)")
+            ).cast("bigint").alias("denom_scaled"),
+        )
+        .join(days, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type", "n_days", "n_buckets_set", "n_mismatched_cells",
+            "denom_scaled", "exact_distinct",
+        )
+    )
