@@ -101,6 +101,12 @@ _BNLJ_OK = {
     "triangle_count_knn",        # broadcast panel pair generator (shared)
     "key_skew_audit",            # 1-row skew stats broadcast
     "pmi_collocations",          # 1-row bigram total broadcast
+    "knn_graph_ivf",             # broadcast stride-centroid fan-out: the
+                                 # build side is corpus/stride rows by
+                                 # construction (the IVF coarse table, same
+                                 # boundedness as the kmeans/lloyd assign
+                                 # fan-out), pruned to `probes` rows/vector
+                                 # by a Partial WindowGroupLimit
 }
 
 # constructing these executes real work (streaming drains, staged-artifact
