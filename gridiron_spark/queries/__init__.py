@@ -227,6 +227,9 @@ _NEW_R8: tuple[str, ...] = (
     "domain_holdout_split",
     "knn_graph_ivf",
     "hll_rollup_merge",
+    "label_propagation_knn",
+    "domain_quality_threshold_keep",
+    "quantile_normalize_scores",
 )
 
 

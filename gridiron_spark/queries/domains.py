@@ -413,6 +413,163 @@ def url_canonical_dedup(spark, sf_dir):
     )
 
 
+_KEEP_NUM, _KEEP_DEN = 6, 10  # keep the top 60% of each domain by score
+
+# deterministic integer quality score — deliberately COARSE (div-bucketed)
+# so score ties are common and the threshold's boundary-resolution path is
+# genuinely exercised: volume bucket + words bucket + an English bonus.
+_SCORE_SPARK = (
+    "least(n_chars div 20, 100) "
+    "+ least((length(text) - length(replace(text, ' ', ''))) div 5, 40) "
+    "+ case when lang = 'en' then 50 else 0 end"
+)
+_SCORE_SQL = (
+    "least(n_chars // 20, 100) "
+    "+ least((len(text) - len(replace(text, ' ', ''))) // 5, 40) "
+    "+ CASE WHEN lang = 'en' THEN 50 ELSE 0 END"
+)
+
+
+@register(
+    "domain_quality_threshold_keep",
+    survey="NS-curation(per-domain ADAPTIVE quality threshold: exact top-fraction keep via score-histogram cumulative quota + boundary tie resolution),W2,A3-A6,J1",
+    oracle=f"""
+WITH dq AS (
+    SELECT doc_id, domain, CAST({_SCORE_SQL} AS BIGINT) AS score
+    FROM (SELECT doc_id, text, lang, n_chars, {_DOMAIN_SQL} AS domain
+          FROM (SELECT *, {_URL_SQL} AS url FROM documents))
+),
+r AS (
+    SELECT doc_id, domain, score,
+           ROW_NUMBER() OVER (PARTITION BY domain
+                              ORDER BY score DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY domain) AS n
+    FROM dq
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(({_KEEP_NUM} * COUNT(*) + {_KEEP_DEN} - 1) // {_KEEP_DEN}
+            AS BIGINT) AS quota,
+       CAST(SUM(CASE WHEN rn <= ({_KEEP_NUM} * n + {_KEEP_DEN} - 1)
+                               // {_KEEP_DEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= ({_KEEP_NUM} * n + {_KEEP_DEN} - 1)
+                               // {_KEEP_DEN}
+                     THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+       CAST(COALESCE(MIN(CASE WHEN rn <= ({_KEEP_NUM} * n + {_KEEP_DEN} - 1)
+                                        // {_KEEP_DEN}
+                              THEN score END), -1) AS BIGINT) AS thr_score
+FROM r
+GROUP BY domain
+""",
+)
+def domain_quality_threshold_keep(spark, sf_dir):
+    """Per-domain ADAPTIVE quality threshold — the curation stage after the
+    hard cap: keep each registrable domain's top {num}/{den} of documents
+    by quality score, so a mediocre doc survives on a weak domain but not
+    on a strong one (a fixed global cutoff would empty some domains and
+    rubber-stamp others). The keep rule is exact rank ≤ ceil({num}n/{den})
+    under (score DESC, doc_id) ordering; the score is deliberately coarse
+    integer bucketing (ties are the norm), and the output is the
+    per-domain audit — total, quota, kept count, exact kept-membership
+    checksum, and the realized threshold score.
+
+    Scale shape: domain_cap_keep's fixed-k rank gets a Partial
+    WindowGroupLimit, but a FRACTION keep cannot prune map-side — so this
+    does NOT sort whole domains. Instead: ONE map-side-combined
+    (domain, score) histogram aggregate (output bounded by
+    domains × score-cardinality, corpus-independent), a cumulative window
+    over those HISTOGRAM rows (≤ ~190 per domain, never per-doc), which
+    yields each domain's fully-kept score groups and its single boundary
+    score; the boundary quota remainder re-ranks ONLY the boundary tie
+    group via a broadcast (domain, score, need) join — per-doc sorting is
+    confined to one score-collision group per domain. The Zipf-hot
+    domain's docs never concentrate in one task except that remnant.
+    Degenerate worst case (every doc of a domain sharing one score) would
+    make the remnant the domain itself — the cap query's honest limit,
+    documented here because the coarse score makes it reachable.
+    """.format(num=_KEEP_NUM, den=_KEEP_DEN)
+    from pyspark.sql import Window
+
+    sc = (
+        doc_domains(spark, sf_dir)
+        .select(
+            "doc_id",
+            "domain",
+            F.expr(_SCORE_SPARK).cast("bigint").alias("score"),
+        )
+    )
+    hist = sc.groupBy("domain", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("doc_id").cast("bigint").alias("ids"),
+    )
+    wcum = (
+        Window.partitionBy("domain")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("domain")
+    g = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn(
+            "quota",
+            F.expr(
+                f"({_KEEP_NUM} * n + {_KEEP_DEN} - 1) div {_KEEP_DEN}"
+            ).cast("bigint"),
+        )
+    )
+    full = g.filter(F.col("cum") <= F.col("quota"))
+    bnd = g.filter(
+        (F.col("cum") > F.col("quota"))
+        & (F.col("cum") - F.col("c") < F.col("quota"))
+    ).select(
+        "domain",
+        "score",
+        (F.col("quota") - (F.col("cum") - F.col("c"))).alias("need"),
+    )
+    wb = Window.partitionBy("domain", "score").orderBy("doc_id")
+    bnd_kept = (
+        sc.join(F.broadcast(bnd), ["domain", "score"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= F.col("need"))
+    )
+    full_agg = full.groupBy("domain").agg(
+        F.sum("c").cast("bigint").alias("kept_f"),
+        F.sum("ids").cast("bigint").alias("ids_f"),
+        F.min("score").cast("bigint").alias("smin_f"),
+    )
+    bnd_agg = bnd_kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_b"),
+        F.sum("doc_id").cast("bigint").alias("ids_b"),
+        F.min("score").cast("bigint").alias("smin_b"),
+    )
+    totals = g.groupBy("domain").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("quota").cast("bigint").alias("quota"),
+    )
+    return (
+        totals.join(full_agg, "domain", "left")
+        .join(bnd_agg, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            "quota",
+            (
+                F.coalesce(F.col("kept_f"), F.lit(0))
+                + F.coalesce(F.col("kept_b"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce(F.col("ids_f"), F.lit(0))
+                + F.coalesce(F.col("ids_b"), F.lit(0))
+            ).cast("bigint").alias("kept_id_sum"),
+            F.coalesce(F.col("smin_b"), F.col("smin_f"), F.lit(-1))
+            .cast("bigint")
+            .alias("thr_score"),
+        )
+    )
+
+
 @register(
     "domain_holdout_split",
     survey="NS-curation(leakage-free train/val/test split at domain grain: split is a pure function of the registrable domain),F4-F6,A3-A6",

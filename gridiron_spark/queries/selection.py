@@ -339,3 +339,144 @@ def curriculum_schedule(spark, sf_dir):
             (F.col("local_rn") + F.col("offset")).cast("bigint").alias("seq"),
         )
     )
+
+
+@register(
+    "quantile_normalize_scores",
+    survey="NS-selection(cross-source score calibration: exact rank-based quantile normalization onto the pooled distribution; grouped + global ranks via ONE range exchange each),W1-W3,O1-O2,J1,A3-A6",
+    oracle="""
+WITH sc AS (
+    SELECT doc_id, source,
+           CAST(least(n_chars // 20, 100)
+                + least((len(text) - len(replace(text, ' ', ''))) // 5, 40)
+                + CASE WHEN lang = 'en' THEN 50 ELSE 0 END AS BIGINT)
+               AS score
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, score,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY score, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS ns
+    FROM sc
+),
+p AS (
+    SELECT score AS pooled_score,
+           ROW_NUMBER() OVER (ORDER BY score, doc_id) AS p
+    FROM sc
+),
+t AS (SELECT COUNT(*) AS n FROM sc)
+SELECT r.doc_id, r.source, r.score,
+       CAST(pp.pooled_score AS BIGINT) AS norm_score
+FROM r CROSS JOIN t
+JOIN p pp ON pp.p = (r.r * t.n + r.ns - 1) // r.ns
+""",
+)
+def quantile_normalize_scores(spark, sf_dir):
+    """Cross-source quantile normalization of a per-document quality
+    score — the calibration stage before any mixture policy COMPARES
+    scores across sources (a raw threshold of 120 means different things
+    on a news crawl and a forum dump; after rank-matching onto the POOLED
+    score distribution, "top 10% of source X" and "top 10% of source Y"
+    are the same bar). Exact integer formulation: doc at ascending rank
+    r of its source's n_s maps to pooled position ceil(r·N/n_s) and
+    takes the pooled sorted score at that position — deterministic under
+    the (score, doc_id) total order, no floats anywhere.
+
+    Scale shape: a bare ``row_number() OVER (ORDER BY score)`` would be
+    the single-task global window the plan linter bans; both ranks are
+    built with the ranged_global_sort machinery instead — ONE
+    repartitionByRange exchange each, per-partition local row_number,
+    then |partitions|-sized offset tables (cumulative-summed in a window
+    over pids, broadcast back). The grouped rank generalizes it: range
+    exchange on (source, score, doc_id) keeps each source contiguous
+    across partitions, so per-source offsets cumsum over (source, pid)
+    rows — a |sources|·|partitions| table. The final position lookup is
+    a plain equi-join on the pooled rank. Two range exchanges + one
+    equi-join total; no per-source single-partition sort, so the Zipf
+    source-size skew never concentrates in one task. localCheckpoint
+    pins each exchange's sample-derived range boundaries before the plan
+    forks over partition ids (the ranged_global_sort determinism note).
+    """
+    from pyspark.sql import Window as W
+
+    from gridiron_spark.queries.domains import _SCORE_SPARK
+
+    sc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_SCORE_SPARK).cast("bigint").alias("score")
+    )
+    # grouped global rank: ONE range exchange on (source, score, doc_id)
+    srt = (
+        sc.repartitionByRange(32, "source", "score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = srt.withColumn(
+        "lrn",
+        F.row_number().over(
+            W.partitionBy("pid", "source").orderBy("score", "doc_id")
+        ),
+    )
+    cnt = local.groupBy("source", "pid").agg(F.count(F.lit(1)).alias("c"))
+    offs = cnt.select(
+        "source",
+        "pid",
+        F.sum("c")
+        .over(
+            W.partitionBy("source")
+            .orderBy("pid")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("off"),
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    ranked = (
+        local.join(F.broadcast(offs), ["source", "pid"])
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (F.col("lrn") + F.coalesce(F.col("off"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    # pooled global rank: second range exchange, no grouping
+    psrt = (
+        sc.repartitionByRange(32, "score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    plocal = psrt.withColumn(
+        "lrn",
+        F.row_number().over(W.partitionBy("pid").orderBy("score", "doc_id")),
+    )
+    pcnt = plocal.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    poffs = pcnt.select(
+        "pid",
+        F.sum("c")
+        .over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+        .alias("off"),
+    )
+    pooled = (
+        plocal.join(F.broadcast(poffs), "pid")
+        .select(
+            (F.col("lrn") + F.coalesce(F.col("off"), F.lit(0)))
+            .cast("bigint")
+            .alias("p"),
+            F.col("score").cast("bigint").alias("pooled_score"),
+        )
+    )
+    tot = pcnt.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        ranked.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p", F.expr("(r * n + ns - 1) div ns").cast("bigint"))
+        .join(pooled, "p")
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.col("pooled_score").alias("norm_score"),
+        )
+    )

@@ -1533,6 +1533,102 @@ kcore_decompose_knn.__doc__ = kcore_decompose_knn.__doc__.format(
 )
 
 
+_LPA_ROUNDS = 4  # fixed synchronous rounds (the pagerank determinism pattern)
+
+
+def _lpa_oracle() -> str:
+    head = (
+        _KNN_EDGE_CTES
+        + """,
+ue AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT dst AS src, src AS dst FROM e
+),
+l0 AS (SELECT vec_id AS v, CAST(vec_id AS BIGINT) AS lab FROM q)"""
+    )
+    steps = []
+    for it in range(_LPA_ROUNDS):
+        steps.append(f""",
+c{it + 1} AS (
+    SELECT ue.dst AS v, l{it}.lab, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ue JOIN l{it} ON l{it}.v = ue.src
+    GROUP BY ue.dst, l{it}.lab
+),
+l{it + 1} AS (
+    SELECT v, lab FROM (
+        SELECT v, lab,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY c DESC, lab) AS rk
+        FROM c{it + 1}
+    ) WHERE rk = 1
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT v AS vec_id, lab AS community FROM l{_LPA_ROUNDS}\n"
+    )
+
+
+@register(
+    "label_propagation_knn",
+    survey="NS-sim(ITERATIVE community detection: synchronous mode-vote label propagation over the symmetrized k-NN graph),W1-W3,J1,A3-A6",
+    oracle=_lpa_oracle(),
+)
+def label_propagation_knn(spark, sf_dir):
+    """Label-propagation community detection over the symmetrized panel
+    k-NN graph — the FIFTH consumer of the shared ``_panel_knn_edges``
+    generator (components → "which", PageRank → "how central", triangles
+    → "how clustered", k-core → "how dense", LPA → "which COMMUNITY"):
+    the topic/cluster assignment a curation pipeline uses to group
+    semantically-kin documents without training k-means. Every node
+    starts as its own label (vec_id); each of the {r} synchronous rounds
+    re-labels every node with the MODE of its neighbors' labels, ties
+    broken toward the smallest label — fully deterministic, so the oracle
+    replays all {r} rounds as unrolled CTE pairs (count, arg-max). Unlike
+    connected components (min-label, converges to one label per
+    component), mode-voting stabilizes at DENSITY boundaries, yielding
+    sub-component communities.
+
+    Scale shape: the directed 3-NN edges symmetrize once (union+distinct,
+    localCheckpoint — no lineage growth across rounds); each round is ONE
+    map-side-combined (node, label) count aggregate followed by a
+    label-cardinality arg-max aggregate — the pagerank per-round shuffle
+    anatomy, cost O(rounds × |E|), never pairwise. The label vector is
+    panel-sized so it broadcasts into the edge join; a billion-node graph
+    buckets edges and labels on the same key instead, the rounds
+    unchanged (and the edge source swaps to knn_graph_ivf's cell-join
+    candidates at corpus grain).""".format(r=_LPA_ROUNDS)
+    _, edges = _panel_knn_edges(spark, sf_dir)
+    und = (
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # symmetrize once; every round reuses it
+    )
+    lab = und.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").cast("bigint").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = und.join(F.broadcast(lab), und.src == lab.v).select(
+            "dst", "lab"
+        )
+        counts = votes.groupBy("dst", "lab").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        # arg-max as an aggregate (map-side combinable): max(struct(c, -lab))
+        # orders by count desc then label asc — identical to the oracle's
+        # (c DESC, lab) row_number pick.
+        lab = counts.groupBy("dst").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
+        ).select(
+            F.col("dst").alias("v"),
+            (-F.col("m.nl")).cast("bigint").alias("lab"),
+        )
+    return lab.select(F.col("v").alias("vec_id"), F.col("lab").alias("community"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-to-corpus approximate k-NN GRAPH via IVF cells — the measured scale
 # path the panel generator's docstring promises: candidates come from shared
@@ -1541,15 +1637,29 @@ kcore_decompose_knn.__doc__ = kcore_decompose_knn.__doc__.format(
 _GIVF_STRIDE = 50   # deterministic coarse centroids: vec_id % stride == 0
 _GIVF_PROBES = 2
 _GIVF_K = 3
+_GIVF_SFAC = 25     # two-level: supers = centroids with cid % (stride·25) == 0
+_GIVF_SPROBES = 2   # branches probed per vector at the coarse level
 
 
 def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
-                        probes=_GIVF_PROBES, k=_GIVF_K):
+                        probes=_GIVF_PROBES, k=_GIVF_K,
+                        super_fac=None, sprobes=_GIVF_SPROBES):
     """Approximate k-NN graph over the WHOLE embeddings table (not the
     centrality panel): quantize (floor(x·64) — the _panel_knn_edges
     integer-dot metric), assign every vector to its ``probes`` nearest
     coarse cells, self-join on the cell id, dedup candidate pairs, exact
-    integer-dot rank top-``k`` per source. Deterministic end to end."""
+    integer-dot rank top-``k`` per source. Deterministic end to end.
+
+    ``super_fac=None`` ranks every centroid per vector — the n×C
+    assignment whose quadratic term the round-9b probe measured (α≈1.5
+    once C grows with the corpus). ``super_fac=s`` switches to TWO-LEVEL
+    assignment (the semdedup_two_level √k move applied to the IVF coarse
+    table itself): every ``stride·s``-th vector seeds a branch, each
+    centroid joins its top-dot branch, and a vector ranks only the
+    ``sprobes`` nearest branches' centroids — per-vector work falls from
+    C dots to ~C/s + sprobes·s. Probing ALL branches degenerates to the
+    single-level assignment exactly (pytest-pinned), so the two paths
+    share every downstream stage."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1569,8 +1679,45 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
         lambda acc, x: acc + x,
     )
     wp = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    if super_fac is None:
+        fanout = q.join(F.broadcast(cents))
+    else:
+        sup = q.filter(F.col("vec_id") % (stride * super_fac) == 0).select(
+            F.col("vec_id").alias("grp"), F.col("qv").alias("qg")
+        )
+        gdot = F.aggregate(
+            F.zip_with("x", "qg", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        # centroid → its top-dot branch (C×√C work, centroid-side only)
+        cw = Window.partitionBy("cid").orderBy(F.desc("gdot"), F.asc("grp"))
+        cmem = (
+            cents.withColumnRenamed("qc", "x")
+            .join(F.broadcast(sup))
+            .select("cid", F.col("x").alias("qc"), "grp", gdot.alias("gdot"))
+            .withColumn("rn", F.row_number().over(cw))
+            .filter(F.col("rn") == 1)
+            .select("cid", "qc", "grp")
+        )
+        # vector → its `sprobes` top-dot branches (n×√C map-side fan-out,
+        # pruned by a Partial WindowGroupLimit before any exchange)
+        vw = Window.partitionBy("vec_id").orderBy(F.desc("gdot"), F.asc("grp"))
+        vprobe = (
+            q.withColumnRenamed("qv", "x")
+            .join(F.broadcast(sup))
+            .select("vec_id", F.col("x").alias("qv"), "grp",
+                    gdot.alias("gdot"))
+            .withColumn("rn", F.row_number().over(vw))
+            .filter(F.col("rn") <= sprobes)
+            .select("vec_id", "qv", "grp")
+        )
+        # rank only the probed branches' centroids (n×(sprobes·C/√C))
+        fanout = vprobe.join(
+            F.broadcast(cmem.select("grp", "cid", "qc")), "grp"
+        )
     assigned = (
-        q.join(F.broadcast(cents))
+        fanout
         .select("vec_id", "qv", "cid", cdot.alias("cdot"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= probes)
@@ -1610,7 +1757,7 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
 
 @register(
     "knn_graph_ivf",
-    survey="NS-sim(corpus-to-corpus approximate k-NN GRAPH via IVF cells: probe-2 coarse assignment, cell-joined candidates, exact integer-dot verify),J1,W2",
+    survey="NS-sim(corpus-to-corpus approximate k-NN GRAPH via IVF cells: TWO-LEVEL probe-2 coarse assignment, cell-joined candidates, exact integer-dot verify),J1,W2",
     oracle=f"""
 WITH q AS (
     SELECT vec_id,
@@ -1622,15 +1769,41 @@ WITH q AS (
 cents AS (
     SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % {_GIVF_STRIDE} = 0
 ),
-assigned AS (
-    SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
+sup AS (
+    SELECT vec_id AS grp, qv AS qg FROM q
+    WHERE vec_id % {_GIVF_STRIDE * _GIVF_SFAC} = 0
+),
+cmem AS (
+    SELECT cid, qc, grp FROM (
+        SELECT c.cid, c.qc, s.grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cid
+                   ORDER BY list_sum(list_transform(list_zip(c.qc, s.qg),
+                                     x -> x[1] * x[2])) DESC, s.grp
+               ) AS rn
+        FROM cents c CROSS JOIN sup s
+    ) WHERE rn = 1
+),
+vprobe AS (
+    SELECT vec_id, qv, grp FROM (
+        SELECT v.vec_id, v.qv, s.grp,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY list_sum(list_transform(list_zip(v.qv, c.qc),
-                                     x -> x[1] * x[2])) DESC, c.cid
+                   ORDER BY list_sum(list_transform(list_zip(v.qv, s.qg),
+                                     x -> x[1] * x[2])) DESC, s.grp
                ) AS rn
-        FROM q v CROSS JOIN cents c
+        FROM q v CROSS JOIN sup s
+    ) WHERE rn <= {_GIVF_SPROBES}
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT p.vec_id, m.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(p.qv, m.qc),
+                                     x -> x[1] * x[2])) DESC, m.cid
+               ) AS rn
+        FROM vprobe p JOIN cmem m USING (grp)
     ) WHERE rn <= {_GIVF_PROBES}
 ),
 cand AS (
@@ -1668,12 +1841,23 @@ def knn_graph_ivf(spark, sf_dir):
     IVF probe trade-off; pytest pins that probing ALL cells degrades to
     the exact brute-force graph.
 
-    Scale shape: centroids broadcast (stride-derived, corpus/stride
-    rows); assignment is one map-side fan-out pruned to {p} rows/vector
-    before its exchange; the candidate join shuffles (vec_id, cid) pairs
-    on the cell key — hot cells are AQE skew-join territory, and stride
-    grows with the corpus to hold cells bounded; the verify joins are
-    id-equi-joins carrying the quantized vectors; the final rank prunes
-    map-side to {k} rows/source. No all-pairs stage anywhere.
-    """.format(p=_GIVF_PROBES, k=_GIVF_K)
-    return knn_graph_ivf_edges(spark, sf_dir)
+    Scale shape: assignment is TWO-LEVEL (the semdedup_two_level √k move
+    applied to the IVF coarse table itself): supers and branch
+    membership are centroid-side work, and each vector ranks ~C/{s}
+    supers plus {sp}·{s} branch centroids instead of all C — the
+    round-9b probe measured the single-level n×C fan-out at α≈1.5 once C
+    grows with the corpus, and two-level removes that quadratic term.
+    All coarse tables broadcast; every per-vector fan-out is pruned
+    map-side by a Partial WindowGroupLimit before its exchange; the
+    candidate join shuffles (vec_id, cid) pairs on the cell key — hot
+    cells are AQE skew-join territory, and stride grows with the corpus
+    to hold cells bounded; the verify joins are id-equi-joins carrying
+    the quantized vectors; the final rank prunes map-side to {k}
+    rows/source. No all-pairs stage anywhere. Caveat (measured,
+    BASELINE.md round-9b): the cell bound assumes the data SPREADS — on
+    an exact-duplicate-flooded corpus every copy of a vector crowds the
+    same cell and the candidate join pays multiplicity², so a pipeline
+    runs exact/near dedup BEFORE graph construction (the
+    distinct-embedding probe isolates the operator itself).
+    """.format(p=_GIVF_PROBES, k=_GIVF_K, s=_GIVF_SFAC, sp=_GIVF_SPROBES)
+    return knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)

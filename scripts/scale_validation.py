@@ -134,6 +134,58 @@ COPY (
     return out
 
 
+def build_corpus_emb_distinct(k: int) -> str:
+    """Embedding-growth variant: replicas get genuinely NEW vectors
+    instead of copies — each replica r applies a cyclic rotation of the
+    64 dimensions (7·r positions; 7 ⊥ 64 so every r < 64 is distinct).
+    Rotation preserves the corpus geometry exactly (unit norms, the
+    10-cluster structure, all within-replica distances) while rotated
+    cluster centers become fresh directions, so replica r contributes 10
+    NEW clusters of the original density — "new content arriving". A
+    rotated copy of a vector is NOT its neighbor (dot of a random unit
+    vector with its own rotation ≈ 0). Exact-copy replication, by
+    contrast, makes every neighbor structure degenerate (each vector's
+    true neighbors are its own copies and duplicate centroids collapse
+    into shared cells) — a duplicate-flooded crawl, not a growing corpus.
+    (A first draft used md5-uniform elements; all-positive un-normalized
+    vectors make the largest-norm centroid win nearly every dot-product
+    assignment — a one-giant-cell pathology WORSE than exact copies, and
+    nothing like real embedding geometry.)"""
+    import duckdb
+
+    out = f"{ROOT}/x{k}e"
+    os.makedirs(out, exist_ok=True)
+    marker = f"{out}/.complete"
+    if os.path.isfile(marker):
+        return out
+    con = duckdb.connect()
+    n_vecs = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+COPY (
+  SELECT e.vec_id + r.r * {n_vecs} AS vec_id,
+         CASE WHEN r.r = 0 THEN e.embedding
+              ELSE list_transform(range(0, 64), i ->
+                   e.embedding[CAST((i + 7 * r.r) % 64 + 1 AS INTEGER)])
+         END AS embedding,
+         e.label
+  FROM read_parquet('{SRC}/embeddings.parquet') e
+  CROSS JOIN range(0, {k}) r(r)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in ALL_TABLES:
+        if t == "embeddings":
+            continue
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
 def _exponent_table(results: dict, ks: list[int]) -> str:
     klo, khi = sorted(ks)[-2:] if len(ks) >= 2 else (1, ks[0])
     header = (
@@ -377,11 +429,12 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--r6", "--r6-late", "--r7", "--r9")]
+            if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
     only_r9 = "--r9" in sys.argv[1:]
+    only_r9b = "--r9b" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -393,6 +446,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r9b:
+        r9b = phase_r9b(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r9b.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r9b}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r9:
         r9 = phase_r9(spark, cat, dirs, ks)
@@ -497,6 +558,64 @@ def main() -> None:
             indent=1,
         )
     spark.stop()
+
+
+def phase_r9b(spark, cat, dirs, ks) -> dict:
+    """Scaling exponents for the round-9 additions. Stories (measured,
+    BASELINE.md round-9b): knn_graph_ivf — FIXED stride keeps cell
+    population constant as the corpus grows, so the CANDIDATE join is
+    linear by construction, but centroid count C grows with n, so the
+    single-level n×C assignment fan-out measured alpha~1.5-2.0; the
+    two-level assignment landed in response drops it to ~0.5 at this
+    size. The domain/url family is maps + map-side-combined aggregates
+    (alpha<=1); semdedup_two_level holds k fixed here so assignment is
+    linear and the pairwise stage grows with cluster size;
+    hll_rollup_merge is one map-side pass into bounded register
+    tables."""
+    r9 = (
+        "knn_graph_ivf",
+        "semdedup_two_level",
+        "url_canonical_dedup",
+        "domain_cap_keep",
+        "domain_contamination_rollup",
+        "domain_holdout_split",
+        "hll_rollup_merge",
+    )
+    results: dict[str, dict[int, float]] = {q: {} for q in r9}
+    for k in [1] + ks:
+        for q in r9:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, dirs[k]).count()
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k} {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nround-9 additions:")
+    print(_exponent_table(results, ks))
+
+    # knn_graph_ivf isolation: exact-copy replication makes every vector's
+    # true neighbors its own copies and collapses duplicate centroids into
+    # shared cells — cell population grows with multiplicity and the
+    # candidate join pays multiplicity² (a duplicate-flooded crawl, the
+    # input you dedup BEFORE graph-building). The distinct-embedding
+    # corpus models new content arriving: cells multiply while their
+    # population stays ~stride·probes, so the operator itself is linear.
+    dirs_e = {1: SRC}
+    for k in ks:
+        print(f"# building x{k}e (distinct embeddings) corpus ...",
+              file=sys.stderr)
+        dirs_e[k] = build_corpus_emb_distinct(k)
+    iso: dict[str, dict[int, float]] = {"knn_graph_ivf": {}}
+    for k in [1] + ks:
+        t0 = time.perf_counter()
+        n = cat["knn_graph_ivf"].spark_fn(spark, dirs_e[k]).count()
+        dt = time.perf_counter() - t0
+        iso["knn_graph_ivf"][k] = round(dt, 3)
+        print(f"# x{k}e knn_graph_ivf: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nknn_graph_ivf distinct-embedding isolation:")
+    print(_exponent_table(iso, ks))
+    return {"timings": results, "knn_graph_distinct_emb": iso}
 
 
 if __name__ == "__main__":

@@ -99,6 +99,8 @@ _BNLJ_OK = {
     "eval_confusion_metrics",    # broadcast O(classes) anchor panel
     "calibration_reliability_bins",  # same broadcast anchor panel
     "triangle_count_knn",        # broadcast panel pair generator (shared)
+    "label_propagation_knn",     # same shared broadcast panel pair generator
+    "quantile_normalize_scores", # 1-row corpus-total broadcast (N)
     "key_skew_audit",            # 1-row skew stats broadcast
     "pmi_collocations",          # 1-row bigram total broadcast
     "knn_graph_ivf",             # broadcast stride-centroid fan-out: the

@@ -499,6 +499,49 @@ def test_knn_graph_ivf_full_probe_equals_brute(spark):
         assert r["dot"] <= best_brute[r["src"]]
 
 
+def test_knn_graph_ivf_two_level_all_branches_equals_single(spark):
+    """Two-level degeneracy pin: probing ALL branches makes the probed
+    centroid union the full coarse table, so two-level assignment must
+    reproduce the single-level edge set exactly — every downstream stage
+    (candidate join, dedup, verify, rank) is shared machinery."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.similarity import knn_graph_ivf_edges
+    from tests.conftest import SF_SMALL
+
+    n_sup = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .filter(F.col("vec_id") % (10 * 5) == 0)
+        .count()
+    )
+    assert n_sup >= 2, "fixture too small to exercise >1 branch"
+    single = {
+        (r["src"], r["dst"]): r["dot"]
+        for r in knn_graph_ivf_edges(
+            spark, SF_SMALL, stride=10, probes=2, k=3
+        ).collect()
+    }
+    two_all = {
+        (r["src"], r["dst"]): r["dot"]
+        for r in knn_graph_ivf_edges(
+            spark, SF_SMALL, stride=10, probes=2, k=3,
+            super_fac=5, sprobes=n_sup,
+        ).collect()
+    }
+    assert two_all == single
+    # the shipped config (2 branches) stays an approximation of it:
+    # same schema, <=k edges per source, never a better dot than brute
+    two = knn_graph_ivf_edges(
+        spark, SF_SMALL, stride=10, probes=2, k=3, super_fac=5, sprobes=2
+    )
+    assert two.columns == ["src", "dst", "dot"]
+    per_src = (
+        two.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_src <= 3
+
+
 def test_kmeans_fit_two_level_full_probe_equals_brute(spark):
     """kmeans_fit(two_level_groups=g, probes=g) must train the IDENTICAL
     centroids as the brute path: with every branch probed the per-round
