@@ -230,6 +230,10 @@ _NEW_R8: tuple[str, ...] = (
     "label_propagation_knn",
     "domain_quality_threshold_keep",
     "quantile_normalize_scores",
+    "pca_power_projection",
+    "bitmap_posting_index",
+    "skyline_pareto_docs",
+    "epoch_shuffle_interleave",
 )
 
 

@@ -475,3 +475,90 @@ def hybrid_retrieval_fusion(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("fused_score").desc(), "doc_id").limit(_FUSE_OUT)
+
+
+# Container width 63: bit positions 0..62 of a BIGINT keep the sign bit
+# clear, so every mask is positive and shift/or/xor/popcount agree
+# bit-for-bit between the JVM and DuckDB (two's-complement corner cases
+# never arise).
+_BMP_BITS = 63
+
+_BMP_TOK_SQL = (
+    "unnest(string_split(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')), ' '))"
+)
+
+
+@register(
+    "bitmap_posting_index",
+    survey="NS-retrieval(roaring-style bitmap posting index build: fixed-width doc-id containers OR-folded per term in ONE idempotent aggregate; per-term container census + popcount + xor digest),A3-A6,F4",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, {_BMP_TOK_SQL} AS term FROM documents
+),
+m AS (
+    SELECT term, doc_id // {_BMP_BITS} AS container,
+           bit_or(CAST(1 AS BIGINT) << CAST(doc_id % {_BMP_BITS} AS INT))
+               AS mask
+    FROM tok WHERE term <> ''
+    GROUP BY term, doc_id // {_BMP_BITS}
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       CAST(SUM(bit_count(mask)) AS BIGINT) AS n_postings,
+       CAST(MIN(container) AS BIGINT) AS first_container,
+       CAST(MAX(container) AS BIGINT) AS last_container,
+       bit_xor(mask) AS mask_xor
+FROM m GROUP BY term
+""",
+)
+def bitmap_posting_index(spark, sf_dir):
+    """Roaring-bitmap-style posting index build — the compressed
+    doc-membership structure a lexical search / contamination-lookup
+    service materializes per term: doc ids bucket into fixed-width
+    containers (doc_id div {b}) and each (term, container) folds to one
+    {b}-bit BIGINT mask via `bit_or(1 << doc_id % {b})`. The output row
+    per term is the index's directory entry: container census, exact
+    posting count as popcount (Σ bit_count — duplicates within a doc
+    collapse in the OR), container id range (the doc-id clustering
+    signal a query planner reads to skip containers), and an
+    order-insensitive xor digest of the masks pinning exact membership.
+
+    Scale shape: OR is IDEMPOTENT, so unlike a count-based posting build
+    there is NO distinct-(term, doc) pre-shuffle — repeated tokens of a
+    doc land in the same bit and vanish in the map-side partial
+    aggregate. The whole plan is the token explode feeding ONE
+    map-side-combined (term, container) bit_or and one (term) rollup;
+    shuffle volume is bounded by |vocab| × |containers touched|, with
+    stopword-grade terms (the skew that breaks collect_list posting
+    builds) costing exactly n/{b} masks instead of n list entries — a
+    {b}× reduction that partial aggregation realizes before the
+    exchange. Both aggregates are associative/commutative, so the same
+    masks MERGE across files, days, or clusters (the HLL-rollup
+    property, here exact).
+    """.format(b=_BMP_BITS)
+    doc = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    tok = doc.select("doc_id", F.explode(F.split(clean, " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    masks = tok.groupBy(
+        "term", F.expr(f"doc_id div {_BMP_BITS}").alias("container")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % {_BMP_BITS} AS INT)))"
+        ).alias("mask")
+    )
+    return masks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_containers"),
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_postings"),
+        F.min("container").cast("bigint").alias("first_container"),
+        F.max("container").cast("bigint").alias("last_container"),
+        F.expr("bit_xor(mask)").alias("mask_xor"),
+    )

@@ -480,3 +480,174 @@ def quantile_normalize_scores(spark, sf_dir):
             F.col("pooled_score").alias("norm_score"),
         )
     )
+
+
+_NDIST_SPARK = (
+    "size(array_distinct(filter(split(lower(text), ' '), t -> t != '')))"
+)
+_NDIST_SQL = (
+    "len(list_distinct(list_filter(string_split(lower(text), ' '), "
+    "t -> t <> '')))"
+)
+
+
+@register(
+    "skyline_pareto_docs",
+    survey="NS-selection(Pareto-frontier document selection over two quality objectives WITHOUT an all-pairs dominance join: score-histogram + running-max over grouped rows + broadcast join-back),W2,A3-A6,J1",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(least(n_chars // 20, 100)
+                + least((len(text) - len(replace(text, ' ', ''))) // 5, 40)
+                + CASE WHEN lang = 'en' THEN 50 ELSE 0 END AS BIGINT) AS score,
+           CAST({_NDIST_SQL} AS BIGINT) AS n_distinct_tokens
+    FROM documents
+)
+SELECT a.doc_id, a.score, a.n_distinct_tokens
+FROM s a
+WHERE NOT EXISTS (
+    SELECT 1 FROM s b
+    WHERE b.score >= a.score AND b.n_distinct_tokens >= a.n_distinct_tokens
+      AND (b.score > a.score OR b.n_distinct_tokens > a.n_distinct_tokens)
+)
+""",
+)
+def skyline_pareto_docs(spark, sf_dir):
+    """Pareto-frontier (skyline) document selection over two MAXIMIZE
+    objectives — coarse quality score and lexical diversity (distinct
+    token count): the docs no other doc beats on both axes at once, the
+    exact trade-off set a curation run inspects before committing to any
+    single weighting of its objectives. Strict-dominance semantics (ties
+    on both axes co-survive), replayed by the oracle as the textbook
+    NOT-EXISTS dominance anti-join.
+
+    Scale shape: the O(n²) dominance join never happens. A point
+    survives iff y = M2(x) and y > M1(x), where M2 is its own score
+    group's max diversity and M1 the running max over strictly higher
+    scores — so the plan is ONE map-side-combined (score → max y)
+    histogram aggregate (≤ |score buckets| ≈ 190 rows, corpus-
+    independent), a running-max window over those HISTOGRAM rows only
+    (the bounded-global-window pattern, reviewed in the plan linter),
+    and a broadcast equi-join back on the score. Two linear passes
+    total; output is bounded by the score cardinality (one frontier
+    point per distinct score at most). A k-objective skyline (k > 2)
+    loses this histogram factorization and needs block-nested
+    partitioned dominance — out of scope, stated honestly.
+    """
+    from pyspark.sql import Window as W
+
+    from gridiron_spark.queries.domains import _SCORE_SPARK
+
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SCORE_SPARK).cast("bigint").alias("score"),
+        F.expr(_NDIST_SPARK).cast("bigint").alias("n_distinct_tokens"),
+    )
+    hist = s.groupBy("score").agg(F.max("n_distinct_tokens").alias("y_max"))
+    run = hist.withColumn(
+        "y_above",
+        F.max("y_max").over(
+            W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return (
+        s.join(F.broadcast(run), "score")
+        .filter(
+            (F.col("n_distinct_tokens") == F.col("y_max"))
+            & (
+                F.col("y_above").isNull()
+                | (F.col("n_distinct_tokens") > F.col("y_above"))
+            )
+        )
+        .select("doc_id", "score", "n_distinct_tokens")
+    )
+
+
+_EPOCH_SEED = "ep1|"
+_EPOCH_DECILES = 10
+
+
+@register(
+    "epoch_shuffle_interleave",
+    survey="NS-selection(deterministic epoch shuffle: seeded-hash global permutation via the ranged-sort machinery + per-(source, decile) interleaving audit),O2,W2,A3-A6",
+    oracle=f"""
+WITH r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               ORDER BY md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk,
+           COUNT(*) OVER () AS n
+    FROM documents
+)
+SELECT source,
+       CAST((rk - 1) * {_EPOCH_DECILES} // n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(rk) AS BIGINT) AS rank_sum
+FROM r
+GROUP BY source, (rk - 1) * {_EPOCH_DECILES} // n
+""",
+)
+def epoch_shuffle_interleave(spark, sf_dir):
+    """Deterministic training-epoch shuffle + interleaving audit: every
+    document takes position rank(md5(seed‖doc_id)) in the epoch — a
+    seeded hash permutation, so re-runs and resumed jobs reproduce the
+    byte-identical batch order with NO stored shuffle table — and the
+    output audits what a shuffle is FOR: per (source, epoch-decile)
+    counts with exact membership (id_sum) and placement (rank_sum)
+    checksums, showing every source spread evenly across the epoch
+    rather than arriving in corpus order (the correlated-batch failure
+    mode of unshuffled training data).
+
+    Scale shape: the global rank is the ranged_global_sort anatomy, NOT
+    a single-task window — repartitionByRange on (hash, doc_id) (the
+    hash is uniform, so range partitions are balanced BY CONSTRUCTION —
+    no skew caveat), per-partition local row_number, and a broadcast
+    |partitions|-row offset table cumsum'd in a bounded global window
+    (reviewed in the linter). localCheckpoint pins the sample-derived
+    range boundaries before the plan forks over partition ids. The
+    decile arithmetic rides on a 1-row broadcast corpus total; the
+    audit rollup is one map-side-combined aggregate over
+    |sources|×{_EPOCH_DECILES} cells.
+    """
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string"))).alias(
+            "ord"
+        ),
+    )
+    srt = (
+        doc.repartitionByRange(32, "ord", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = srt.withColumn(
+        "lrn", F.row_number().over(W.partitionBy("pid").orderBy("ord", "doc_id"))
+    )
+    cnt = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offs = cnt.select(
+        "pid",
+        F.sum("c")
+        .over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1))
+        .alias("off"),
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("rk", F.col("lrn") + F.coalesce(F.col("off"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            "source",
+            F.expr(f"(rk - 1) * {_EPOCH_DECILES} div n")
+            .cast("bigint")
+            .alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("rk").cast("bigint").alias("rank_sum"),
+        )
+    )

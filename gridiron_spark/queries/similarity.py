@@ -1861,3 +1861,164 @@ def knn_graph_ivf(spark, sf_dir):
     distinct-embedding probe isolates the operator itself).
     """.format(p=_GIVF_PROBES, k=_GIVF_K, s=_GIVF_SFAC, sp=_GIVF_SPROBES)
     return knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+
+
+_PCA_D = 64           # embedding dimensionality (TESTDATA.md)
+_PCA_SCALE = 1 << 20  # fixed-point scale of the iterated direction vector
+_PCA_SQUARINGS = 6    # Gram repeated-squaring depth: iterate with G^(2^6)
+_PCA_RESCALE = 1 << 27  # entry cap after each squaring (64·(2·cap)² < 2⁶³)
+_PCA_ROUNDS = 4       # fixed synchronous rounds (the pagerank determinism pattern)
+
+
+def _pca_oracle() -> str:
+    sq, prev_m = [], "cells"
+    for s in range(1, _PCA_SQUARINGS + 1):
+        sq.append(f""",
+p{s} AS MATERIALIZED (SELECT a.i, b.j, SUM(a.g * b.g) AS g
+         FROM {prev_m} a JOIN {prev_m} b ON a.j = b.i GROUP BY a.i, b.j),
+d{s} AS (SELECT GREATEST(1, MAX(abs(g)) // {_PCA_RESCALE}) AS dv FROM p{s}),
+b{s} AS MATERIALIZED (SELECT i, j, CASE WHEN g < 0 THEN -((-g)//dv) ELSE g//dv END AS g
+         FROM p{s}, d{s})""")
+        prev_m = f"b{s}"
+    steps, prev = [], "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        steps.append(f""",
+u{r} AS (SELECT c.i, SUM(c.g * {prev}.v) AS u
+         FROM {prev_m} c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i),
+m{r} AS (SELECT MAX(abs(u)) AS m FROM u{r}),
+v{r} AS (SELECT i, CASE WHEN u < 0 THEN -((-u)*{_PCA_SCALE}//m)
+                        ELSE (u*{_PCA_SCALE})//m END AS v FROM u{r}, m{r})""")
+        prev = f"v{r}"
+    return f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE)*64) AS BIGINT)) AS q
+    FROM embeddings
+),
+cells AS MATERIALIZED (
+    SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+           SUM(q[CAST(i.i AS INT)+1]*q[CAST(j.j AS INT)+1]) AS g
+    FROM q, range(0,{_PCA_D}) i(i), range(0,{_PCA_D}) j(j)
+    GROUP BY 1, 2
+),
+v0 AS (
+    SELECT c2.i,
+           CASE WHEN c2.i = (SELECT i FROM cells WHERE i = j
+                             ORDER BY g DESC, i LIMIT 1)
+                THEN CAST({_PCA_SCALE} AS BIGINT) ELSE 0 END AS v
+    FROM (SELECT DISTINCT i FROM cells) c2
+){"".join(sq)}{"".join(steps)}
+SELECT q.vec_id, CAST(SUM(q.q[fv.i+1] * fv.v) AS BIGINT) AS proj
+FROM q, {prev} fv
+GROUP BY q.vec_id
+"""
+
+
+@register(
+    "pca_power_projection",
+    survey="NS-sim(distributed PCA: one-pass integer Gram matrix via Arrow-batched partial aggregation + fixed-round integer power iteration + broadcast projection),A3-A6,J1",
+    oracle=_pca_oracle(),
+)
+def pca_power_projection(spark, sf_dir):
+    """Top-principal-direction projection of the embedding corpus — the
+    dimensionality-reduction / drift-monitoring primitive (what a
+    curation stack uses for whitening, for 1-D visual sorts, and as the
+    first component of an embedding-health dashboard). The whole
+    pipeline is EXACT integer arithmetic end-to-end: vectors quantize to
+    q = floor(64·x) (the knn-graph metric), the d×d second-moment Gram
+    G = Σ qqᵀ accumulates in int64, and {r} synchronous power-iteration
+    rounds run v ← normalize(B·v) with a sign-split fixed-point
+    normalization (v_i' = sign·(|v_i|·2²⁰ div max|v|)) — floor-division
+    on MAGNITUDES only, so Spark's truncating `div` and DuckDB's `//`
+    agree, and G is PSD so the iterated direction never sign-flips.
+
+    The iteration matrix B = G^(2^{s}) comes from {s} REPEATED SQUARINGS
+    of G (each followed by an exact rescale: divide every entry,
+    sign-split, by max(1, max|entry| div 2²⁷), keeping all products in
+    int64) — squaring powers the eigenvalue RATIOS, so the {r} rounds
+    apply G effectively 2^{s}·{r} = {k} times. This matters because a
+    clustered corpus has a nearly flat top spectrum (the 10-cluster
+    fixture measures λ₂/λ₁ ≈ 0.96-0.99, where plain 4-round iteration
+    provably stalls — measured cos ≈ 0.18 against the true component);
+    with squaring the projection aligns to |cos| > 0.9999 at every test
+    SF (pytest-pinned against numpy's eigensolver). The oracle replays
+    every squaring and round as unrolled CTEs and must match the
+    projection hash bit-for-bit (DuckDB's post-SUM HUGEINT promotion
+    keeps the ·2²⁰ normalization products exact; Spark's side is
+    arbitrary-precision driver Python).
+
+    Scale shape: the Gram is the ONLY corpus-scale stage and it is the
+    textbook treeAggregate — `mapInPandas` emits one flattened d² int64
+    partial per Arrow batch (numpy `M.T @ M`, exact in int64 at any
+    batch size since |q_i| ≤ 64), so the driver collects |batches| rows
+    of d² cells, never per-vector data; Python big-ints make the final
+    fold, the {s} squarings (d³ multiplies each), and the {r} rounds
+    (d² = {d2} multiplies each) overflow-proof — microseconds of driver
+    work, corpus-independent. Python is justified here because
+    element-wise summing a {d2}-cell array has no built-in aggregate —
+    the JVM alternative is a {d2}× posexplode per row. The projection
+    broadcasts the final direction as a literal array into one map-only
+    zip_with pass — no shuffle at all in the returned plan. At 100 TB
+    the Gram entries grow ∝ n (≤ 4096·n); before they would overflow
+    int64 (n ≳ 2⁵⁰), pre-shift G right by a power of two
+    (magnitude-split, a config) — the iteration is scale-invariant.
+    """.format(
+        r=_PCA_ROUNDS,
+        d2=_PCA_D * _PCA_D,
+        s=_PCA_SQUARINGS,
+        k=(1 << _PCA_SQUARINGS) * _PCA_ROUNDS,
+    )
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    d, scale = _PCA_D, _PCA_SCALE
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64).cast("bigint")
+        ).alias("q"),
+    )
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            m = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if len(m):
+                G += m.T @ m
+        yield pd.DataFrame({"g": [G.flatten().tolist()]})
+
+    parts = q.select("q").mapInPandas(
+        gram_partial, StructType([StructField("g", ArrayType(LongType()))])
+    ).collect()  # |batches| rows of d² cells — corpus-independent size
+    gram = [0] * (d * d)
+    for row in parts:
+        for i, val in enumerate(row["g"]):
+            gram[i] += val
+    k = -max((gram[i * d + i], -i) for i in range(d))[1]
+    b = gram
+    for _ in range(_PCA_SQUARINGS):
+        p = [
+            sum(b[i * d + t] * b[t * d + j] for t in range(d))
+            for i in range(d)
+            for j in range(d)
+        ]
+        dv = max(1, max(abs(x) for x in p) // _PCA_RESCALE)
+        b = [-((-x) // dv) if x < 0 else x // dv for x in p]
+    v = [scale if i == k else 0 for i in range(d)]
+    for _ in range(_PCA_ROUNDS):
+        u = [sum(b[i * d + j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        v = [-((-x) * scale // m) if x < 0 else (x * scale) // m for x in u]
+    direction = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("q", direction, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("proj"),
+    )

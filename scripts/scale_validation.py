@@ -429,12 +429,13 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b")]
+            if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b", "--r9c")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
     only_r9 = "--r9" in sys.argv[1:]
     only_r9b = "--r9b" in sys.argv[1:]
+    only_r9c = "--r9c" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -452,6 +453,14 @@ def main() -> None:
         os.makedirs(ROOT, exist_ok=True)
         with open(f"{ROOT}/report_r9b.json", "w") as f:
             json.dump({"scales": [1] + ks, **r9b}, f, indent=1)
+        spark.stop()
+        return
+
+    if only_r9c:
+        r9c = phase_r9c(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r9c.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r9c}, f, indent=1)
         spark.stop()
         return
 
@@ -616,6 +625,46 @@ def phase_r9b(spark, cat, dirs, ks) -> dict:
     print("\nknn_graph_ivf distinct-embedding isolation:")
     print(_exponent_table(iso, ks))
     return {"timings": results, "knn_graph_distinct_emb": iso}
+
+
+def phase_r9c(spark, cat, dirs, ks) -> dict:
+    """Scaling exponents for the late-round-9 additions. Expected
+    stories: label_propagation_knn rides the brute panel edge generator
+    (panel = a fixed 1/25 fraction, so pair generation is the known
+    alpha~2 term shared by the whole panel graph family — the rounds
+    themselves are linear in |E|, and the corpus-grain story swaps the
+    generator for knn_graph_ivf's cell-join edges);
+    domain_quality_threshold_keep and skyline_pareto_docs are
+    histogram-aggregate + broadcast-join-back linear passes;
+    quantile_normalize_scores and epoch_shuffle_interleave are
+    range-exchange ranks (one/two linear shuffles);
+    bitmap_posting_index is one map-side-combined bit_or (linear, with
+    the 63× stopword-mask compression realized pre-exchange);
+    pca_power_projection is one mapInPandas Gram pass + a map-only
+    projection (linear; the iteration is corpus-independent driver
+    work). documents-table queries use the replica corpus (documents
+    grow ×k); pca/LPA ride embeddings (also replicated ×k)."""
+    r9c = (
+        "label_propagation_knn",
+        "domain_quality_threshold_keep",
+        "quantile_normalize_scores",
+        "pca_power_projection",
+        "bitmap_posting_index",
+        "skyline_pareto_docs",
+        "epoch_shuffle_interleave",
+    )
+    results: dict[str, dict[int, float]] = {q: {} for q in r9c}
+    for k in [1] + ks:
+        for q in r9c:
+            t0 = time.perf_counter()
+            n = cat[q].spark_fn(spark, dirs[k]).count()
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k} {q}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nlate round-9 additions:")
+    print(_exponent_table(results, ks))
+    return {"timings": results}
 
 
 if __name__ == "__main__":

@@ -101,6 +101,7 @@ _BNLJ_OK = {
     "triangle_count_knn",        # broadcast panel pair generator (shared)
     "label_propagation_knn",     # same shared broadcast panel pair generator
     "quantile_normalize_scores", # 1-row corpus-total broadcast (N)
+    "epoch_shuffle_interleave",  # 1-row corpus-total broadcast (N)
     "key_skew_audit",            # 1-row skew stats broadcast
     "pmi_collocations",          # 1-row bigram total broadcast
     "knn_graph_ivf",             # broadcast stride-centroid fan-out: the
@@ -181,6 +182,11 @@ def test_no_single_task_global_windows(plans):
         # cumulative window over the price-bucket histogram (≤500 rows,
         # bounded by price-range/bucket-width — a distribution constant)
         "eval_auc_ranksum",
+        # running-max window over the (score → max diversity) histogram
+        # (≤ |score buckets| ≈ 190 rows, a score-formula constant)
+        "skyline_pareto_docs",
+        # |partitions|-sized offsets table (≤32 rows) for the ranged rank
+        "epoch_shuffle_interleave",
     }
     bad = [n for n in bad if n not in allowed]
     assert not bad, f"single-task global window in: {bad}"
