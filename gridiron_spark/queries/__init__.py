@@ -234,6 +234,7 @@ _NEW_R8: tuple[str, ...] = (
     "bitmap_posting_index",
     "skyline_pareto_docs",
     "epoch_shuffle_interleave",
+    "community_lpa_ivf",
 )
 
 

@@ -652,6 +652,7 @@ def phase_r9c(spark, cat, dirs, ks) -> dict:
         "bitmap_posting_index",
         "skyline_pareto_docs",
         "epoch_shuffle_interleave",
+        "community_lpa_ivf",
     )
     results: dict[str, dict[int, float]] = {q: {} for q in r9c}
     for k in [1] + ks:

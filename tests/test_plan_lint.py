@@ -104,6 +104,9 @@ _BNLJ_OK = {
     "epoch_shuffle_interleave",  # 1-row corpus-total broadcast (N)
     "key_skew_audit",            # 1-row skew stats broadcast
     "pmi_collocations",          # 1-row bigram total broadcast
+    "community_lpa_ivf",         # same IVF broadcast centroid fan-out as
+                                 # knn_graph_ivf (its edge generator); the
+                                 # LPA rounds themselves are equi-joins
     "knn_graph_ivf",             # broadcast stride-centroid fan-out: the
                                  # build side is corpus/stride rows by
                                  # construction (the IVF coarse table, same

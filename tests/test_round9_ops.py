@@ -156,3 +156,33 @@ def test_epoch_shuffle_is_a_balanced_seeded_permutation(spark):
         assert r["n_docs"] == len(ids)
         assert r["id_sum"] == sum(ids)
         assert r["rank_sum"] == sum(rank[i] for i in ids)
+
+
+def test_corpus_lpa_equals_panel_machinery_modulo_broadcast(spark):
+    """community_lpa_ivf differs from the panel LPA only in the label
+    join STRATEGY (equi-join vs broadcast) — a physical-plan choice that
+    must not change a single community assignment. Also pins label
+    closure: every community label is itself a member vertex."""
+    from gridiron_spark.queries.similarity import (
+        _GIVF_SFAC,
+        _lpa_over_edges,
+        knn_graph_ivf_edges,
+    )
+
+    edges = knn_graph_ivf_edges(spark, SF_SMALL, super_fac=_GIVF_SFAC)
+    a = {
+        r["vec_id"]: r["community"]
+        for r in _lpa_over_edges(edges, broadcast_labels=False).collect()
+    }
+    b = {
+        r["vec_id"]: r["community"]
+        for r in _lpa_over_edges(edges, broadcast_labels=True).collect()
+    }
+    assert a == b
+    assert a, "fixture graph must be non-empty"
+    assert set(a.values()) <= set(a), "labels must be member vertices"
+    out = {
+        r["vec_id"]: r["community"]
+        for r in _CATALOG["community_lpa_ivf"].spark_fn(spark, SF_SMALL).collect()
+    }
+    assert out == a
