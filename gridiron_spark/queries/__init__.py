@@ -235,6 +235,7 @@ _NEW_R8: tuple[str, ...] = (
     "skyline_pareto_docs",
     "epoch_shuffle_interleave",
     "community_lpa_ivf",
+    "skyline_pareto_3d",
 )
 
 

@@ -651,3 +651,122 @@ def epoch_shuffle_interleave(spark, sf_dir):
             F.sum("rk").cast("bigint").alias("rank_sum"),
         )
     )
+
+
+_DIVR_SPARK = (
+    "(size(array_distinct(filter(split(lower(text), ' '), t -> t != ''))) "
+    "* 1000) div greatest(size(filter(split(lower(text), ' '), t -> t != '')), 1)"
+)
+_DIVR_SQL = (
+    "(len(list_distinct(list_filter(string_split(lower(text), ' '), "
+    "t -> t <> ''))) * 1000) // greatest(len(list_filter(string_split("
+    "lower(text), ' '), t -> t <> '')), 1)"
+)
+
+
+@register(
+    "skyline_pareto_3d",
+    survey="NS-selection(k-objective Pareto skyline, k=3 — the regime the 2-D histogram factorization cannot reach: partition-local frontiers via applyInPandas, broadcast candidate set, non-equi anti-join verify),J1,A3-A6",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST({_NDIST_SQL} AS BIGINT) AS n_distinct_tokens,
+           CAST({_DIVR_SQL} AS BIGINT) AS diversity_permille
+    FROM documents
+)
+SELECT a.doc_id, a.n_chars, a.n_distinct_tokens, a.diversity_permille
+FROM s a
+WHERE NOT EXISTS (
+    SELECT 1 FROM s b
+    WHERE b.n_chars >= a.n_chars
+      AND b.n_distinct_tokens >= a.n_distinct_tokens
+      AND b.diversity_permille >= a.diversity_permille
+      AND (b.n_chars > a.n_chars
+           OR b.n_distinct_tokens > a.n_distinct_tokens
+           OR b.diversity_permille > a.diversity_permille)
+)
+""",
+)
+def skyline_pareto_3d(spark, sf_dir):
+    """Three-objective Pareto frontier — length (n_chars), lexical
+    breadth (distinct tokens), and lexical density (distinct/total per
+    mille): the first two correlate, the third ANTI-correlates with
+    length, so the frontier is a genuine trade-off surface, the doc set
+    a curation run studies when no scalar score is agreed on yet.
+    `skyline_pareto_docs`' histogram factorization is 2-D-only (its
+    docstring says so); this is the k > 2 shape that replaces it:
+
+    1. partition-local skylines via `applyInPandas` over
+       `spark_partition_id()` — set-wise dominance has no SQL form, so
+       this is the sanctioned Arrow-batched escape hatch; each task
+       reduces its partition to its local frontier (vectorized numpy
+       dominance, cost bounded by the partition, never the corpus);
+    2. the candidate union (Σ local frontier sizes — output-sensitive,
+       like every skyline algorithm) broadcasts into
+    3. one non-equi LEFT ANTI join: a doc survives iff NO candidate
+       strictly dominates it.
+
+    Soundness is partition-invariant by transitivity: any dominator of p
+    is either a local-frontier candidate or is itself strictly dominated
+    by one, and strict dominance composes — so the anti-join recovers
+    the EXACT global frontier under any partitioning (pytest pins
+    repartition-count invariance and brute-force equality). The BNLJ is
+    reviewed: its build side is the candidate frontier, not the corpus.
+    Degenerate limit stated honestly: fully anti-correlated objectives
+    make the frontier — the true answer — large, and every skyline
+    algorithm is output-sensitive; the broadcast assumes the frontier
+    fits an executor, else stage 3 falls back to a range-partitioned
+    join on the first objective.
+    """
+    import pandas as pd
+
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(_NDIST_SPARK).cast("bigint").alias("n_distinct_tokens"),
+        F.expr(_DIVR_SPARK).cast("bigint").alias("diversity_permille"),
+    )
+
+    def local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = pdf[["n_chars", "n_distinct_tokens", "diversity_permille"]].to_numpy(
+            dtype=np.int64
+        )
+        keep = np.ones(len(m), dtype=bool)
+        for i in range(len(m)):  # vectorized inner sweep: O(m) numpy per row
+            if not keep[i]:
+                continue
+            ge = (m >= m[i]).all(axis=1)
+            gt = (m > m[i]).any(axis=1)
+            if (ge & gt).any():
+                keep[i] = False
+        return pdf.loc[keep, ["doc_id", "n_chars", "n_distinct_tokens",
+                              "diversity_permille"]]
+
+    cand = (
+        s.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .applyInPandas(
+            lambda pdf: local_skyline(pdf),
+            "doc_id bigint, n_chars bigint, n_distinct_tokens bigint, "
+            "diversity_permille bigint",
+        )
+    )
+    c = cand.select(
+        F.col("n_chars").alias("cx"),
+        F.col("n_distinct_tokens").alias("cy"),
+        F.col("diversity_permille").alias("cz"),
+    )
+    dominated = (
+        (F.col("cx") >= F.col("n_chars"))
+        & (F.col("cy") >= F.col("n_distinct_tokens"))
+        & (F.col("cz") >= F.col("diversity_permille"))
+        & (
+            (F.col("cx") > F.col("n_chars"))
+            | (F.col("cy") > F.col("n_distinct_tokens"))
+            | (F.col("cz") > F.col("diversity_permille"))
+        )
+    )
+    return s.join(F.broadcast(c), dominated, "left_anti")

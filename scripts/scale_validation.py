@@ -653,6 +653,7 @@ def phase_r9c(spark, cat, dirs, ks) -> dict:
         "skyline_pareto_docs",
         "epoch_shuffle_interleave",
         "community_lpa_ivf",
+        "skyline_pareto_3d",
     )
     results: dict[str, dict[int, float]] = {q: {} for q in r9c}
     for k in [1] + ks:

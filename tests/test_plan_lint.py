@@ -102,6 +102,9 @@ _BNLJ_OK = {
     "label_propagation_knn",     # same shared broadcast panel pair generator
     "quantile_normalize_scores", # 1-row corpus-total broadcast (N)
     "epoch_shuffle_interleave",  # 1-row corpus-total broadcast (N)
+    "skyline_pareto_3d",         # non-equi anti-join against the broadcast
+                                 # candidate frontier (output-sensitive,
+                                 # Σ local frontier sizes — never the corpus)
     "key_skew_audit",            # 1-row skew stats broadcast
     "pmi_collocations",          # 1-row bigram total broadcast
     "community_lpa_ivf",         # same IVF broadcast centroid fan-out as

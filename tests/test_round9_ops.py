@@ -186,3 +186,45 @@ def test_corpus_lpa_equals_panel_machinery_modulo_broadcast(spark):
         for r in _CATALOG["community_lpa_ivf"].spark_fn(spark, SF_SMALL).collect()
     }
     assert out == a
+
+
+def test_skyline_3d_equals_brute_force_and_is_partition_invariant(spark):
+    """The partition-local-frontier + broadcast-verify plan must return
+    EXACTLY the 3-D strict-dominance frontier, and must return the SAME
+    set under a different partitioning (the transitivity soundness
+    argument, executed)."""
+    from gridiron_spark.queries.selection import _DIVR_SPARK, _NDIST_SPARK
+
+    doc = load_table(spark, SF_SMALL, "documents")
+    pts = {
+        r["doc_id"]: (r["x"], r["y"], r["z"])
+        for r in doc.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.expr(_NDIST_SPARK).cast("bigint").alias("y"),
+            F.expr(_DIVR_SPARK).cast("bigint").alias("z"),
+        ).collect()
+    }
+
+    def dominated(p):
+        return any(
+            all(q[i] >= p[i] for i in range(3)) and any(q[i] > p[i] for i in range(3))
+            for q in pts.values()
+        )
+
+    brute = {k for k, p in pts.items() if not dominated(p)}
+    out = _CATALOG["skyline_pareto_3d"].spark_fn(spark, SF_SMALL)
+    assert {r["doc_id"] for r in out.collect()} == brute
+    assert len(brute) > 2, "3-D frontier should be a real trade-off surface"
+    # partition invariance: rerun with the corpus forced through a
+    # different partition count — identical frontier
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = {
+            r["doc_id"]
+            for r in _CATALOG["skyline_pareto_3d"].spark_fn(spark, SF_SMALL).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert again == brute
