@@ -236,6 +236,7 @@ _NEW_R8: tuple[str, ...] = (
     "epoch_shuffle_interleave",
     "community_lpa_ivf",
     "skyline_pareto_3d",
+    "harmonic_centrality_knn",
 )
 
 

@@ -2094,3 +2094,104 @@ def community_lpa_ivf(spark, sf_dir):
     """.format(r=_LPA_ROUNDS, k=_GIVF_K)
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _lpa_over_edges(edges, broadcast_labels=False)
+
+
+_HARM_HOPS = 3  # bounded-hop harmonic centrality (unbounded = APSP)
+
+
+def _harmonic_oracle() -> str:
+    head = (
+        _KNN_EDGE_CTES
+        + """,
+ue AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT dst AS src, src AS dst FROM e
+),
+d1 AS (SELECT src, dst, 1 AS d FROM ue)"""
+    )
+    steps = []
+    for h in range(2, _HARM_HOPS + 1):
+        steps.append(f""",
+n{h} AS (
+    SELECT a.src, b.dst, {h} AS d
+    FROM d{h - 1} a JOIN ue b ON a.dst = b.src
+    WHERE a.src <> b.dst
+),
+d{h} AS (
+    SELECT src, dst, MIN(d) AS d
+    FROM (SELECT * FROM d{h - 1} UNION ALL SELECT * FROM n{h})
+    GROUP BY src, dst
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT src AS vec_id,
+       CAST(SUM(6 // d) AS BIGINT) AS harmonic_x6,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d{_HARM_HOPS} GROUP BY src
+"""
+    )
+
+
+@register(
+    "harmonic_centrality_knn",
+    survey="NS-sim(distance-based centrality: bounded-hop harmonic centrality over the symmetrized k-NN graph — iterative min-plus expansion, exact rational Σ 1/d as Σ 6 div d),W1-W3,J1,A3-A6",
+    oracle=_harmonic_oracle(),
+)
+def harmonic_centrality_knn(spark, sf_dir):
+    """Bounded-hop harmonic centrality — the DISTANCE-based member of
+    the panel graph family (PageRank measures flow, triangles/k-core
+    measure density, LPA measures community; harmonic measures REACH:
+    Σ 1/dist(v, u) over u within {h} hops — the standard centrality for
+    picking well-connected exemplar documents, robust on disconnected
+    graphs where closeness centrality degenerates). Exact integers
+    throughout: with hops ≤ {h}, 1/d scales by lcm(1..{h}) = 6 to
+    6 div d ∈ {{6, 3, 2}} — no rationals in the plan, and the oracle
+    replays each expansion as unrolled (join, min-aggregate) CTE pairs.
+    Unbounded harmonic centrality is all-pairs-shortest-paths;
+    bounded-hop is the standard large-graph restriction, stated in the
+    output contract rather than hidden.
+
+    Scale shape: {h} rounds of iterative min-plus expansion — each
+    round ONE equi-join of the current ≤{h}-hop pair set against the
+    symmetrized edge list (shared localCheckpoint, the LPA treatment)
+    followed by ONE map-side-combined (src, dst) min aggregate; the
+    final rollup is one aggregate over the pair set. Pair-set size is
+    bounded by |V|·(2k)^{h} (k-NN out-degree, not the corpus) — the
+    frontier cannot explode on a bounded-degree graph. Edge generation
+    is the brute panel generator (the family's measured α≈2 term); at
+    corpus grain the generator swaps to knn_graph_ivf's cell-join
+    candidates exactly as community_lpa_ivf demonstrates.
+    """.format(h=_HARM_HOPS)
+    _, edges = _panel_knn_edges(spark, sf_dir)
+    ue = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = ue.withColumn("d", F.lit(1))
+    for h in range(2, _HARM_HOPS + 1):
+        nxt = (
+            cur.alias("a")
+            .join(ue.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                F.lit(h).alias("d"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cur = (
+            cur.unionAll(nxt)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+        )
+    return cur.groupBy(F.col("src").alias("vec_id")).agg(
+        F.sum(F.expr("6 div d")).cast("bigint").alias("harmonic_x6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+    )

@@ -654,6 +654,7 @@ def phase_r9c(spark, cat, dirs, ks) -> dict:
         "epoch_shuffle_interleave",
         "community_lpa_ivf",
         "skyline_pareto_3d",
+        "harmonic_centrality_knn",
     )
     results: dict[str, dict[int, float]] = {q: {} for q in r9c}
     for k in [1] + ks:

@@ -100,6 +100,7 @@ _BNLJ_OK = {
     "calibration_reliability_bins",  # same broadcast anchor panel
     "triangle_count_knn",        # broadcast panel pair generator (shared)
     "label_propagation_knn",     # same shared broadcast panel pair generator
+    "harmonic_centrality_knn",   # same shared broadcast panel pair generator
     "quantile_normalize_scores", # 1-row corpus-total broadcast (N)
     "epoch_shuffle_interleave",  # 1-row corpus-total broadcast (N)
     "skyline_pareto_3d",         # non-equi anti-join against the broadcast

@@ -228,3 +228,32 @@ def test_skyline_3d_equals_brute_force_and_is_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert again == brute
+
+
+def test_harmonic_centrality_equals_brute_bfs(spark):
+    """The iterative min-plus expansion must reproduce exact 3-hop BFS
+    distances: harmonic_x6 = Σ 6//d and n_reached = |ball(v, 3)| − 1,
+    replayed with a python BFS over the same symmetrized edge set."""
+    from gridiron_spark.queries.similarity import _panel_knn_edges
+
+    _, edges = _panel_knn_edges(spark, SF_SMALL)
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    out = {
+        r["vec_id"]: (r["harmonic_x6"], r["n_reached"])
+        for r in _CATALOG["harmonic_centrality_knn"].spark_fn(spark, SF_SMALL).collect()
+    }
+    assert set(out) == set(adj)
+    for v in adj:
+        dist = {v: 0}
+        frontier = {v}
+        for d in (1, 2, 3):
+            frontier = {
+                u for f in frontier for u in adj[f] if u not in dist
+            }
+            for u in frontier:
+                dist[u] = d
+        h6 = sum(6 // d for u, d in dist.items() if u != v)
+        assert out[v] == (h6, len(dist) - 1), v
