@@ -67,70 +67,44 @@ _QUERY_MODULES = (
 # round 4 came back 50/50 green, so every catalog query carries a driver
 # evidence row; the window's job is freshness. Each query is tiered by the
 # ROUND of its most recent driver evidence row (computed from
-# CORRECTNESS_r0{1..8}): new queries first, then oldest evidence first, so
+# CORRECTNESS_r0{1..9}): new queries first, then oldest evidence first, so
 # no query's evidence ever goes more than ~3 rounds stale. In-repo pytest
 # (test_oracle_parity) still re-checks every oracle each run, so nothing
 # regresses silently while out of the driver's window. Update after each
 # round's CORRECTNESS lands. Round 6: _EVIDENCE_R2 retired. Round 7:
-# CORRECTNESS_r06 was 50/50 green → its 50 rows became _EVIDENCE_R6
-# (emptying _NEW_R6 and 28 of the 44 round-3 entries). Round 9 fold:
-# CORRECTNESS_r07 AND r08 were the same 50/50-green window (round 8
-# shipped no code), so those 50 rows became _EVIDENCE_R7 — the 40
-# round-7 additions, the two late-registered stragglers
-# (kcore_decompose_knn, session_stats_batch), and 8 re-verified round-3
-# entries — leaving 8 round-3 stragglers as the ring's head for the
-# round-9 window, followed by the _EVIDENCE_R4 entries (as many as fit
-# the 50 slots after _NEW_R8 and the stragglers take theirs).
+# _EVIDENCE_R6 folded. Round 9: _EVIDENCE_R7 folded (identical r07/r08
+# windows). Round 10 fold: CORRECTNESS_r09 was 47/47 oracle-green (+3
+# expected no_oracle MLlib rows) → its 50 rows became _EVIDENCE_R9 —
+# the 17 round-9 additions, the 8 round-3 stragglers (retiring
+# _EVIDENCE_R3), and 25 re-verified round-4 entries — leaving 25
+# round-4 entries as the ring's head for the round-10 window.
 
-# Latest driver evidence row is from round 3 — the stalest tier: the 8
-# entries that did not fit the round-7/8 window. The rows-only entries
-# (no hash to refresh — the driver records the same weaker rows-only
-# check every time) sort AFTER the oracle-bearing ones, so oracle hash
-# evidence is refreshed first.
-_EVIDENCE_R3 = frozenset(
-    {
-        "grouped_map_tensorize", "mllib_ann_brp_topk",
-        "mllib_minhash_banded", "mllib_minhash_sim_join",
-        "multimodal_embed", "multimodal_resize", "streaming_join_e2e",
-        "training_data_pipeline",
-    }
-)
-
-# The rows-only subset of _EVIDENCE_R3 (the seeded-JVM MLlib family —
-# hash families DuckDB cannot reproduce): re-verified last within the
-# tier (see note above). Round 9 upgraded grouped_map_tensorize and
-# multimodal_embed OUT of this set: both now carry full SQL-replay
-# oracles over their scalar digests.
-_ROWS_ONLY_R3 = frozenset(
+# The rows-only trio (the seeded-JVM MLlib family — hash families DuckDB
+# cannot reproduce): the driver records the same weaker rows-only check
+# every time, so there is no hash evidence to refresh. They sort LAST —
+# window slots go to oracle-bearing entries first.
+_ROWS_ONLY_MLLIB = frozenset(
     {
         "mllib_ann_brp_topk", "mllib_minhash_banded",
         "mllib_minhash_sim_join",
     }
 )
 
-# Latest driver evidence row is from round 4 (50/50 green window).
+# Latest driver evidence row is from round 4 — the stalest tier: the 25
+# entries that did not fit the round-9 window.
 _EVIDENCE_R4 = frozenset(
     {
-        "anti_join_customers", "array_functions", "asof_forward_tolerance",
-        "boilerplate_phrase_flags", "bpe_pair_counts",
-        "cluster_balanced_sample", "conditional_agg_priority",
-        "countmin_sketch", "cube_order_stats", "datetime_functions",
-        "disjunctive_join_revenue", "dup_span_coverage",
-        "excess_shipped_suppliers", "full_outer_debt_recon",
-        "gopher_repetition_flags", "grouping_sets_mix",
-        "groupwise_max_balance", "histogram_quantile_sketch",
-        "hll_distinct_sketch", "important_part_value", "intra_doc_repetition",
-        "json_functions", "kmeans_assign", "late_supplier_blame",
-        "map_functions", "market_share_ratio", "min_cost_supplier",
-        "minhash_estimate_error", "nation_pair_volume", "nested_collect_agg",
-        "outer_join_order_dist", "pandas_udaf_stats", "pivot_event_counts",
-        "priority_exists_count", "quantile_stats", "rolling_range_revenue",
-        "salted_hot_key_agg", "scalar_subquery_idle_rich", "set_except_users",
-        "sink_csv_roundtrip", "sink_partitioned_roundtrip",
-        "sliding_window_agg", "source_contamination_matrix", "sql_api_exists",
+        "anti_join_customers", "boilerplate_phrase_flags",
+        "bpe_pair_counts", "cluster_balanced_sample", "countmin_sketch",
+        "excess_shipped_suppliers", "gopher_repetition_flags",
+        "histogram_quantile_sketch", "hll_distinct_sketch",
+        "important_part_value", "intra_doc_repetition", "kmeans_assign",
+        "min_cost_supplier", "minhash_estimate_error",
+        "priority_exists_count", "quantile_stats", "sink_csv_roundtrip",
+        "sink_partitioned_roundtrip", "source_contamination_matrix",
         "streaming_quality_gate_e2e", "table_profile",
-        "temperature_mixture_sample", "text_redact_pii", "text_regex_tokens",
-        "vocab_encode_checksum",
+        "temperature_mixture_sample", "text_redact_pii",
+        "text_regex_tokens", "vocab_encode_checksum",
     }
 )
 
@@ -216,28 +190,38 @@ _EVIDENCE_R7 = frozenset(
     }
 )
 
-# CORRECTNESS_r07/r08 had zero red rows, so there is no fixed-reds tier
-# this round. Tier 1 = first-driver-row queue: the genuinely-new round-9
-# queries as they land.
-_NEW_R8: tuple[str, ...] = (
-    "semdedup_two_level",
-    "domain_cap_keep",
-    "domain_contamination_rollup",
-    "url_canonical_dedup",
-    "domain_holdout_split",
-    "knn_graph_ivf",
-    "hll_rollup_merge",
-    "label_propagation_knn",
-    "domain_quality_threshold_keep",
-    "quantile_normalize_scores",
-    "pca_power_projection",
-    "bitmap_posting_index",
-    "skyline_pareto_docs",
-    "epoch_shuffle_interleave",
-    "community_lpa_ivf",
-    "skyline_pareto_3d",
-    "harmonic_centrality_knn",
+# Latest driver evidence row is from round 9 (CORRECTNESS_r09: 47/47
+# oracle-green + the 3 expected no_oracle MLlib rows): the 17 round-9
+# additions, the 8 retired round-3 stragglers, and 25 re-verified
+# round-4 entries. Freshest tier — re-verified last.
+_EVIDENCE_R9 = frozenset(
+    {
+        "array_functions", "asof_forward_tolerance", "bitmap_posting_index",
+        "community_lpa_ivf", "conditional_agg_priority", "cube_order_stats",
+        "datetime_functions", "disjunctive_join_revenue", "domain_cap_keep",
+        "domain_contamination_rollup", "domain_holdout_split",
+        "domain_quality_threshold_keep", "dup_span_coverage",
+        "epoch_shuffle_interleave", "full_outer_debt_recon",
+        "grouped_map_tensorize", "grouping_sets_mix",
+        "groupwise_max_balance", "harmonic_centrality_knn",
+        "hll_rollup_merge", "json_functions", "knn_graph_ivf",
+        "label_propagation_knn", "late_supplier_blame", "map_functions",
+        "market_share_ratio", "mllib_ann_brp_topk", "mllib_minhash_banded",
+        "mllib_minhash_sim_join", "multimodal_embed", "multimodal_resize",
+        "nation_pair_volume", "nested_collect_agg", "outer_join_order_dist",
+        "pandas_udaf_stats", "pca_power_projection", "pivot_event_counts",
+        "quantile_normalize_scores", "rolling_range_revenue",
+        "salted_hot_key_agg", "scalar_subquery_idle_rich",
+        "semdedup_two_level", "set_except_users", "skyline_pareto_3d",
+        "skyline_pareto_docs", "sliding_window_agg", "sql_api_exists",
+        "streaming_join_e2e", "training_data_pipeline",
+        "url_canonical_dedup",
+    }
 )
+
+# Tier 1 = first-driver-row queue: the genuinely-new round-10 queries as
+# they land (named for the round whose queries it contains — ADVICE r9).
+_NEW_R10: tuple[str, ...] = ()
 
 
 def register(name: str, *, oracle: str | None, survey: str):
@@ -256,31 +240,31 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R8)
+    #   1. first-driver-row queue (_NEW_R10)
     #   2. anything without an evidence row (safety net; empty by audit)
-    #   3. stalest evidence (round 3, oracle-bearing) — the ring's head
-    #   4. round-3 rows-only (no hash to refresh) — after the oracles
-    #   5. round-4 evidence — fills whatever window slots remain
-    #   6. round-5 evidence
-    #   7. round-6 evidence
-    #   8. round-7/8 evidence — freshest, re-verified last
-    new_r8 = set(_NEW_R8)
+    #   3. stalest evidence (round 4) — the ring's head
+    #   4. round-5 evidence — fills whatever window slots remain
+    #   5. round-6 evidence
+    #   6. round-7/8 evidence
+    #   7. round-9 evidence — freshest
+    #   8. rows-only MLlib trio (no hash to refresh) — always last
+    new_r10 = set(_NEW_R10)
 
     def tier(name: str) -> int:
-        if name in new_r8:
+        if name in new_r10:
             return 1
-        if name in _ROWS_ONLY_R3:
-            return 4
-        if name in _EVIDENCE_R3:
-            return 3
-        if name in _EVIDENCE_R4:
-            return 5
-        if name in _EVIDENCE_R5:
-            return 6
-        if name in _EVIDENCE_R6:
-            return 7
-        if name in _EVIDENCE_R7:
+        if name in _ROWS_ONLY_MLLIB:
             return 8
+        if name in _EVIDENCE_R4:
+            return 3
+        if name in _EVIDENCE_R5:
+            return 4
+        if name in _EVIDENCE_R6:
+            return 5
+        if name in _EVIDENCE_R7:
+            return 6
+        if name in _EVIDENCE_R9:
+            return 7
         return 2
 
     entries = list(_CATALOG.items())

@@ -11,13 +11,13 @@ evidence at most ~3 rounds old.
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _EVIDENCE_R3,
     _EVIDENCE_R4,
     _EVIDENCE_R5,
     _EVIDENCE_R6,
     _EVIDENCE_R7,
-    _NEW_R8,
-    _ROWS_ONLY_R3,
+    _EVIDENCE_R9,
+    _NEW_R10,
+    _ROWS_ONLY_MLLIB,
     catalog,
     oracle_sql,
     queries,
@@ -25,14 +25,14 @@ from gridiron_spark.queries import (
 
 WINDOW = 50
 
-_TIERS_STALEST_FIRST = (_EVIDENCE_R3, _EVIDENCE_R4, _EVIDENCE_R5,
-                        _EVIDENCE_R6, _EVIDENCE_R7)
+_TIERS_STALEST_FIRST = (_EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6,
+                        _EVIDENCE_R7, _EVIDENCE_R9)
 
 
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R8), _ROWS_ONLY_R3):
+    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R10), _ROWS_ONLY_MLLIB):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -40,9 +40,10 @@ def test_ordering_sets_exist_in_catalog():
 def test_ordering_sets_disjoint_and_complete():
     """Evidence tiers partition the catalog: each query has exactly one
     latest-evidence round (or is in the first-driver-row queue).
-    _ROWS_ONLY_R3 is a sub-tier of _EVIDENCE_R3, not a partition member."""
-    assert _ROWS_ONLY_R3 <= _EVIDENCE_R3
-    tiers = [set(_NEW_R8), *_TIERS_STALEST_FIRST]
+    _ROWS_ONLY_MLLIB is a sub-tier of _EVIDENCE_R9, not a partition
+    member."""
+    assert _ROWS_ONLY_MLLIB <= _EVIDENCE_R9
+    tiers = [set(_NEW_R10), *_TIERS_STALEST_FIRST]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -54,23 +55,23 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r8 = set(_NEW_R8)
+    new_r10 = set(_NEW_R10)
 
     def tier(n: str) -> int:
-        if n in new_r8:
+        if n in new_r10:
             return 1
-        if n in _ROWS_ONLY_R3:
-            return 4
-        if n in _EVIDENCE_R3:
-            return 3
-        if n in _EVIDENCE_R4:
-            return 5
-        if n in _EVIDENCE_R5:
-            return 6
-        if n in _EVIDENCE_R6:
-            return 7
-        if n in _EVIDENCE_R7:
+        if n in _ROWS_ONLY_MLLIB:
             return 8
+        if n in _EVIDENCE_R4:
+            return 3
+        if n in _EVIDENCE_R5:
+            return 4
+        if n in _EVIDENCE_R6:
+            return 5
+        if n in _EVIDENCE_R7:
+            return 6
+        if n in _EVIDENCE_R9:
+            return 7
         return 2
 
     tiers = [tier(n) for n in names]
@@ -80,30 +81,24 @@ def test_tier_order():
 def test_window_rotation():
     """Every first-driver-row queue entry must be inside the driver's
     50-entry verification window; whatever slots remain go to the stalest
-    tiers in order (round-3 oracle-bearing leftovers, then round-3
-    rows-only, then round-4 evidence) — no fresher tier may leapfrog a
-    staler one while its entries wait outside."""
+    tiers in order (round-4 evidence, then round-5) — no fresher tier may
+    leapfrog a staler one while its entries wait outside."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R8) <= window, "a new query missed its first-row slot"
-    filler = window - set(_NEW_R8)
-    stale_pool = _EVIDENCE_R3 | _EVIDENCE_R4
+    assert set(_NEW_R10) <= window, "a new query missed its first-row slot"
+    filler = window - set(_NEW_R10)
+    stale_pool = _EVIDENCE_R4 | _EVIDENCE_R5
     assert filler <= stale_pool, (
         "window filler must come from the stalest tiers: "
         f"{sorted(filler - stale_pool)}"
     )
-    # within the stale pool, round 3 strictly precedes round 4
-    if _EVIDENCE_R3 - window:
-        assert not (window & _EVIDENCE_R4), (
-            "round-4 entries in the window while stale round-3 entries "
-            f"wait outside: {sorted(window & _EVIDENCE_R4)}"
+    # within the stale pool, round 4 strictly precedes round 5
+    if _EVIDENCE_R4 - window:
+        assert not (window & _EVIDENCE_R5), (
+            "round-5 entries in the window while stale round-4 entries "
+            f"wait outside: {sorted(window & _EVIDENCE_R5)}"
         )
-    r3_oracle = _EVIDENCE_R3 - _ROWS_ONLY_R3
-    if r3_oracle - window:
-        assert not (window & _ROWS_ONLY_R3), (
-            "rows-only round-3 entries may not leapfrog oracle-bearing ones"
-        )
-    for fresher in (_EVIDENCE_R5, _EVIDENCE_R6, _EVIDENCE_R7):
+    for fresher in (_EVIDENCE_R6, _EVIDENCE_R7, _EVIDENCE_R9):
         if stale_pool - window:
             assert not (window & fresher), (
                 "fresh-evidence entries in the window while stale "
@@ -119,13 +114,13 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_round8_catalog_freeze_counts():
+def test_round9_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-8 catalog (208 queries; 205 oracles after the round-9
-    digest-oracle upgrades) so the docs can't drift from the code."""
+    frozen round-9 catalog (225 queries; 222 oracles; 3 rows-only MLlib)
+    so the docs can't drift from the code."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 208 + len(_NEW_R8), len(q)
+    assert len(q) == 225 + len(_NEW_R10), len(q)
     assert len(o) == len(q) - 3, (len(q), len(o))
     rows_only = set(q) - set(o)
     assert rows_only == {
@@ -151,11 +146,11 @@ def test_catalog_documented():
     assert not missing_plans, f"unaudited in PLANS.md: {missing_plans}"
 
 
-def test_rows_only_r3_sort_after_r3_oracles():
-    """Within the stalest tier, rows-only entries (nothing hashable to
-    refresh) must not consume window slots ahead of oracle entries."""
+def test_rows_only_mllib_sort_last():
+    """The rows-only entries (nothing hashable to refresh) must not
+    consume window slots ahead of any oracle-bearing entry."""
     names = list(catalog().keys())
     pos = {n: i for i, n in enumerate(names)}
-    last_oracle = max(pos[n] for n in _EVIDENCE_R3 - _ROWS_ONLY_R3)
-    first_rows_only = min(pos[n] for n in _ROWS_ONLY_R3)
+    first_rows_only = min(pos[n] for n in _ROWS_ONLY_MLLIB)
+    last_oracle = max(pos[n] for n in names if n not in _ROWS_ONLY_MLLIB)
     assert last_oracle < first_rows_only
