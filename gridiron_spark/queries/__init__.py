@@ -221,7 +221,11 @@ _EVIDENCE_R9 = frozenset(
 
 # Tier 1 = first-driver-row queue: the genuinely-new round-10 queries as
 # they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R10: tuple[str, ...] = ()
+_NEW_R10: tuple[str, ...] = (
+    "pagerank_ivf_centrality",
+    "harmonic_centrality_ivf",
+    "kcore_decompose_ivf",
+)
 
 
 def register(name: str, *, oracle: str | None, survey: str):

@@ -1403,12 +1403,15 @@ _KCORE_K = 2
 _KCORE_ROUNDS = 4
 
 
-def _kcore_oracle() -> str:
+def _kcore_oracle(head: str = _KNN_EDGE_CTES) -> str:
+    """Unrolled peel rounds over any edge head ending in CTE ``e`` with
+    (src, dst, ...) — shared by the panel and corpus-grain (IVF) k-core
+    oracles."""
     k, rounds = _KCORE_K, _KCORE_ROUNDS
     parts = [
-        _KNN_EDGE_CTES,
+        head,
         """,
-und AS (
+und AS MATERIALIZED (
     SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
 ),
 n0 AS (
@@ -1425,7 +1428,7 @@ d{r} AS (
     GROUP BY n
 ),
 k{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
-e{r} AS (
+e{r} AS MATERIALIZED (
     SELECT p.u, p.v FROM e{r-1} p
     JOIN k{r} a ON p.u = a.n JOIN k{r} b ON p.v = b.n
 )""")
@@ -1476,9 +1479,17 @@ def kcore_decompose_knn(spark, sf_dir):
     connected-components shuffle anatomy, never a pairwise blow-up; the
     edge list is materialized once (localCheckpoint) and only SHRINKS.
     At corpus scale the panel generator swaps for the LSH candidate
-    stage, peeling unchanged; a convergence-checked variant would reuse
-    the CC fingerprint loop (operators/dedup.connected_components)."""
+    stage, peeling unchanged (kcore_decompose_ivf below is that swap);
+    a convergence-checked variant would reuse the CC fingerprint loop
+    (operators/dedup.connected_components)."""
     _, edges = _panel_knn_edges(spark, sf_dir)
+    return _kcore_over_edges(edges)
+
+
+def _kcore_over_edges(edges):
+    """Shared peel machinery: undirect (src, dst, ...) edges once, run
+    _KCORE_ROUNDS degree-peel rounds, return (vec_id, deg0, in_core,
+    core_deg). Consumed by the panel and corpus-grain (IVF) k-core."""
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -1811,7 +1822,7 @@ vprobe AS (
         FROM q v CROSS JOIN sup s
     ) WHERE rn <= {_GIVF_SPROBES}
 ),
-assigned AS (
+assigned AS MATERIALIZED (
     SELECT vec_id, cid FROM (
         SELECT p.vec_id, m.cid,
                ROW_NUMBER() OVER (
@@ -1835,7 +1846,7 @@ scored AS (
     JOIN q qa ON qa.vec_id = c.src
     JOIN q qb ON qb.vec_id = c.dst
 ),
-e AS (
+e AS MATERIALIZED (
     SELECT src, dst, dot FROM (
         SELECT src, dst, dot,
                ROW_NUMBER() OVER (
@@ -2099,11 +2110,14 @@ def community_lpa_ivf(spark, sf_dir):
 _HARM_HOPS = 3  # bounded-hop harmonic centrality (unbounded = APSP)
 
 
-def _harmonic_oracle() -> str:
+def _harmonic_oracle(edge_head: str = _KNN_EDGE_CTES) -> str:
+    """Unrolled min-plus expansion over any edge head ending in CTE ``e``
+    with (src, dst, ...) — shared by the panel and corpus-grain (IVF)
+    harmonic-centrality oracles."""
     head = (
-        _KNN_EDGE_CTES
+        edge_head
         + """,
-ue AS (
+ue AS MATERIALIZED (
     SELECT src, dst FROM e
     UNION
     SELECT dst AS src, src AS dst FROM e
@@ -2118,7 +2132,7 @@ n{h} AS (
     FROM d{h - 1} a JOIN ue b ON a.dst = b.src
     WHERE a.src <> b.dst
 ),
-d{h} AS (
+d{h} AS MATERIALIZED (
     SELECT src, dst, MIN(d) AS d
     FROM (SELECT * FROM d{h - 1} UNION ALL SELECT * FROM n{h})
     GROUP BY src, dst
@@ -2163,9 +2177,18 @@ def harmonic_centrality_knn(spark, sf_dir):
     frontier cannot explode on a bounded-degree graph. Edge generation
     is the brute panel generator (the family's measured α≈2 term); at
     corpus grain the generator swaps to knn_graph_ivf's cell-join
-    candidates exactly as community_lpa_ivf demonstrates.
+    candidates exactly as community_lpa_ivf demonstrates
+    (harmonic_centrality_ivf below is that swap).
     """.format(h=_HARM_HOPS)
     _, edges = _panel_knn_edges(spark, sf_dir)
+    return _harmonic_over_edges(edges)
+
+
+def _harmonic_over_edges(edges):
+    """Shared bounded-hop machinery: symmetrize (src, dst, ...) edges
+    once, run _HARM_HOPS-1 min-plus expansion rounds, return (vec_id,
+    harmonic_x6, n_reached). Consumed by the panel and corpus-grain
+    (IVF) harmonic centrality."""
     ue = (
         edges.select("src", "dst")
         .unionAll(
@@ -2195,3 +2218,170 @@ def harmonic_centrality_knn(spark, sf_dir):
         F.sum(F.expr("6 div d")).cast("bigint").alias("harmonic_x6"),
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-grain graph centrality — the panel family's measured scale-killer
+# (_panel_knn_edges' all-pairs generator, α = 2.00 at fixed panel fraction)
+# retired for the remaining centrality queries exactly as community_lpa_ivf
+# retired it for LPA: same iterations, edges swapped to knn_graph_ivf's
+# two-level IVF cell-join candidates (α ≈ 0.5 distinct-content, round-9b).
+
+
+def _pagerank_ivf_oracle() -> str:
+    s = _PR_SCALE
+    head = (
+        _GIVF_EDGE_CTES
+        + f""",
+od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT n AS v
+    FROM (SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e)
+),
+r0 AS (SELECT v, CAST({s} AS BIGINT) AS r FROM nodes)"""
+    )
+    steps = []
+    for it in range(_PR_ITERS):
+        steps.append(f""",
+r{it + 1} AS (
+    SELECT nodes.v,
+           CAST((3 * {s}) // 20
+                + (17 * COALESCE(m.m, 0)) // 20 AS BIGINT) AS r
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS v, CAST(SUM(r{it}.r // od.od) AS BIGINT) AS m
+        FROM e JOIN od ON od.src = e.src JOIN r{it} ON r{it}.v = e.src
+        GROUP BY e.dst
+    ) m USING (v)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT v AS vec_id, r AS rank_scaled FROM r{_PR_ITERS}\n"
+    )
+
+
+@register(
+    "pagerank_ivf_centrality",
+    survey="NS-sim(CORPUS-GRAIN iterative centrality: fixed-point PageRank over the IVF cell-join k-NN graph — out-degree-normalized contributions, ranks equi-joined, never broadcast),W1-W3,J1,A3-A6",
+    oracle=_pagerank_ivf_oracle(),
+)
+def pagerank_ivf_centrality(spark, sf_dir):
+    """Corpus-grain PageRank — the panel query's docstring promises that
+    "at 100 TB the drop-in edge source is the IVF/LSH candidate-pair
+    stage ... the iteration itself never changes"; THIS query is that
+    promise as a registered, oracle-checked operator: same {r} unrolled
+    fixed-point rounds (rank unit 2^20, d = 0.85 = 17/20, floor
+    divisions), but the edges come from `knn_graph_ivf_edges` (two-level
+    probe-2 assignment, cell equi-join candidates, exact integer-dot
+    top-{k}) and cover every corpus vector with a graph neighbor — not a
+    1-in-{m} panel. One deliberate semantic difference from the panel
+    variant: IVF out-degree is ≤{k}, not exactly {k} (sparse cells emit
+    fewer neighbors), so each node's contribution divides by its ACTUAL
+    out-degree (`r div od`) — the textbook normalization the panel
+    shortcut (constant {k}) special-cases.
+
+    Scale shape: edge generation inherits knn_graph_ivf's measured
+    posture (no all-pairs stage; α ≈ 0.5 on ×10 distinct-content growth,
+    BASELINE.md round-9b), replacing the panel family's measured α = 2.00
+    generator. The rank vector is corpus-sized, so it is NOT broadcast —
+    each round's contribution join is a plain equi-join on the node key
+    (the community_lpa_ivf regime; a production deployment buckets edges
+    and ranks on the same key so all {r} rounds reuse one partitioning).
+    Out-degrees are joined once onto the checkpointed edge list; each
+    round is ONE map-side-combined dst-aggregate plus one left join back
+    to the node list — O(rounds × |E|) with |E| ≤ {k}·n, no lineage
+    growth across rounds.
+    """.format(r=_PR_ITERS, k=_GIVF_K, m=_PR_MOD)
+    edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    return _pagerank_over_edges(edges)
+
+
+def _pagerank_over_edges(edges):
+    """Shared corpus-regime power-iteration machinery: join actual
+    out-degrees onto the checkpointed (src, dst, ...) edge list once, run
+    _PR_ITERS fixed-point rounds with rank-vector equi-joins (never
+    broadcast), return (vec_id, rank_scaled)."""
+    od = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("od")
+    )
+    ee = edges.select("src", "dst").join(od, "src").localCheckpoint()
+    nodes = (
+        ee.select(F.col("src").alias("v"))
+        .unionAll(ee.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()  # rebuilt lazily 2×/round otherwise
+    )
+    r = nodes.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ee.join(r, ee.src == r.v)
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("m"))
+        )
+        r = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit((3 * _PR_SCALE) // 20)
+                    + F.expr("17 * coalesce(m, 0) div 20")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return r.select(F.col("v").alias("vec_id"), F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "harmonic_centrality_ivf",
+    survey="NS-sim(CORPUS-GRAIN distance centrality: bounded-hop harmonic centrality over the IVF cell-join k-NN graph — iterative min-plus expansion, exact rational Σ 1/d as Σ 6 div d),W1-W3,J1,A3-A6",
+    oracle=_harmonic_oracle(_GIVF_EDGE_CTES),
+)
+def harmonic_centrality_ivf(spark, sf_dir):
+    """Corpus-grain harmonic centrality: `harmonic_centrality_knn`'s
+    {h}-hop min-plus expansion (exact integers — 1/d scaled by
+    lcm(1..{h}) = 6) run over `knn_graph_ivf_edges`' two-level IVF
+    cell-join graph instead of the brute panel generator. Expansion
+    rounds, symmetrize-once edge treatment, and the Σ 6 div d rollup are
+    the SHARED `_harmonic_over_edges` machinery — the only change is the
+    edge source, which is exactly the swap the panel docstring promises.
+
+    Scale shape: candidate generation inherits knn_graph_ivf's measured
+    α ≈ 0.5 posture (no all-pairs stage) in place of the panel family's
+    α = 2.00 term; each expansion round is one equi-join of the current
+    pair set against the checkpointed symmetrized edges plus one
+    map-side-combined (src, dst) min-aggregate, with the pair set
+    bounded by |V|·(2·{k})^{h} on this bounded-out-degree graph. The
+    oracle replays edge generation and every expansion round as one
+    CTE chain.
+    """.format(h=_HARM_HOPS, k=_GIVF_K)
+    edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    return _harmonic_over_edges(edges)
+
+
+@register(
+    "kcore_decompose_ivf",
+    survey=f"NS-sim(CORPUS-GRAIN {_KCORE_K}-core peel over the IVF cell-join k-NN graph: bounded-round degree peeling, dense-region extraction),J1,A3",
+    oracle=_kcore_oracle(_GIVF_EDGE_CTES),
+)
+def kcore_decompose_ivf(spark, sf_dir):
+    """Corpus-grain {k}-core extraction: `kcore_decompose_knn`'s
+    {r}-round degree peel run over `knn_graph_ivf_edges`' two-level IVF
+    cell-join graph — the "at corpus scale the panel generator swaps for
+    the candidate stage, peeling unchanged" promise as a registered,
+    oracle-checked operator. Undirect-once, peel rounds, and the
+    (deg0, in_core, core_deg) contract are the SHARED `_kcore_over_edges`
+    machinery; both engines run the same FIXED {r} rounds, so the output
+    is the round-{r} survivor set by construction (the panel variant's
+    fixpoint pin is a per-corpus property, asserted there, not here —
+    bounded-round peeling is the stated contract, the standard
+    large-graph restriction).
+
+    Scale shape: edge generation inherits knn_graph_ivf's measured
+    α ≈ 0.5 posture, replacing the panel family's α = 2.00 generator;
+    each peel round is a linear degree aggregate plus two equi-joins of
+    the (shrinking, checkpointed-once) edge list against the keep set —
+    never pairwise.
+    """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    return _kcore_over_edges(edges)

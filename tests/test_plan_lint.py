@@ -117,6 +117,9 @@ _BNLJ_OK = {
                                  # boundedness as the kmeans/lloyd assign
                                  # fan-out), pruned to `probes` rows/vector
                                  # by a Partial WindowGroupLimit
+    "pagerank_ivf_centrality",   # same IVF broadcast centroid fan-out as
+    "harmonic_centrality_ivf",   # knn_graph_ivf (their shared edge
+    "kcore_decompose_ivf",       # generator); rounds are equi-joins
 }
 
 # constructing these executes real work (streaming drains, staged-artifact
