@@ -24,6 +24,15 @@ from gridiron_spark.operators.lm import (
 from gridiron_spark.operators.quality_model import feature_array, tokens_expr
 from gridiron_spark.queries import register
 
+
+def _range_parts(spark) -> int:
+    """Range-exchange width for the ranked-sort machinery: the session's
+    configured shuffle parallelism, NOT a literal — results are
+    rank-exact under any partition count (pytest pins invariance), so
+    the only effect is parallelism, which must scale with the cluster
+    (ADVICE r9: a hardcoded 32 caps a 1000-executor deployment)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
 # Keep threshold in deci-bits: in-vocab prose averages ~2–7 bits/token
 # (20–69 deci-bits) under the Zipf table, OOV tokens cost 140 — a doc
 # needs a meaningful rare-token fraction to cross 80.
@@ -407,7 +416,7 @@ def quantile_normalize_scores(spark, sf_dir):
     )
     # grouped global rank: ONE range exchange on (source, score, doc_id)
     srt = (
-        sc.repartitionByRange(32, "source", "score", "doc_id")
+        sc.repartitionByRange(_range_parts(spark), "source", "score", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -443,7 +452,7 @@ def quantile_normalize_scores(spark, sf_dir):
     )
     # pooled global rank: second range exchange, no grouping
     psrt = (
-        sc.repartitionByRange(32, "score", "doc_id")
+        sc.repartitionByRange(_range_parts(spark), "score", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -620,7 +629,7 @@ def epoch_shuffle_interleave(spark, sf_dir):
         ),
     )
     srt = (
-        doc.repartitionByRange(32, "ord", "doc_id")
+        doc.repartitionByRange(_range_parts(spark), "ord", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

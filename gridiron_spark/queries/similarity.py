@@ -1908,7 +1908,7 @@ def _pca_oracle() -> str:
     sq, prev_m = [], "cells"
     for s in range(1, _PCA_SQUARINGS + 1):
         sq.append(f""",
-p{s} AS MATERIALIZED (SELECT a.i, b.j, SUM(a.g * b.g) AS g
+p{s} AS MATERIALIZED (SELECT a.i, b.j, SUM(CAST(a.g AS HUGEINT) * b.g) AS g
          FROM {prev_m} a JOIN {prev_m} b ON a.j = b.i GROUP BY a.i, b.j),
 d{s} AS (SELECT GREATEST(1, MAX(abs(g)) // {_PCA_RESCALE}) AS dv FROM p{s}),
 b{s} AS MATERIALIZED (SELECT i, j, CASE WHEN g < 0 THEN -((-g)//dv) ELSE g//dv END AS g
@@ -1993,10 +1993,17 @@ def pca_power_projection(spark, sf_dir):
     element-wise summing a {d2}-cell array has no built-in aggregate —
     the JVM alternative is a {d2}× posexplode per row. The projection
     broadcasts the final direction as a literal array into one map-only
-    zip_with pass — no shuffle at all in the returned plan. At 100 TB
-    the Gram entries grow ∝ n (≤ 4096·n); before they would overflow
-    int64 (n ≳ 2⁵⁰), pre-shift G right by a power of two
-    (magnitude-split, a config) — the iteration is scale-invariant.
+    zip_with pass — no shuffle at all in the returned plan. Overflow
+    bounds at 100 TB, stated per stage: Gram entries grow ∝ n (≤ 4096·n),
+    so the int64 constraint binds on the numpy PER-PARTITION partial
+    (rows/partition ≳ 2⁵⁰ — unreachable, partitions are bounded), never
+    the driver fold (Python big-int, exact at any n); the oracle's first
+    squaring multiplies two Gram entries — (4096·n)², explicitly
+    HUGEINT (DuckDB also promotes SUM(BIGINT) to HUGEINT, but the cast
+    makes exactness independent of that), exact through
+    64·(4096·n)² < 2¹²⁷ ⇒ n ≲ 3·10¹⁵ vectors; past that, pre-shift G
+    right by a power of two (magnitude-split, a config) — the iteration
+    is scale-invariant.
     """.format(
         r=_PCA_ROUNDS,
         d2=_PCA_D * _PCA_D,
