@@ -652,21 +652,24 @@ def vocab_encode_checksum(spark, sf_dir):
 _BPE_N_MERGES = 8
 
 
-def _bpe_ctes(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int, train_where: str = "") -> str:
     """Chained-CTE replay of the N-merge BPE loop (DuckDB). Each round i:
     re-split the sentinel-packed segmentation, count adjacent pairs
     (corpus-frequency weighted), pick the (n DESC, a, b) winner, and
     re-segment via literal replace — the same left-to-right non-overlapping
     scan Spark's replace performs. Fixed N unrolls the recursion, so no
     recursive-CTE aggregate restrictions apply. Returns the WITH-chain up
-    to seg{N}; callers append their final SELECT."""
+    to seg{N}; callers append their final SELECT. ``train_where``
+    restricts the TRAINING corpus (e.g. ' WHERE doc_id % 2 = 0' for the
+    fertility gate's train split)."""
     from gridiron_spark.operators.bpe import SENTINEL as S
 
     parts = [
         f"""
 wc AS (
     SELECT w AS word, COUNT(*) AS freq
-    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents{train_where})
     WHERE w <> '' GROUP BY w
 ),
 seg0 AS (
@@ -755,25 +758,29 @@ GROUP BY tok.doc_id
 """
 
 
-def _staged_segmentations(spark, sf_dir):
+def _staged_segmentations(spark, sf_dir, split: str | None = None):
     """The trained tokenizer as a staged artifact: final per-word
     segmentation lengths, mined once per source fingerprint and
     _SUCCESS-gated like the candidate-pair stage — a production encode
     never re-trains the tokenizer per batch. Deterministic training ⇒ the
     stage is byte-equivalent to a recompute, which the oracle (a full
-    training replay) re-proves on every check."""
+    training replay) re-proves on every check. ``split='even'`` trains on
+    the doc_id % 2 == 0 half only (the fertility gate's train-split
+    regime — a tokenizer trained on an earlier snapshot and applied to
+    new data, so OOV is a real signal)."""
     from gridiron_spark.io.staging import ensure_stage, stage_path
     from gridiron_spark.operators.bpe import bpe_segmentations, word_freq
 
     stage = stage_path(
         sf_dir, "bpe_seg", "documents",
-        params={"n_merges": _BPE_N_MERGES},
+        params={"n_merges": _BPE_N_MERGES, "split": split or "full"},
     )
+    train = load_table(spark, sf_dir, "documents")
+    if split == "even":
+        train = train.filter(F.col("doc_id") % 2 == 0)
     ensure_stage(
         stage,
-        lambda p: bpe_segmentations(
-            word_freq(load_table(spark, sf_dir, "documents")), _BPE_N_MERGES
-        )
+        lambda p: bpe_segmentations(word_freq(train), _BPE_N_MERGES)
         .write.mode("overwrite")
         .parquet(p),
     )
@@ -812,6 +819,131 @@ def bpe_encode_tokens(spark, sf_dir):
         F.sum(F.col("n_syms") * (F.col("pos") + 1))
         .cast("bigint")
         .alias("tokens_checksum"),
+    )
+
+
+_FERT_MAX_FRAG_PERMILLE = 400   # drop docs where >40% of word occurrences
+                                # fully fragment (no learned merge applies)
+_FERT_MIN_CPT_MILLI = 1160      # drop docs compressing below 1.16 chars/token
+
+
+def _fertility_oracle() -> str:
+    from gridiron_spark.operators.bpe import SENTINEL as S
+
+    n = _BPE_N_MERGES
+    return _bpe_ctes(n, " WHERE doc_id % 2 = 0") + f""",
+wsyms AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(seg, '{S}'), s -> s <> ''))
+               AS BIGINT) AS n_syms
+    FROM seg{n}
+),
+tok AS (
+    SELECT doc_id, source, u.w AS word
+    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+          FROM documents),
+         unnest(t) AS u(w)
+    WHERE u.w <> ''
+),
+perdoc AS (
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           COUNT(*) AS n_words,
+           SUM(CASE WHEN w.n_syms IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           SUM(CASE WHEN COALESCE(w.n_syms, len(tok.word)) = len(tok.word)
+                         AND len(tok.word) > 1 THEN 1 ELSE 0 END) AS n_frag,
+           SUM(COALESCE(w.n_syms, len(tok.word))) AS n_bpe,
+           SUM(len(tok.word)) AS n_chars
+    FROM tok LEFT JOIN wsyms w USING (word)
+    GROUP BY doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN 1000 * n_frag <= {_FERT_MAX_FRAG_PERMILLE} * n_words
+                      AND 1000 * n_chars >= {_FERT_MIN_CPT_MILLI} * n_bpe
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_oov) AS BIGINT) AS n_oov_words,
+       CAST(SUM(n_frag) AS BIGINT) AS n_fragmented_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * SUM(n_chars)) // SUM(n_bpe) AS BIGINT)
+           AS chars_per_token_milli,
+       CAST((1000 * SUM(n_frag)) // SUM(n_words) AS BIGINT)
+           AS fragmented_permille
+FROM perdoc
+GROUP BY source
+"""
+
+
+@register(
+    "tokenizer_fertility_gate",
+    survey="NS-text(tokenizer-fertility quality screen: chars-per-BPE-token, OOV rate, and merge-fragmentation rate vs a TRAIN-SPLIT tokenizer; per-doc gates rolled into a per-source funnel),J1,A3-A6",
+    oracle=_fertility_oracle(),
+)
+def tokenizer_fertility_gate(spark, sf_dir):
+    """Tokenizer-fertility screening — the cheap quality signal the
+    funnel (filter_funnel_report) doesn't include: text a tokenizer
+    cannot compress (gibberish, wrong-language, OCR noise) costs
+    training compute ∝ tokens, so the standard screen drops documents
+    whose bytes-per-token falls below a floor. Three signals per doc,
+    all exact integers, against the {n}-merge BPE trained on the EVEN
+    doc_id half only (_staged_segmentations(split='even') — a tokenizer
+    trained on an earlier snapshot and applied to new data, so
+    out-of-vocabulary is a real production signal even though this
+    fixture's shared vocabulary keeps it zero): (1) OOV rate — words
+    absent from the trained segmentation encode by byte fallback
+    (n_syms := word length, the left-join COALESCE); (2) fragmentation
+    rate — occurrences of multi-char words where NO learned merge
+    applies (n_syms = length: fully fragmented, fertility's worst
+    case); (3) chars-per-token ×1000 (floor division — the
+    bytes-per-BPE-token fertility measure itself). A doc passes iff
+    fragmentation ≤ {f}‰ AND chars/token ≥ {c} milli; the output is the
+    per-source funnel rollup (docs, kept, word/OOV/fragment/token
+    totals, pooled fertility ratios) a data team reads next to
+    filter_funnel_report's attrition columns.
+
+    Scale shape: the trained segmentation is the staged vocab-sized
+    artifact (trained once, _SUCCESS-gated), broadcast into one linear
+    positional explode of the corpus — a map-side LEFT join feeding one
+    per-doc aggregate and one |sources|-row rollup; no second corpus
+    scan, no window, no self-join. The oracle replays tokenizer
+    training AND the gate in one CTE chain.
+    """.format(n=_BPE_N_MERGES, f=_FERT_MAX_FRAG_PERMILLE,
+               c=_FERT_MIN_CPT_MILLI)
+    doc = load_table(spark, sf_dir, "documents")
+    wsyms = _staged_segmentations(spark, sf_dir, split="even")
+    tok = doc.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = tok.join(F.broadcast(wsyms), "word", "left")
+    wl = F.length("word")
+    syms = F.coalesce(F.col("n_syms"), wl.cast("bigint"))
+    perdoc = enc.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("n_syms").isNull().cast("bigint")).alias("n_oov"),
+        F.sum(((syms == wl) & (wl > 1)).cast("bigint")).alias("n_frag"),
+        F.sum(syms).alias("n_bpe"),
+        F.sum(wl.cast("bigint")).alias("n_chars"),
+    )
+    kept = (
+        (F.col("n_frag") * 1000 <= F.col("n_words") * _FERT_MAX_FRAG_PERMILLE)
+        & (F.col("n_chars") * 1000 >= F.col("n_bpe") * _FERT_MIN_CPT_MILLI)
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept.cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_oov").cast("bigint").alias("n_oov_words"),
+        F.sum("n_frag").cast("bigint").alias("n_fragmented_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.expr("1000 * sum(n_chars) div sum(n_bpe)")
+        .cast("bigint")
+        .alias("chars_per_token_milli"),
+        F.expr("1000 * sum(n_frag) div sum(n_words)")
+        .cast("bigint")
+        .alias("fragmented_permille"),
     )
 
 

@@ -114,6 +114,118 @@ def test_harmonic_ivf_equals_brute_bfs(spark):
         assert out[v] == (h6, len(dist) - 1), v
 
 
+def test_tokenizer_fertility_gate_python_replay(spark):
+    """End-to-end Python replay: train-split segmentation lengths from
+    the staged artifact, byte-fallback encode of every word occurrence,
+    per-doc gates, per-source rollup — and the gate must be NON-VACUOUS
+    (some docs kept AND some dropped) so the thresholds actually split
+    this corpus."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.text import (
+        _FERT_MAX_FRAG_PERMILLE,
+        _FERT_MIN_CPT_MILLI,
+        _staged_segmentations,
+    )
+
+    wsyms = {
+        r["word"]: r["n_syms"]
+        for r in _staged_segmentations(spark, SF_SMALL, split="even").collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg: dict[str, list[int]] = {}
+    for row in docs:
+        words = [w for w in row["text"].lower().split(" ") if w]
+        if not words:
+            continue
+        n_oov = sum(1 for w in words if w not in wsyms)
+        n_frag = sum(
+            1
+            for w in words
+            if wsyms.get(w, len(w)) == len(w) and len(w) > 1
+        )
+        n_bpe = sum(wsyms.get(w, len(w)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        keep = (
+            1000 * n_frag <= _FERT_MAX_FRAG_PERMILLE * len(words)
+            and 1000 * n_chars >= _FERT_MIN_CPT_MILLI * n_bpe
+        )
+        a = agg.setdefault(row["source"], [0, 0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(keep)
+        a[2] += len(words)
+        a[3] += n_oov
+        a[4] += n_frag
+        a[5] += n_bpe
+        a[6] += n_chars
+    expected = {
+        s: (
+            a[0], a[1], a[2], a[3], a[4], a[5],
+            1000 * a[6] // a[5], 1000 * a[4] // a[2],
+        )
+        for s, a in agg.items()
+    }
+    out = {
+        r["source"]: (
+            r["n_docs"], r["n_kept"], r["n_words"], r["n_oov_words"],
+            r["n_fragmented_words"], r["n_bpe_tokens"],
+            r["chars_per_token_milli"], r["fragmented_permille"],
+        )
+        for r in _CATALOG["tokenizer_fertility_gate"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert out == expected
+    total_docs = sum(a[0] for a in agg.values())
+    total_kept = sum(a[1] for a in agg.values())
+    assert 0 < total_kept < total_docs, (total_kept, total_docs)
+
+
+def test_semdedup_prefix_prune_degrades_to_full_prune(spark):
+    """R ≥ max|cluster| makes the rank-window prefix the whole cluster,
+    so the capped prune must reproduce semdedup_two_level bit-for-bit —
+    and at the catalog R the cap must actually bite somewhere (some
+    cluster larger than R), else the probe row measures nothing."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        semdedup_flags,
+        two_level_assign,
+    )
+    from gridiron_spark.queries.similarity import (
+        _SD2_G,
+        _SD2_PROBES,
+        _SD2_RANK_WINDOW,
+        _SEMDEDUP_THRESHOLD,
+        _sd2_cents,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assign = two_level_assign(
+        emb, _sd2_cents(emb), groups=_SD2_G, probes=_SD2_PROBES
+    )
+    sizes = [
+        r["c"]
+        for r in assign.groupBy("cluster").count()
+        .withColumnRenamed("count", "c").collect()
+    ]
+    assert max(sizes) > _SD2_RANK_WINDOW, sizes  # the cap must bite
+    full = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semdedup_flags(
+            emb, None, _SEMDEDUP_THRESHOLD, assign=assign
+        ).collect()
+    }
+    capped_large = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semdedup_flags(
+            emb, None, _SEMDEDUP_THRESHOLD, assign=assign,
+            prune_rank_window=max(sizes),
+        ).collect()
+    }
+    assert capped_large == full
+
+
 def test_kcore_ivf_equals_python_peel(spark):
     """Exact 4-round degree-peel replay over the undirected IVF edge set:
     deg0, the round-4 survivor flag, and the survivor-subgraph degree."""
