@@ -7,6 +7,16 @@ Prints ONE JSON line:
 Protocol (BASELINE.md): per query, 1 discarded warm-up run then N=3 timed
 runs; the recorded value is the median. ``value`` is the sum of per-query
 medians (total wall-clock for the whole workload).
+
+Queries are forced through the NOOP SINK (`write.format("noop")`), not
+``count()`` — round 10 found count-based timing lets Catalyst column-prune
+the final projection and ELIMINATE distinct-keyed left joins entirely, so
+flag-style queries (semdedup keep flags, k-core membership, per-round
+rank joins) were benched WITHOUT their defining stage: semdedup's whole
+pairwise prune and pagerank's four iteration rounds vanished from the
+timed plan. The noop sink evaluates every output column of every row
+(what a real consumer pays) with no driver transfer. Row counts print
+only when SPARK_GRAFT_BENCH_ROWS=1 (an extra untimed execution).
 """
 
 from __future__ import annotations
@@ -28,18 +38,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cat = catalog()
+    want_rows = os.environ.get("SPARK_GRAFT_BENCH_ROWS") == "1"
     timings: dict[str, float] = {}
     for name, entry in sorted(cat.items()):
         samples = []
         for i in range(runs + 1):
             t0 = time.perf_counter()
             df = entry.spark_fn(spark, sf_dir)
-            n = df.count()
+            _force(df)
             dt = time.perf_counter() - t0
             if i > 0:  # discard cold run
                 samples.append(dt)
         timings[name] = round(statistics.median(samples), 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        rows = f" ({entry.spark_fn(spark, sf_dir).count()} rows)" if want_rows else ""
+        print(f"# {name}: {timings[name]:.3f}s{rows}", file=sys.stderr)
         _between_query_hygiene(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,12 +81,12 @@ def main() -> None:
             samples = []
             for i in range(runs + 1):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 if i > 0:
                     samples.append(dt)
             full[name] = round(statistics.median(samples), 4)
-            print(f"# {name}: {full[name]:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: {full[name]:.3f}s", file=sys.stderr)
             _between_query_hygiene(spark)
         result["full_variants"] = full
     print(json.dumps(result))
@@ -86,6 +98,14 @@ def main() -> None:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     spark.stop()
+
+
+def _force(df) -> None:
+    """Fully evaluate a DataFrame: every row, every output column, no
+    driver transfer. count() is NOT this — Catalyst prunes the final
+    projection and eliminates distinct-keyed left joins under count, so
+    a keep-flag query's defining join never runs."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _between_query_hygiene(spark) -> None:

@@ -477,6 +477,7 @@ def semdedup_flags(
     threshold: float,
     id_col: str = "vec_id",
     assign: DataFrame | None = None,
+    prune_rank_window: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     intra-cluster cosine pruning. Returns (id, cluster, keep ∈ {0,1}).
@@ -498,6 +499,17 @@ def semdedup_flags(
     (quadratic) term before the pairwise stage does — at large k, pass
     ``assign=two_level_assign(emb, centroids, groups=⌈√k⌉)`` to keep
     assignment sub-quadratic (O(√k) distances per vector).
+
+    ``prune_rank_window=R`` bounds the PAIRWISE stage too: the comparison
+    side is capped to each cluster's R closest-to-centroid members (the
+    better-ranked prefix — a row_number ≤ R filter Spark prunes map-side
+    as a Partial WindowGroupLimit), so the stage pays Σ R·|cluster|
+    cosines instead of Σ|cluster|²/2. Approximate-but-deterministic: a
+    duplicate GROUP whose best-ranked member falls outside the top R is
+    missed (SemDeDup's representative is the closest-to-centroid member,
+    and duplicate groups sit at nearly equal centroid distance, so real
+    groups concentrate their representative high in the ranking);
+    R ≥ max|cluster| degrades to the exact prune (pytest-pinned).
     """
     # The assignment is referenced three times (pair-left, pair-right, and
     # the final flag join-back); without a lineage cut Spark re-runs the
@@ -508,7 +520,17 @@ def semdedup_flags(
     if assign is None:
         assign = lloyd_assign(emb, centroids, id_col)
     a = assign.localCheckpoint(eager=False)
-    left = a.select(
+    left = a
+    if prune_rank_window is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster").orderBy("dist2", id_col)
+        left = (
+            a.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= prune_rank_window)
+            .drop("rk")
+        )
+    left = left.select(
         "cluster",
         F.col(id_col).alias("va"),
         F.col("dist2").alias("da"),

@@ -580,10 +580,10 @@ list_sum(list_transform(list_zip({a}, {b}),
 """.strip()
 
 
-@register(
-    "semdedup_two_level",
-    survey="NS-dedup(SemDeDup scaled-k regime: two-level √k coarse-then-fine assignment + intra-cluster cosine pruning),J1,W2",
-    oracle=f"""
+# the two-level assignment CTE chain (ends in ``a`` = (vec_id, cluster,
+# dist2, v)) — shared by semdedup_two_level (full intra-cluster prune)
+# and semdedup_prefix_prune (rank-window-capped prune)
+_SD2_ASSIGN_CTES = f"""
 WITH cents AS (
     SELECT vec_id AS cluster,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -623,7 +623,7 @@ probed AS (
         FROM embeddings e CROSS JOIN sup s
     ) WHERE rn <= {_SD2_PROBES}
 ),
-a AS (
+a AS MATERIALIZED (
     SELECT vec_id, cluster, dist2, v FROM (
         SELECT p.vec_id, m.cluster,
                {_L2_SEED.format(a="p.embedding", b="m.cvec")} AS dist2,
@@ -635,17 +635,25 @@ a AS (
                ) AS rn
         FROM probed p JOIN cmem m USING (grp)
     ) WHERE rn = 1
-),
+)"""
+
+_SD2_FLAG_SELECT = """
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+"""
+
+
+@register(
+    "semdedup_two_level",
+    survey="NS-dedup(SemDeDup scaled-k regime: two-level √k coarse-then-fine assignment + intra-cluster cosine pruning),J1,W2",
+    oracle=_SD2_ASSIGN_CTES + f""",
 dropped AS (
     SELECT DISTINCT y.vec_id
     FROM a x JOIN a y ON x.cluster = y.cluster
      AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
     WHERE {_COS_AB.format(a="x.v", b="y.v")} >= {_SEMDEDUP_THRESHOLD}
-)
-SELECT a.vec_id, a.cluster,
-       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
-""",
+)""" + _SD2_FLAG_SELECT,
 )
 def semdedup_two_level(spark, sf_dir):
     """SemDeDup in the SCALED-K regime: the k=80/×10 probe (BASELINE.md
@@ -676,14 +684,82 @@ def semdedup_two_level(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _SD2_K).select(
+    assign = two_level_assign(
+        emb, _sd2_cents(emb), groups=_SD2_G, probes=_SD2_PROBES
+    )
+    return semdedup_flags(emb, None, _SEMDEDUP_THRESHOLD, assign=assign)
+
+
+def _sd2_cents(emb):
+    return emb.filter(F.col("vec_id") < _SD2_K).select(
         F.col("vec_id").alias("cluster"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
     )
-    assign = two_level_assign(
-        emb, cents, groups=_SD2_G, probes=_SD2_PROBES
+
+
+_SD2_RANK_WINDOW = 8  # prefix-prune cap: compare against the 8 closest-to-
+                      # centroid members per cluster, not all members
+
+
+@register(
+    "semdedup_prefix_prune",
+    survey="NS-dedup(SemDeDup prune-stage bound: two-level assignment + rank-window-capped intra-cluster pruning — Sigma R*|cluster| cosines instead of Sigma |cluster|^2),J1,W2",
+    oracle=_SD2_ASSIGN_CTES + f""",
+topr AS (
+    SELECT vec_id, cluster, dist2, v FROM (
+        SELECT vec_id, cluster, dist2, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster ORDER BY dist2, vec_id) AS rk
+        FROM a
+    ) WHERE rk <= {_SD2_RANK_WINDOW}
+),
+dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM topr x JOIN a y ON x.cluster = y.cluster
+     AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
+    WHERE {_COS_AB.format(a="x.v", b="y.v")} >= {_SEMDEDUP_THRESHOLD}
+)""" + _SD2_FLAG_SELECT,
+)
+def semdedup_prefix_prune(spark, sf_dir):
+    """SemDeDup with BOTH super-linear stages bounded — the round-9
+    residual closed. semdedup_two_level fixed the assignment term (√k
+    coarse-then-fine), but the k80/×10 probe still measured the paper's
+    own intra-cluster pairwise prune growing with |cluster|² (42.6 s vs
+    the 19.8 s fixed-k floor). This entry caps the comparison side to
+    each cluster's {r} closest-to-centroid members (rank ≤ {r} — a
+    row_number filter Spark prunes map-side as a Partial
+    WindowGroupLimit), so the prune pays Σ {r}·|cluster| cosines,
+    LINEAR in cluster size. Approximate-but-deterministic, and the
+    approximation is the algorithm's own shape: SemDeDup keeps the
+    closest-to-centroid member of every duplicate group as its
+    representative, and a duplicate group's members sit at nearly equal
+    centroid distance, so a group whose BEST member ranks below {r}
+    in its cluster is one the full prune would mostly catch via that
+    same high-ranked representative. The oracle replays the capped
+    prune exactly; pytest pins that R ≥ max|cluster| degrades to the
+    full prune bit-for-bit.
+
+    Scale shape: identical to semdedup_two_level through assignment
+    (broadcast k-sized tables, two map-side fan-outs, no corpus shuffle
+    until the cluster key); the prune self-join's build side is now the
+    rank-window prefix — ≤ {r}·k rows total, broadcastable at any
+    corpus size — and the probe row (BASELINE.md round-10) measures the
+    stage sub-quadratic at k80/×10 where the full prune was the
+    residual super-linear term.
+    """.format(r=_SD2_RANK_WINDOW)
+    from gridiron_spark.operators.similarity import (
+        semdedup_flags,
+        two_level_assign,
     )
-    return semdedup_flags(emb, cents, _SEMDEDUP_THRESHOLD, assign=assign)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = two_level_assign(
+        emb, _sd2_cents(emb), groups=_SD2_G, probes=_SD2_PROBES
+    )
+    return semdedup_flags(
+        emb, None, _SEMDEDUP_THRESHOLD, assign=assign,
+        prune_rank_window=_SD2_RANK_WINDOW,
+    )
 
 
 def staged_kmeans_centroids(spark, sf_dir):

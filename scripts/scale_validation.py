@@ -186,6 +186,75 @@ COPY (
     return out
 
 
+def build_corpus_doc_distinct(k: int) -> str:
+    """Objective-space document-growth variant (round-10, the skyline
+    adjudication probe). The plain rename corpus is DEGENERATE for the
+    skyline objectives: every replica suffixes every word with the same
+    2-char tag, so (n_chars, distinct tokens, diversity) is the SAME
+    triple for every replica r >= 1 — an objective-space duplicate flood,
+    exactly what the r9 exact-copy probe measured (alpha 1.26: copies of
+    a frontier point never dominate each other, all survive). Here
+    replica r's suffix is r 'z's + a letter (length r+1), so replica r's
+    doc d lands at (n_chars_d + (r+1)·n_words_d, y_d, z_d) — distinct
+    per replica, still a bijective vocabulary rename (shingle/dup
+    structure preserved within each replica, zero cross-replica
+    overlap). Longer-suffix replicas dominate shorter ones that tie on
+    (y, z), so the frontier stays output-sensitive instead of growing
+    ×k — 'new distinct content arriving', the regime the skyline's
+    dedup-first caveat assumes."""
+    import duckdb
+
+    out = f"{ROOT}/x{k}d"
+    os.makedirs(out, exist_ok=True)
+    marker = f"{out}/.complete"
+    if os.path.isfile(marker):
+        return out
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+COPY (
+  SELECT doc_id, text, lang, source,
+         CAST(len(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT d.doc_id + r.r * {n_docs} AS doc_id,
+           CASE WHEN r.r = 0 THEN d.text
+                ELSE array_to_string(list_transform(t,
+                       w -> w || repeat('z', CAST(r.r AS INTEGER))
+                              || chr(CAST(97 + (r.r % 26) AS INTEGER))), ' ')
+           END AS text,
+           d.lang, d.source
+    FROM (SELECT *, string_split(text, ' ') AS t
+          FROM read_parquet('{SRC}/documents.parquet')) d
+    CROSS JOIN range(0, {k}) r(r)
+  )
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in ALL_TABLES:
+        if t == "documents":
+            continue
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
+def _force(df) -> None:
+    """Fully evaluate every output column of every row (noop sink).
+    count() is NOT this: Catalyst prunes the final projection and
+    eliminates distinct-keyed LEFT joins under count, so flag-style
+    queries (semdedup keep flags, k-core membership, pagerank's final
+    rank join) time WITHOUT their defining stage — round 10 measured
+    semdedup's whole pairwise prune vanishing this way. Phases r6-r9c
+    predate this helper; their .count() timings are kept as recorded,
+    with the affected adjudications re-measured in round 10."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _exponent_table(results: dict, ks: list[int]) -> str:
     klo, khi = sorted(ks)[-2:] if len(ks) >= 2 else (1, ks[0])
     header = (
@@ -429,13 +498,16 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b", "--r9c")]
+            if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b",
+                         "--r9c", "--r10", "--r10b")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
     only_r9 = "--r9" in sys.argv[1:]
     only_r9b = "--r9b" in sys.argv[1:]
     only_r9c = "--r9c" in sys.argv[1:]
+    only_r10 = "--r10" in sys.argv[1:]
+    only_r10b = "--r10b" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -443,6 +515,25 @@ def main() -> None:
     spark = get_spark("gridiron-scale")
     spark.sparkContext.setLogLevel("ERROR")
     cat = catalog()
+
+    if only_r10:
+        # builds its own corpora (distinct-embedding + distinct-objective)
+        r10 = phase_r10(spark, cat, {1: SRC}, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r10.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r10}, f, indent=1)
+        spark.stop()
+        return
+
+    if only_r10b:
+        # builds its own corpora (embeddings-only exact copies)
+        r10b = phase_r10b(spark, cat, {1: SRC}, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r10b.json", "w") as f:
+            json.dump({**r10b}, f, indent=1)
+        spark.stop()
+        return
+
     dirs = {1: SRC}
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
@@ -668,6 +759,165 @@ def phase_r9c(spark, cat, dirs, ks) -> dict:
     print("\nlate round-9 additions:")
     print(_exponent_table(results, ks))
     return {"timings": results}
+
+
+def phase_r10(spark, cat, dirs, ks) -> dict:
+    """Round-10 probes. (a) The corpus-grain graph family
+    (pagerank/harmonic/k-core over IVF edges) on the DISTINCT-embedding
+    corpora — the round-9b isolation protocol: rotated replicas add new
+    clusters of the original density, so cells multiply while their
+    population stays ~stride·probes and the whole chain (edge build +
+    rounds) should be ~linear, vs the panel family's measured alpha=2
+    pair generator. (b) skyline_pareto_3d on the variable-suffix
+    DISTINCT-objective corpora — the r9 adjudication ('dedup before
+    skyline') measured at doc grain: distinct content keeps the frontier
+    output-sensitive, so the candidate broadcast must NOT grow ×k and
+    alpha should be ~linear or below."""
+    graph = (
+        "knn_graph_ivf",  # the shared edge generator, as the reference row
+        "pagerank_ivf_centrality",
+        "harmonic_centrality_ivf",
+        "kcore_decompose_ivf",
+    )
+    dirs_e = {1: SRC}
+    for k in ks:
+        print(f"# building x{k}e (distinct embeddings) corpus ...",
+              file=sys.stderr)
+        dirs_e[k] = build_corpus_emb_distinct(k)
+    results: dict[str, dict[int, float]] = {q: {} for q in graph}
+    for k in [1] + ks:
+        for q in graph:
+            t0 = time.perf_counter()
+            _force(cat[q].spark_fn(spark, dirs_e[k]))
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k}e {q}: {dt:.2f}s", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\ncorpus-grain graph family, distinct-embedding growth:")
+    print(_exponent_table(results, ks))
+
+    dirs_d = {1: SRC}
+    for k in ks:
+        print(f"# building x{k}d (distinct doc objectives) corpus ...",
+              file=sys.stderr)
+        dirs_d[k] = build_corpus_doc_distinct(k)
+    sky: dict[str, dict[int, float]] = {"skyline_pareto_3d": {}}
+    frontier: dict[int, int] = {}
+    for k in [1] + ks:
+        t0 = time.perf_counter()
+        _force(cat["skyline_pareto_3d"].spark_fn(spark, dirs_d[k]))
+        dt = time.perf_counter() - t0
+        sky["skyline_pareto_3d"][k] = round(dt, 3)
+        frontier[k] = cat["skyline_pareto_3d"].spark_fn(
+            spark, dirs_d[k]
+        ).count()
+        print(f"# x{k}d skyline_pareto_3d: {dt:.2f}s "
+              f"({frontier[k]} frontier rows)", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nskyline_pareto_3d distinct-objective growth "
+          f"(frontier sizes {frontier}):")
+    print(_exponent_table(sky, ks))
+    return {"graph_distinct_emb": results, "skyline_distinct_doc": sky,
+            "skyline_frontier_rows": frontier}
+
+
+def build_corpus_emb_copies(k: int) -> str:
+    """Embeddings-only ×k replication (exact copies, vec_id offsets) —
+    the prune-stage probe's growth axis: cluster sizes grow ∝ k at fixed
+    cluster count, which is exactly the regime where the intra-cluster
+    pairwise prune pays Σ|cluster|²."""
+    import duckdb
+
+    out = f"{ROOT}/x{k}emb"
+    os.makedirs(out, exist_ok=True)
+    marker = f"{out}/.complete"
+    if os.path.isfile(marker):
+        return out
+    con = duckdb.connect()
+    nv = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+COPY (
+  SELECT e.vec_id + r.r * {nv} AS vec_id, e.embedding, e.label
+  FROM read_parquet('{SRC}/embeddings.parquet') e
+  CROSS JOIN range(0, {k}) r(r)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in ALL_TABLES:
+        if t == "embeddings":
+            continue
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
+def phase_r10b(spark, cat, dirs, ks) -> dict:
+    """SemDeDup prune-stage probe, v2 — the honest one. The round-9
+    'residual prune super-linearity' adjudication dissolved under
+    scrutiny twice over: (a) probe timings (and bench) used .count(),
+    under which Catalyst ELIMINATES the keep-flag left join — the prune
+    never executed in any previous timing; (b) at catalog corpus sizes
+    the clusters are too small for the Σ|cluster|² term to matter
+    anyway. This probe isolates the PRUNE STAGE alone (assignment
+    eagerly checkpointed outside the timer), forces full evaluation via
+    the noop sink, and grows CLUSTER SIZE directly (fixed k=8 over ×k
+    exact-copy embeddings): full prune pays Σ|cluster|²/2 cosines and
+    must go quadratic in k; the rank-window prefix prune pays
+    Σ R·|cluster| and must stay ~linear."""
+    import math as _math
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        kmeans_fit,
+        lloyd_assign,
+        semdedup_flags,
+    )
+    from gridiron_spark.queries.similarity import _SD2_RANK_WINDOW
+
+    scales = [10, 30] + ([100] if os.environ.get("PRUNE_X100") == "1"
+                         else [])
+    probe: dict[str, float] = {}
+    sizes: dict[int, int] = {}
+    for k in scales:
+        corpus = build_corpus_emb_copies(k)
+        emb = load_table(spark, corpus, "embeddings")
+        cents = kmeans_fit(emb, k=8, rounds=8)
+        assign = lloyd_assign(emb, cents).localCheckpoint()  # outside timer
+        sizes[k] = max(
+            r["count"]
+            for r in assign.groupBy("cluster").count().collect()
+        )
+        for window, wl in ((_SD2_RANK_WINDOW, f"prefixR{_SD2_RANK_WINDOW}"),
+                           (None, "full")):
+            if window is None and k > 30:
+                continue  # ~(k/30)² × the x30 time — estimated, not run
+            _force(semdedup_flags(emb, None, 0.4, assign=assign,
+                                  prune_rank_window=window))  # warm
+            t0 = time.perf_counter()
+            _force(semdedup_flags(emb, None, 0.4, assign=assign,
+                                  prune_rank_window=window))
+            probe[f"x{k}emb_{wl}"] = round(time.perf_counter() - t0, 3)
+            print(f"# prune x{k}emb (maxclust {sizes[k]}) {wl}: "
+                  f"{probe[f'x{k}emb_{wl}']:.2f}s", file=sys.stderr)
+            spark._jvm.System.gc()
+    alphas = {}
+    for wl in (f"prefixR{_SD2_RANK_WINDOW}", "full"):
+        lo, hi = f"x10emb_{wl}", f"x30emb_{wl}"
+        if lo in probe and hi in probe:
+            alphas[wl] = round(
+                _math.log(max(probe[hi], 1e-3) / max(probe[lo], 1e-3))
+                / _math.log(3), 3)
+    print(f"\nsemdedup ISOLATED prune-stage probe (k=8, cluster sizes "
+          f"{sizes}; alpha x10->x30 {alphas}):")
+    for label, dt in probe.items():
+        print(f"| {label} | {dt:.2f} s |")
+    return {"prune_stage_probe": probe, "max_cluster": sizes,
+            "alpha": alphas}
 
 
 if __name__ == "__main__":
