@@ -23,12 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Sentinel marking each symbol's start inside the packed segmentation
-# string. Must be absent from the corpus alphabet (the documents tables are
-# space + lowercase ASCII; asserted for the toy path by the pytest). Every
-# symbol is PREFIXED with it, so a merge pattern ``¤a¤b`` can only match at
-# a true symbol boundary — a symbol merely ENDING in ``a`` puts a non-
-# sentinel char before the ``a`` and cannot false-match.
+# Sentinel delimiting symbols inside the packed segmentation string. Must
+# be absent from the corpus alphabet (the documents tables are space +
+# lowercase ASCII; asserted for the toy path by the pytest). Every symbol
+# is WRAPPED in it (``¤sym¤``), so a merge pattern ``¤a¤¤b¤`` can only
+# match exact symbols: a prefix-only scheme (``¤a¤b``, the round-1..9
+# format) false-matched when the RIGHT symbol was a strict prefix of
+# another symbol — hypothesis found ``¤c¤b`` merging inside ``¤c¤bb``
+# (round 10). Wrapping closes both sides; adjacent merges still chain
+# left-to-right because each replacement re-emits its closing sentinel.
 SENTINEL = "¤"
 
 
@@ -49,7 +52,9 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
     seg = wc.select(
         "word",
         "freq",
-        F.regexp_replace("word", "(.)", SENTINEL + "$1").alias("seg"),
+        F.regexp_replace("word", "(.)", SENTINEL + "$1" + SENTINEL).alias(
+            "seg"
+        ),
     )
     merge_steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
@@ -108,10 +113,13 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
                     F.replace(
                         F.col("seg"),
                         F.concat(
-                            F.lit(SENTINEL), F.col("_ba"),
-                            F.lit(SENTINEL), F.col("_bb"),
+                            F.lit(SENTINEL), F.col("_ba"), F.lit(SENTINEL),
+                            F.lit(SENTINEL), F.col("_bb"), F.lit(SENTINEL),
                         ),
-                        F.concat(F.lit(SENTINEL), F.col("_ba"), F.col("_bb")),
+                        F.concat(
+                            F.lit(SENTINEL), F.col("_ba"), F.col("_bb"),
+                            F.lit(SENTINEL),
+                        ),
                     ),
                     F.col("seg"),
                 ).alias("seg"),

@@ -227,6 +227,8 @@ _NEW_R10: tuple[str, ...] = (
     "kcore_decompose_ivf",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
+    "hard_negative_mining",
+    "embedding_drift_monitor",
 )
 
 

@@ -1746,7 +1746,8 @@ _GIVF_SPROBES = 2   # branches probed per vector at the coarse level
 
 def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
                         probes=_GIVF_PROBES, k=_GIVF_K,
-                        super_fac=None, sprobes=_GIVF_SPROBES):
+                        super_fac=None, sprobes=_GIVF_SPROBES,
+                        label_mismatch_only=False):
     """Approximate k-NN graph over the WHOLE embeddings table (not the
     centrality panel): quantize (floor(x·64) — the _panel_knn_edges
     integer-dot metric), assign every vector to its ``probes`` nearest
@@ -1851,6 +1852,26 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
         .select("src", "dst", pdot.alias("dot"))
     )
     wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    if label_mismatch_only:
+        # hard-negative regime: labels ride the same id-equi-joins the
+        # quantized vectors do; only cross-label candidates reach the rank
+        lab = emb.select("vec_id", F.col("label").cast("bigint").alias("l"))
+        scored = (
+            scored.join(lab.select(F.col("vec_id").alias("src"),
+                                   F.col("l").alias("anchor_label")), "src")
+            .join(lab.select(F.col("vec_id").alias("dst"),
+                             F.col("l").alias("negative_label")), "dst")
+            .filter(F.col("anchor_label") != F.col("negative_label"))
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= k)
+            .select(
+                F.col("src").alias("anchor"),
+                F.col("dst").alias("negative"),
+                "dot", "anchor_label", "negative_label",
+            )
+        )
     return (
         scored.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
@@ -1858,10 +1879,12 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
     )
 
 
-# the IVF edge set as a reusable oracle fragment (ends in CTE ``e`` —
-# the _KNN_EDGE_CTES convention); consumed by knn_graph_ivf and the
-# corpus-grain LPA below
-_GIVF_EDGE_CTES = f"""
+# the IVF candidate chain (ends in CTE ``scored`` = exact-dot-scored
+# candidate pairs) and the edge set on top of it (CTE ``e`` — the
+# _KNN_EDGE_CTES convention); consumed by knn_graph_ivf, the corpus-grain
+# centrality family, and hard_negative_mining (which ranks over a
+# label-filtered ``scored`` instead of ``e``)
+_GIVF_CAND_CTES = f"""
 WITH q AS (
     SELECT vec_id,
            list_transform(embedding,
@@ -1921,7 +1944,9 @@ scored AS (
     FROM cand c
     JOIN q qa ON qa.vec_id = c.src
     JOIN q qb ON qb.vec_id = c.dst
-),
+)"""
+
+_GIVF_EDGE_CTES = _GIVF_CAND_CTES + f""",
 e AS MATERIALIZED (
     SELECT src, dst, dot FROM (
         SELECT src, dst, dot,
@@ -2468,3 +2493,138 @@ def kcore_decompose_ivf(spark, sf_dir):
     """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _kcore_over_edges(edges)
+
+
+_HNEG_K = 3  # hard negatives per anchor
+
+
+@register(
+    "hard_negative_mining",
+    survey="NS-sim(contrastive-training data op: per-anchor top-k most-similar OTHER-label vectors via the IVF cell-join candidate stage — bucketed, never all-pairs),J1,W2,P3",
+    oracle=_GIVF_CAND_CTES + f""",
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+neg AS (
+    SELECT s.src AS anchor, s.dst AS negative, s.dot,
+           la.l AS anchor_label, lb.l AS negative_label
+    FROM scored s
+    JOIN lab la ON la.vec_id = s.src
+    JOIN lab lb ON lb.vec_id = s.dst
+    WHERE la.l <> lb.l
+)
+SELECT anchor, negative, dot, anchor_label, negative_label FROM (
+    SELECT anchor, negative, dot, anchor_label, negative_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY dot DESC, negative) AS rk
+    FROM neg
+) WHERE rk <= {_HNEG_K}
+""",
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data op: for every
+    anchor vector, the {k} most-similar vectors carrying a DIFFERENT
+    label (the near-miss confusables an embedding model trains against;
+    random negatives are too easy to shape the decision boundary). Rides
+    the IVF candidate stage end to end: candidates are pairs sharing a
+    probed cell (the knn_graph_ivf chain through ``scored``, exact
+    64×-quantized integer dots), labels join on the same id-equi-joins
+    the quantized vectors do, same-label pairs filter out BEFORE the
+    per-anchor rank, and a Partial WindowGroupLimit prunes to {k}
+    rows/anchor map-side. Semantically this is "nearest neighbor subject
+    to a predicate" — the predicate must sit between candidate
+    generation and ranking (filtering a plain k-NN result AFTER top-k
+    would under-fill anchors whose nearest neighbors share its label).
+
+    Scale shape: inherits knn_graph_ivf's measured posture (two-level
+    broadcast assignment, cell equi-join candidates, α ≈ 0.5
+    distinct-content growth — BASELINE.md rounds 9b/10); the label join
+    adds two id-equi-joins carrying one BIGINT. Recall caveat stated
+    honestly: an anchor whose cells hold only same-label vectors emits
+    no negatives (the IVF probe trade-off; raise probes or stride for
+    coverage) — on the 10-cluster fixture every anchor's 2 probed cells
+    mix labels, so coverage is full there.
+    """.format(k=_HNEG_K)
+    return knn_graph_ivf_edges(
+        spark, sf_dir, k=_HNEG_K, super_fac=_GIVF_SFAC,
+        label_mismatch_only=True,
+    )
+
+
+_DRIFT_Q = 1 << 20  # fixed-point unit for the per-dimension sums
+
+
+@register(
+    "embedding_drift_monitor",
+    survey="NS-sim(embedding-health monitoring: per-label centroid drift between snapshot halves — exact cross-multiplied integer L1, one linear pass),A3-A6,W1",
+    oracle=f"""
+WITH q AS (
+    SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_DRIFT_Q}) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+dims AS (
+    SELECT label, half, u.i AS dim, qv[u.i + 1] AS v
+    FROM q, unnest(range(0, len(qv))) AS u(i)
+),
+agg AS (
+    SELECT label, dim,
+           SUM(CASE WHEN half = 0 THEN v ELSE 0 END) AS s_old,
+           SUM(CASE WHEN half = 1 THEN v ELSE 0 END) AS s_new,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+    FROM dims GROUP BY label, dim
+)
+SELECT label,
+       CAST(MAX(n_old) AS BIGINT) AS n_old,
+       CAST(MAX(n_new) AS BIGINT) AS n_new,
+       CAST(SUM(abs(s_old * n_new - s_new * n_old)) AS BIGINT) AS drift_x
+FROM agg GROUP BY label
+""",
+)
+def embedding_drift_monitor(spark, sf_dir):
+    """Embedding drift — the health check a pipeline runs when a new
+    snapshot (or a new encoder version) lands: per label, how far did
+    the class centroid move between the old half (vec_id % 2 = 0) and
+    the new half? Exact integers end to end: vectors quantize to
+    floor(2²⁰·x), per-(label, half, dim) sums accumulate in one
+    map-side-combined aggregate, and the centroid difference avoids
+    division entirely via cross-multiplication —
+    drift_x = Σ_d |s_old[d]·n_new − s_new[d]·n_old|, which is
+    n_old·n_new · L1(mean_old − mean_new) in fixed point, so it is
+    hash-exact across engines and zero iff the two half-centroids
+    coincide. A real deployment alerts on drift_x normalized by
+    n_old·n_new against a per-label baseline.
+
+    Scale shape: ONE linear corpus pass — a 64-way per-row explode
+    feeding a (label, dim) aggregate whose output is |labels|·64 cells
+    (map-side combine does the heavy lifting; no join, no window, no
+    second scan), then a |labels|-row rollup. Overflow-safe: |s| ≤
+    2²⁰·64·n and the cross product multiplies by n — int64-exact
+    through n ≈ 3·10⁵ per label·half at 64 dims; past that the sums
+    pre-shift right (the PCA magnitude-split treatment).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _DRIFT_Q).cast("bigint"),
+            )
+        ).alias("dim", "v"),
+    )
+    agg = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v")).otherwise(0)).alias("s_old"),
+        F.sum(F.when(F.col("half") == 1, F.col("v")).otherwise(0)).alias("s_new"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    return agg.groupBy("label").agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.sum(
+            F.abs(F.col("s_old") * F.col("n_new") - F.col("s_new") * F.col("n_old"))
+        ).cast("bigint").alias("drift_x"),
+    )

@@ -674,7 +674,7 @@ wc AS (
 ),
 seg0 AS (
     SELECT word, freq,
-           regexp_replace(word, '(.)', '{S}\\1', 'g') AS seg
+           regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS seg
     FROM wc
 )"""
     ]
@@ -694,8 +694,8 @@ pr{i} AS (
 best{i} AS (SELECT a, b, n FROM pr{i} ORDER BY n DESC, a, b LIMIT 1),
 seg{i} AS (
     SELECT w.word, w.freq,
-           coalesce(replace(w.seg, '{S}' || bb.a || '{S}' || bb.b,
-                            '{S}' || bb.a || bb.b), w.seg) AS seg
+           coalesce(replace(w.seg, '{S}' || bb.a || '{S}{S}' || bb.b || '{S}',
+                            '{S}' || bb.a || bb.b || '{S}'), w.seg) AS seg
     FROM seg{i - 1} w LEFT JOIN best{i} bb ON TRUE
 )"""
         )
@@ -773,7 +773,10 @@ def _staged_segmentations(spark, sf_dir, split: str | None = None):
 
     stage = stage_path(
         sf_dir, "bpe_seg", "documents",
-        params={"n_merges": _BPE_N_MERGES, "split": split or "full"},
+        # fmt 2 = wrapped-sentinel segmentation (the round-10 prefix-
+        # collision fix); re-keys away any artifact trained pre-fix
+        params={"n_merges": _BPE_N_MERGES, "split": split or "full",
+                "fmt": 2},
     )
     train = load_table(spark, sf_dir, "documents")
     if split == "even":

@@ -120,6 +120,8 @@ _BNLJ_OK = {
     "pagerank_ivf_centrality",   # same IVF broadcast centroid fan-out as
     "harmonic_centrality_ivf",   # knn_graph_ivf (their shared edge
     "kcore_decompose_ivf",       # generator); rounds are equi-joins
+    "hard_negative_mining",      # same IVF broadcast fan-out; the label
+                                 # joins are id-equi-joins (BHJ)
 }
 
 # constructing these executes real work (streaming drains, staged-artifact

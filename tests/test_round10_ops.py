@@ -182,6 +182,91 @@ def test_tokenizer_fertility_gate_python_replay(spark):
     assert 0 < total_kept < total_docs, (total_kept, total_docs)
 
 
+def test_hard_negatives_match_brute_force_on_candidates(spark):
+    """Per-anchor top-k over the label-filtered candidate set must equal
+    a brute Python rank over the same candidates — and label-awareness
+    must be load-bearing: for some anchor the unfiltered top-k differs
+    (its nearest candidate shares its label)."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.similarity import _HNEG_K
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    cand = {}
+    for s, d in _ivf_edges_scored(spark):
+        cand.setdefault(s[0], []).append((s[1], d))
+    expected = {}
+    label_matters = False
+    for a, lst in cand.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        neg = [(b, dot) for b, dot in lst if labels[b] != labels[a]]
+        if lst[:_HNEG_K] != neg[:_HNEG_K]:
+            label_matters = True
+        for rk, (b, dot) in enumerate(neg[:_HNEG_K]):
+            expected[(a, b)] = (dot, labels[a], labels[b])
+    assert label_matters
+    out = {
+        (r["anchor"], r["negative"]): (
+            r["dot"], r["anchor_label"], r["negative_label"]
+        )
+        for r in _CATALOG["hard_negative_mining"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert out == expected
+
+
+def _ivf_edges_scored(spark):
+    """All scored IVF candidate pairs (not just the top-k edges):
+    re-derive via knn_graph_ivf_edges with k large enough to keep every
+    candidate."""
+    from gridiron_spark.queries.similarity import (
+        _GIVF_SFAC,
+        knn_graph_ivf_edges,
+    )
+
+    big = knn_graph_ivf_edges(spark, SF_SMALL, super_fac=_GIVF_SFAC,
+                              k=10**9)
+    return [((r["src"], r["dst"]), r["dot"]) for r in big.collect()]
+
+
+def test_embedding_drift_matches_numpy_centroids(spark):
+    """drift_x must equal n_old·n_new · L1(mean_old − mean_new) on the
+    2²⁰-quantized vectors, computed independently with numpy."""
+    import numpy as np
+
+    from gridiron_spark.io.tables import load_table
+
+    rows = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    by = {}
+    for r in rows:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * (1 << 20))
+        by.setdefault((r["label"], r["vec_id"] % 2), []).append(q)
+    labels = sorted({lb for lb, _ in by})
+    expected = {}
+    for lb in labels:
+        old = np.array(by.get((lb, 0), []), dtype=np.int64)
+        new = np.array(by.get((lb, 1), []), dtype=np.int64)
+        drift = int(
+            np.abs(
+                old.sum(axis=0) * len(new) - new.sum(axis=0) * len(old)
+            ).sum()
+        )
+        expected[lb] = (len(old), len(new), drift)
+    out = {
+        r["label"]: (r["n_old"], r["n_new"], r["drift_x"])
+        for r in _CATALOG["embedding_drift_monitor"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert out == expected
+    assert any(v[2] > 0 for v in out.values())  # drift actually measured
+
+
 def test_semdedup_prefix_prune_degrades_to_full_prune(spark):
     """R ≥ max|cluster| makes the rank-window prefix the whole cluster,
     so the capped prune must reproduce semdedup_two_level bit-for-bit —
