@@ -487,3 +487,28 @@ def test_domain_rollup_bench_broadcast_one_domain_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_prune_rank_window_is_partial(spark):
+    """semdedup_prefix_prune's comparison side must ride a Partial
+    WindowGroupLimit (each map task forwards <= R rows per cluster
+    before the exchange) — the Sigma R*|cluster| bound's plan shape."""
+    plan = _plan_of(spark, "semdedup_prefix_prune")
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+
+
+def test_hard_negative_rank_is_partial_group_limit(spark):
+    """hard_negative_mining's per-anchor top-k must prune map-side, and
+    the label joins must stay equi-joins (no cartesian against the
+    corpus)."""
+    plan = _plan_of(spark, "hard_negative_mining")
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_monitor_single_scan_no_join(spark):
+    """embedding_drift_monitor is ONE linear pass: no join anywhere and
+    exactly one parquet scan of the embeddings table."""
+    plan = _plan_of(spark, "embedding_drift_monitor")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
