@@ -229,6 +229,7 @@ _NEW_R10: tuple[str, ...] = (
     "semdedup_prefix_prune",
     "hard_negative_mining",
     "embedding_drift_monitor",
+    "ranking_eval_topk",
 )
 
 

@@ -2549,6 +2549,114 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
+_RANKEVAL_K = 10      # ranked-list depth for the retrieval metrics
+_RR_SCALE = 1_000_000  # fixed-point reciprocal-rank unit
+
+
+@register(
+    "ranking_eval_topk",
+    survey="NS-sim(retrieval ranking evaluation: exact per-anchor MRR / hits@k / recall@k components over the IVF top-k list, relevance = shared label),J1,W2,A3-A6",
+    oracle=_GIVF_CAND_CTES + f""",
+e AS MATERIALIZED (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scored
+),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+cls AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY l),
+r AS (
+    SELECT e.src, e.rk,
+           CASE WHEN la.l = lb.l THEN 1 ELSE 0 END AS rel, la.l
+    FROM e
+    JOIN lab la ON la.vec_id = e.src
+    JOIN lab lb ON lb.vec_id = e.dst
+    WHERE e.rk <= {_RANKEVAL_K}
+),
+pa AS (
+    SELECT src AS anchor, MAX(l) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT)
+               AS first_rel_rank
+    FROM r GROUP BY src
+)
+SELECT pa.anchor, pa.n_ranked, pa.n_rel, pa.first_rel_rank,
+       CAST(CASE WHEN pa.first_rel_rank > 0
+                 THEN {_RR_SCALE} // pa.first_rel_rank ELSE 0 END AS BIGINT)
+           AS rr_x,
+       CAST((1000 * pa.n_rel)
+            // LEAST({_RANKEVAL_K}, cls.n - 1) AS BIGINT) AS recall_milli
+FROM pa JOIN cls ON cls.l = pa.l
+""",
+)
+def ranking_eval_topk(spark, sf_dir):
+    """Retrieval-quality evaluation of the ANN index as a RANKING, not
+    just a set: per anchor, the exact MRR / hits@k / recall@k components
+    over the IVF top-{k} list with relevance = "shares the anchor's
+    label" (the embedding fixture's ground truth — the standard proxy
+    eval when no click log exists). ann_recall_eval grades set overlap
+    vs brute force; THIS grades ranked order: `first_rel_rank` and the
+    fixed-point reciprocal rank rr_x = {s} div rank (exact integers —
+    mean(rr_x)/{s} IS the MRR), `n_rel` of the top {k} (hits@{k};
+    precision@{k} = n_rel/{k}), and recall_milli = 1000·n_rel div
+    min({k}, |class|−1) (the truncated-recall denominator — an anchor
+    cannot retrieve more same-label vectors than its class holds).
+    NDCG is deliberately absent: its log2 discounts have no exact
+    integer form, and a cross-engine float hash on transcendental
+    output is the round-3 failure class.
+
+    Scale shape: the ranked lists are knn_graph_ivf's candidate chain
+    (two-level broadcast assignment, cell equi-join candidates, Partial
+    WindowGroupLimit top-{k} — α ≈ 0.5 measured); labels and class
+    sizes join as id-equi-joins / a broadcast |labels|-row table; the
+    metrics are ONE map-side-combined per-anchor aggregate. At 100 TB
+    the eval costs one index probe pass — the same plan the production
+    query path runs.
+    """.format(k=_RANKEVAL_K, s=_RR_SCALE)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph_ivf_edges(
+        spark, sf_dir, k=_RANKEVAL_K, super_fac=_GIVF_SFAC
+    )
+    lab = emb.select("vec_id", F.col("label").cast("bigint").alias("l"))
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    ranked = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .join(lab.select(F.col("vec_id").alias("src"),
+                         F.col("l").alias("la")), "src")
+        .join(lab.select(F.col("vec_id").alias("dst"),
+                         F.col("l").alias("lb")), "dst")
+        .select(
+            "src", "rk",
+            (F.col("la") == F.col("lb")).cast("bigint").alias("rel"),
+            F.col("la").alias("l"),
+        )
+    )
+    pa = ranked.groupBy(F.col("src").alias("anchor")).agg(
+        F.max("l").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rk"))), F.lit(0)
+        ).cast("bigint").alias("first_rel_rank"),
+    )
+    cls = lab.groupBy("l").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        pa.join(F.broadcast(cls), "l")
+        .select(
+            "anchor", "n_ranked", "n_rel", "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.expr(f"{_RR_SCALE} div first_rel_rank"),
+            ).otherwise(0).cast("bigint").alias("rr_x"),
+            F.expr(
+                f"(1000 * n_rel) div least({_RANKEVAL_K}, n - 1)"
+            ).cast("bigint").alias("recall_milli"),
+        )
+    )
+
+
 _DRIFT_Q = 1 << 20  # fixed-point unit for the per-dimension sums
 
 

@@ -122,6 +122,8 @@ _BNLJ_OK = {
     "kcore_decompose_ivf",       # generator); rounds are equi-joins
     "hard_negative_mining",      # same IVF broadcast fan-out; the label
                                  # joins are id-equi-joins (BHJ)
+    "ranking_eval_topk",         # same IVF broadcast fan-out; labels +
+                                 # class sizes are BHJ equi-joins
 }
 
 # constructing these executes real work (streaming drains, staged-artifact

@@ -267,6 +267,57 @@ def test_embedding_drift_matches_numpy_centroids(spark):
     assert any(v[2] > 0 for v in out.values())  # drift actually measured
 
 
+def test_ranking_eval_matches_python_metrics(spark):
+    """Exact metric replay: re-derive the top-10 ranked lists from the
+    IVF candidate chain in Python (same (dot desc, dst) order), compute
+    first-relevant-rank / rr_x / hits / truncated recall with plain
+    integer arithmetic, and require equality — plus at least one anchor
+    with a non-trivial rank (first_rel_rank > 1) so MRR isn't constant."""
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.queries.similarity import (
+        _GIVF_SFAC,
+        _RANKEVAL_K,
+        _RR_SCALE,
+        knn_graph_ivf_edges,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    cls: dict[int, int] = {}
+    for lb in labels.values():
+        cls[lb] = cls.get(lb, 0) + 1
+    edges = knn_graph_ivf_edges(
+        spark, SF_SMALL, k=_RANKEVAL_K, super_fac=_GIVF_SFAC
+    ).collect()
+    lists: dict[int, list] = {}
+    for r in edges:
+        lists.setdefault(r["src"], []).append((-r["dot"], r["dst"]))
+    expected = {}
+    for a, lst in lists.items():
+        lst.sort()
+        first = 0
+        n_rel = 0
+        for rk, (_, b) in enumerate(lst, start=1):
+            if labels[b] == labels[a]:
+                n_rel += 1
+                if first == 0:
+                    first = rk
+        rr = _RR_SCALE // first if first else 0
+        denom = min(_RANKEVAL_K, cls[labels[a]] - 1)
+        expected[a] = (len(lst), n_rel, first, rr, 1000 * n_rel // denom)
+    out = {
+        r["anchor"]: (
+            r["n_ranked"], r["n_rel"], r["first_rel_rank"], r["rr_x"],
+            r["recall_milli"],
+        )
+        for r in _CATALOG["ranking_eval_topk"].spark_fn(spark, SF_SMALL).collect()
+    }
+    assert out == expected
+    assert any(v[2] > 1 for v in out.values())
+
+
 def test_semdedup_prefix_prune_degrades_to_full_prune(spark):
     """R ≥ max|cluster| makes the rank-window prefix the whole cluster,
     so the capped prune must reproduce semdedup_two_level bit-for-bit —
