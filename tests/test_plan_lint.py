@@ -138,6 +138,11 @@ _EAGER = {
         "dedup_clusters_star", "corpus_clean_pipeline",
         "sequence_pack_bucketed", "mixture_token_budget",
         "training_data_pipeline", "bpe_merge_sequence", "bpe_encode_tokens",
+        # eager-checkpointed graph chains (edges materialize at build)
+        "pagerank_ivf_centrality", "harmonic_centrality_ivf",
+        "kcore_decompose_ivf", "harmonic_centrality_knn",
+        "kcore_decompose_knn", "community_lpa_ivf",
+        "label_propagation_knn", "tokenizer_fertility_gate",
     }
 }
 
