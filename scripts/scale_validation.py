@@ -499,7 +499,7 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b",
-                         "--r9c", "--r10", "--r10b")]
+                         "--r9c", "--r10", "--r10b", "--r10c")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
@@ -508,6 +508,7 @@ def main() -> None:
     only_r9c = "--r9c" in sys.argv[1:]
     only_r10 = "--r10" in sys.argv[1:]
     only_r10b = "--r10b" in sys.argv[1:]
+    only_r10c = "--r10c" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -538,6 +539,14 @@ def main() -> None:
     for k in ks:
         print(f"# building x{k} corpus ...", file=sys.stderr)
         dirs[k] = build_corpus(k)
+
+    if only_r10c:
+        r10c = phase_r10c(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r10c.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r10c}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r9b:
         r9b = phase_r9b(spark, cat, dirs, ks)
@@ -918,6 +927,42 @@ def phase_r10b(spark, cat, dirs, ks) -> dict:
         print(f"| {label} | {dt:.2f} s |")
     return {"prune_stage_probe": probe, "max_cluster": sizes,
             "alpha": alphas}
+
+
+def phase_r10c(spark, cat, dirs, ks) -> dict:
+    """Growth exponents for the remaining round-10 additions (the graph
+    twins and skyline have their own probes): tokenizer_fertility_gate
+    rides the rename corpus (distinct vocab per replica — the train
+    split and the explode both grow ×k, the vocab grows ×k too so the
+    broadcast stays vocab-sized); hard_negative_mining and
+    ranking_eval_topk ride the DISTINCT-embedding corpus (the IVF
+    candidate chain's isolation protocol); embedding_drift_monitor and
+    semdedup_prefix_prune ride exact-copy embeddings (drift is a pure
+    linear pass; the prefix prune's bound is the point of its own r10b
+    probe — here it runs train+assign+prune end to end). All forced
+    through the noop sink."""
+    doc_qs = ("tokenizer_fertility_gate",)
+    emb_qs = ("hard_negative_mining", "ranking_eval_topk")
+    copy_qs = ("embedding_drift_monitor", "semdedup_prefix_prune")
+    dirs_e = {1: SRC}
+    dirs_c = {1: SRC}
+    for k in ks:
+        dirs_e[k] = build_corpus_emb_distinct(k)
+        dirs_c[k] = build_corpus_emb_copies(k)
+    results: dict[str, dict[int, float]] = {}
+    for qs, dd in ((doc_qs, dirs), (emb_qs, dirs_e), (copy_qs, dirs_c)):
+        for q in qs:
+            results[q] = {}
+            for k in [1] + ks:
+                t0 = time.perf_counter()
+                _force(cat[q].spark_fn(spark, dd[k]))
+                dt = time.perf_counter() - t0
+                results[q][k] = round(dt, 3)
+                print(f"# x{k} {q}: {dt:.2f}s", file=sys.stderr)
+            spark._jvm.System.gc()
+    print("\nround-10 additions, distinct-content growth (forced eval):")
+    print(_exponent_table(results, ks))
+    return {"timings": results}
 
 
 if __name__ == "__main__":
