@@ -38,6 +38,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cat = catalog()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # opt-in iteration filter: comma-separated query names
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        missing = keep - set(cat)
+        if missing:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {sorted(missing)}")
+        cat = {n: e for n, e in cat.items() if n in keep}
     want_rows = os.environ.get("SPARK_GRAFT_BENCH_ROWS") == "1"
     timings: dict[str, float] = {}
     for name, entry in sorted(cat.items()):

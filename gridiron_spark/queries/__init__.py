@@ -225,6 +225,7 @@ _NEW_R10: tuple[str, ...] = (
     "pagerank_ivf_centrality",
     "harmonic_centrality_ivf",
     "kcore_decompose_ivf",
+    "triangle_count_ivf",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
     "hard_negative_mining",

@@ -1336,12 +1336,15 @@ def source_affinity_matrix(spark, sf_dir):
     )
 
 
-@register(
-    "triangle_count_knn",
-    survey="NS-sim(per-node triangle count + clustering coefficient over the k-NN graph, degree-ordered orientation),J1,A3-A6",
-    oracle=f"""
-{_KNN_EDGE_CTES},
-und AS (
+def _triangle_oracle(head: str = _KNN_EDGE_CTES) -> str:
+    """Degree-ordered-orientation triangle tail over any edge head ending
+    in CTE ``e`` with (src, dst, ...) — shared by the panel and
+    corpus-grain (IVF) triangle oracles. The multiply-referenced CTEs
+    (``und`` feeds the degree aggregate and the orientation; ``o`` feeds
+    all three wedge arms) are MATERIALIZED so DuckDB replays the edge
+    generator once, not once per reference."""
+    return head + """,
+und AS MATERIALIZED (
     SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e
 ),
 deg AS (
@@ -1349,10 +1352,10 @@ deg AS (
     FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
     GROUP BY n
 ),
-ok AS (
+ok AS MATERIALIZED (
     SELECT n, d, d * 4294967296 + n AS okey FROM deg
 ),
-o AS (
+o AS MATERIALIZED (
     SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS a,
            CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS b,
            CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS okey_b
@@ -1379,7 +1382,13 @@ SELECT deg.n AS vec_id, deg.d AS degree,
             THEN CAST(2 * COALESCE(tn.t, 0) AS DOUBLE)
                  / (deg.d * (deg.d - 1)) END AS clustering
 FROM deg LEFT JOIN tn ON deg.n = tn.n
-""",
+"""
+
+
+@register(
+    "triangle_count_knn",
+    survey="NS-sim(per-node triangle count + clustering coefficient over the k-NN graph, degree-ordered orientation),J1,A3-A6",
+    oracle=_triangle_oracle(),
 )
 def triangle_count_knn(spark, sf_dir):
     """Per-node triangle count and local clustering coefficient over the
@@ -1401,15 +1410,32 @@ def triangle_count_knn(spark, sf_dir):
     wedge and closing joins are EQUI-joins on node and (node, node)
     keys (no nested loop past the shared, reviewed pair generator). At
     corpus scale the panel generator swaps for the IVF/LSH candidate
-    stage exactly as pagerank's docstring prescribes; orientation and
-    closing join are corpus-safe as-is."""
+    stage exactly as pagerank's docstring prescribes (triangle_count_ivf
+    below IS that swap); orientation and closing join are corpus-safe
+    as-is."""
     q, edges = _panel_knn_edges(spark, sf_dir)
+    return _triangles_over_edges(edges, broadcast_deg=True)
+
+
+def _triangles_over_edges(edges, *, broadcast_deg, checkpoint=False):
+    """Shared degree-ordered-orientation machinery: symmetrize+dedup the
+    (src, dst, ...) edges, orient each edge from its (degree, id)-lower
+    endpoint, enumerate triangles as closed wedges, return (vec_id,
+    degree, n_triangles, clustering). ``broadcast_deg`` broadcasts the
+    degree table into the orientation joins — correct for the panel
+    variant (|panel| rows) and WRONG at corpus grain, where the degree
+    table is corpus-sized and the orientation joins must stay plain
+    equi-joins. ``checkpoint`` eagerly materializes the undirected and
+    oriented edge lists so an expensive generator (the IVF candidate
+    chain) runs once, not once per wedge arm."""
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
     )
+    if checkpoint:
+        und = und.localCheckpoint()
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -1421,10 +1447,12 @@ def triangle_count_knn(spark, sf_dir):
     )
     ku = ok.select(F.col("n").alias("ku_n"), F.col("okey").alias("ku_okey"))
     kv = ok.select(F.col("n").alias("kv_n"), F.col("okey").alias("kv_okey"))
+    if broadcast_deg:
+        ku, kv = F.broadcast(ku), F.broadcast(kv)
     flip = F.col("ku_okey") < F.col("kv_okey")
     o = (
-        und.join(F.broadcast(ku), F.col("u") == F.col("ku_n"))
-        .join(F.broadcast(kv), F.col("v") == F.col("kv_n"))
+        und.join(ku, F.col("u") == F.col("ku_n"))
+        .join(kv, F.col("v") == F.col("kv_n"))
         .select(
             F.when(flip, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(flip, F.col("v")).otherwise(F.col("u")).alias("b"),
@@ -1433,6 +1461,8 @@ def triangle_count_knn(spark, sf_dir):
             .alias("okey_b"),
         )
     )
+    if checkpoint:
+        o = o.localCheckpoint()
     w1 = o.select(
         F.col("a").alias("w1_a"), F.col("b").alias("w1_b"),
         F.col("okey_b").alias("w1_ob"),
@@ -1590,13 +1620,25 @@ def _kcore_over_edges(edges):
     d0 = degrees(und)
     e = und
     keep = None
-    for _ in range(_KCORE_ROUNDS):
-        keep = degrees(e).filter(F.col("d") >= _KCORE_K).select("n")
+    for r in range(_KCORE_ROUNDS):
+        # keep feeds two joins and e feeds the next round's degree pass AND
+        # both join probes — without materializing each round, the final
+        # plan re-derives round r-1 three times per reference (≈3^rounds
+        # copies of the undirected scan; measured 2.3× wall on the IVF
+        # variant at sf0.1). localCheckpoint truncates the lineage so each
+        # round costs exactly one degree aggregate + one two-sided
+        # semi-filter join over the SHRINKING edge list.
+        keep = (
+            degrees(e).filter(F.col("d") >= _KCORE_K).select("n")
+            .localCheckpoint()
+        )
         e = (
             e.join(keep.withColumnRenamed("n", "ku"), e.u == F.col("ku"))
             .join(keep.withColumnRenamed("n", "kv"), e.v == F.col("kv"))
             .select("u", "v")
         )
+        if r < _KCORE_ROUNDS - 1:
+            e = e.localCheckpoint()
     df_final = degrees(e)
     return (
         n0.join(d0.withColumnRenamed("d", "deg0"), "n")
@@ -2493,6 +2535,38 @@ def kcore_decompose_ivf(spark, sf_dir):
     """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _kcore_over_edges(edges)
+
+
+@register(
+    "triangle_count_ivf",
+    survey="NS-sim(CORPUS-GRAIN clustering structure: per-node triangle count + clustering coefficient over the IVF cell-join k-NN graph, degree-ordered orientation, all equi-joins),J1,A3-A6",
+    oracle=_triangle_oracle(_GIVF_EDGE_CTES),
+)
+def triangle_count_ivf(spark, sf_dir):
+    """Corpus-grain triangle counting — the LAST panel-only graph query's
+    IVF twin (components/LPA, PageRank, harmonic, and k-core already have
+    theirs): `triangle_count_knn`'s degree-ordered orientation run over
+    `knn_graph_ivf_edges`' two-level IVF cell-join graph. Symmetrize,
+    orientation, wedge enumeration, and the 2t/d(d−1) clustering rollup
+    are the SHARED `_triangles_over_edges` machinery, with the two
+    corpus-grain adjustments the panel docstring prescribes: the degree
+    table is corpus-sized, so the orientation lookups are plain
+    equi-joins (never broadcast — the pagerank_ivf rank-vector rule),
+    and the undirected + oriented edge lists are eagerly checkpointed so
+    the IVF candidate chain runs ONCE, not once per wedge arm.
+
+    Scale shape: edge generation inherits knn_graph_ivf's measured
+    α ≈ 0.5 posture (two-level broadcast assignment, cell equi-join
+    candidates — BASELINE.md round-9b), replacing the panel family's
+    α = 2.00 generator; downstream every stage is an equi-join or a
+    map-side-combined aggregate, and the degree-ordered orientation
+    bounds wedge fan-out by Σ out-deg² ≤ O(m^1.5) with out-degree
+    already ≤ 2·{k} on this bounded-degree graph, so the wedge join
+    cannot explode on hubs. The oracle replays edge generation,
+    orientation, and the closing join as one MATERIALIZED CTE chain.
+    """.format(k=_GIVF_K)
+    edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    return _triangles_over_edges(edges, broadcast_deg=False, checkpoint=True)
 
 
 _HNEG_K = 3  # hard negatives per anchor

@@ -120,6 +120,9 @@ _BNLJ_OK = {
     "pagerank_ivf_centrality",   # same IVF broadcast centroid fan-out as
     "harmonic_centrality_ivf",   # knn_graph_ivf (their shared edge
     "kcore_decompose_ivf",       # generator); rounds are equi-joins
+    "triangle_count_ivf",        # same IVF fan-out; orientation + wedge
+                                 # joins are plain equi-joins (degree
+                                 # table never broadcast at corpus grain)
     "hard_negative_mining",      # same IVF broadcast fan-out; the label
                                  # joins are id-equi-joins (BHJ)
     "ranking_eval_topk",         # same IVF broadcast fan-out; labels +
@@ -140,7 +143,8 @@ _EAGER = {
         "training_data_pipeline", "bpe_merge_sequence", "bpe_encode_tokens",
         # eager-checkpointed graph chains (edges materialize at build)
         "pagerank_ivf_centrality", "harmonic_centrality_ivf",
-        "kcore_decompose_ivf", "harmonic_centrality_knn",
+        "kcore_decompose_ivf", "triangle_count_ivf",
+        "harmonic_centrality_knn",
         "kcore_decompose_knn", "community_lpa_ivf",
         "label_propagation_knn", "tokenizer_fertility_gate",
     }
