@@ -226,6 +226,7 @@ _NEW_R10: tuple[str, ...] = (
     "harmonic_centrality_ivf",
     "kcore_decompose_ivf",
     "triangle_count_ivf",
+    "decontaminate_semantic_ivf",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
     "hard_negative_mining",

@@ -1786,26 +1786,15 @@ _GIVF_SFAC = 25     # two-level: supers = centroids with cid % (stride·25) == 0
 _GIVF_SPROBES = 2   # branches probed per vector at the coarse level
 
 
-def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
-                        probes=_GIVF_PROBES, k=_GIVF_K,
-                        super_fac=None, sprobes=_GIVF_SPROBES,
-                        label_mismatch_only=False):
-    """Approximate k-NN graph over the WHOLE embeddings table (not the
-    centrality panel): quantize (floor(x·64) — the _panel_knn_edges
-    integer-dot metric), assign every vector to its ``probes`` nearest
-    coarse cells, self-join on the cell id, dedup candidate pairs, exact
-    integer-dot rank top-``k`` per source. Deterministic end to end.
-
-    ``super_fac=None`` ranks every centroid per vector — the n×C
-    assignment whose quadratic term the round-9b probe measured (α≈1.5
-    once C grows with the corpus). ``super_fac=s`` switches to TWO-LEVEL
-    assignment (the semdedup_two_level √k move applied to the IVF coarse
-    table itself): every ``stride·s``-th vector seeds a branch, each
-    centroid joins its top-dot branch, and a vector ranks only the
-    ``sprobes`` nearest branches' centroids — per-vector work falls from
-    C dots to ~C/s + sprobes·s. Probing ALL branches degenerates to the
-    single-level assignment exactly (pytest-pinned), so the two paths
-    share every downstream stage."""
+def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
+                super_fac=None, sprobes=_GIVF_SPROBES):
+    """Shared IVF coarse-assignment stage: quantize the embeddings table
+    (floor(x·64) integer vectors), assign every vector to its ``probes``
+    nearest coarse cells (single-level n×C ranking, or two-level via
+    ``super_fac`` branches — see knn_graph_ivf_edges). Returns
+    ``(q, assigned)``: the quantized table (vec_id, qv) and the cell map
+    (vec_id, cid). Consumed by the k-NN graph builder and the semantic
+    decontamination screen."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1869,6 +1858,34 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
         .filter(F.col("rn") <= probes)
         .select("vec_id", "cid")
     )
+    return q, assigned
+
+
+def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
+                        probes=_GIVF_PROBES, k=_GIVF_K,
+                        super_fac=None, sprobes=_GIVF_SPROBES,
+                        label_mismatch_only=False):
+    """Approximate k-NN graph over the WHOLE embeddings table (not the
+    centrality panel): quantize (floor(x·64) — the _panel_knn_edges
+    integer-dot metric), assign every vector to its ``probes`` nearest
+    coarse cells, self-join on the cell id, dedup candidate pairs, exact
+    integer-dot rank top-``k`` per source. Deterministic end to end.
+
+    ``super_fac=None`` ranks every centroid per vector — the n×C
+    assignment whose quadratic term the round-9b probe measured (α≈1.5
+    once C grows with the corpus). ``super_fac=s`` switches to TWO-LEVEL
+    assignment (the semdedup_two_level √k move applied to the IVF coarse
+    table itself): every ``stride·s``-th vector seeds a branch, each
+    centroid joins its top-dot branch, and a vector ranks only the
+    ``sprobes`` nearest branches' centroids — per-vector work falls from
+    C dots to ~C/s + sprobes·s. Probing ALL branches degenerates to the
+    single-level assignment exactly (pytest-pinned), so the two paths
+    share every downstream stage (quantization + cell assignment live in
+    the shared ``_ivf_assign``)."""
+    from pyspark.sql import Window
+
+    q, assigned = _ivf_assign(spark, sf_dir, stride=stride, probes=probes,
+                              super_fac=super_fac, sprobes=sprobes)
     cand = (
         assigned.alias("a")
         .join(
@@ -1897,7 +1914,9 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
     if label_mismatch_only:
         # hard-negative regime: labels ride the same id-equi-joins the
         # quantized vectors do; only cross-label candidates reach the rank
-        lab = emb.select("vec_id", F.col("label").cast("bigint").alias("l"))
+        lab = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").cast("bigint").alias("l")
+        )
         scored = (
             scored.join(lab.select(F.col("vec_id").alias("src"),
                                    F.col("l").alias("anchor_label")), "src")
@@ -2364,6 +2383,14 @@ def _harmonic_over_edges(edges):
             .groupBy("src", "dst")
             .agg(F.min("d").alias("d"))
         )
+        if h < _HARM_HOPS:
+            # cur feeds BOTH the next round's expansion join and its
+            # min-union — unmaterialized, the final plan re-derives each
+            # prior round twice per reference (2^rounds copies of the
+            # first expansion; the k-core peel pathology). The pair set
+            # is bounded by |V|·(2k)^h, so materializing it per round is
+            # the cheap side of that trade.
+            cur = cur.localCheckpoint()
     return cur.groupBy(F.col("src").alias("vec_id")).agg(
         F.sum(F.expr("6 div d")).cast("bigint").alias("harmonic_x6"),
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
@@ -2567,6 +2594,92 @@ def triangle_count_ivf(spark, sf_dir):
     """.format(k=_GIVF_K)
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _triangles_over_edges(edges, broadcast_deg=False, checkpoint=True)
+
+
+_DECON_MOD = 100   # benchmark panel: every vec_id % 100 == 0 embedding
+_DECON_T = 900     # contamination bar on the 64x-quantized integer dot
+
+
+@register(
+    "decontaminate_semantic_ivf",
+    survey="NS-dedup(SEMANTIC benchmark decontamination: corpus vectors too close to any held-out benchmark embedding, via shared IVF cells — bucketed panel-to-corpus screen, never all-pairs),J1,W2,P3",
+    oracle=_GIVF_CAND_CTES + f""",
+bench AS (SELECT vec_id, cid FROM assigned WHERE vec_id % {_DECON_MOD} = 0),
+corp AS (SELECT vec_id, cid FROM assigned WHERE vec_id % {_DECON_MOD} <> 0),
+pairs AS (
+    SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+    FROM corp c JOIN bench b ON c.cid = b.cid
+),
+pd AS (
+    SELECT p.vec_id, p.bench_id,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM pairs p
+    JOIN q qa ON qa.vec_id = p.vec_id
+    JOIN q qb ON qb.vec_id = p.bench_id
+)
+SELECT vec_id, bench_id, dot FROM (
+    SELECT vec_id, bench_id, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dot DESC, bench_id) AS rn
+    FROM pd
+) WHERE rn = 1 AND dot >= {_DECON_T}
+""",
+)
+def decontaminate_semantic_ivf(spark, sf_dir):
+    """Semantic benchmark decontamination — the embedding-grain twin of
+    `decontaminate_ngram_overlap`: n-gram overlap only catches verbatim
+    test-set leakage, but a paraphrased benchmark item still contaminates
+    an eval, so modern pipelines ALSO screen training vectors against the
+    held-out benchmark in embedding space. Benchmark = every
+    vec_id % {m} == 0 embedding (the held-out panel); a corpus vector is
+    flagged when its best benchmark neighbor's exact 64×-quantized
+    integer dot ≥ {t} (cos ≈ {t}/4096 on these unit vectors). Output is
+    the contamination report (vec_id, bench_id, dot) — the keep-list is
+    its anti-join, exactly how the n-gram variant is consumed.
+
+    Candidates come from SHARED IVF CELLS, not an all-pairs panel×corpus
+    join: both sides ride the shared `_ivf_assign` two-level coarse
+    assignment (the knn_graph_ivf chain through ``assigned``), pairs
+    form by a cell-id equi-join of the corpus side against the
+    panel-side cell map, the exact dot re-ranks candidates through a
+    per-vector top-1 (Partial WindowGroupLimit), and the bar applies
+    after the top-1 (best < bar ⇒ no weaker pair can pass it).
+
+    Scale shape: inherits knn_graph_ivf's measured α ≈ 0.5 posture —
+    assignment is two-level broadcast fan-out pruned map-side; the
+    screen join keys on cid with the (typically tiny) benchmark side
+    broadcastable; verify joins are id-equi-joins. Recall follows the
+    IVF probe trade-off (a paraphrase landing outside the anchor's
+    probed cells is missed — raise probes/stride for coverage), the
+    same honest caveat hard_negative_mining documents.
+    """.format(m=_DECON_MOD, t=_DECON_T)
+    from pyspark.sql import Window
+
+    q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
+    bench = assigned.filter(F.col("vec_id") % _DECON_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), "cid"
+    )
+    corp = assigned.filter(F.col("vec_id") % _DECON_MOD != 0)
+    pairs = corp.join(bench, "cid").select("vec_id", "bench_id").distinct()
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pairs.join(q.select(F.col("vec_id"), F.col("qv").alias("qa")),
+                   "vec_id")
+        .join(q.select(F.col("vec_id").alias("bench_id"),
+                       F.col("qv").alias("qb")), "bench_id")
+        .select("vec_id", "bench_id", pdot.alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dot") >= _DECON_T))
+        .select("vec_id", "bench_id", "dot")
+    )
 
 
 _HNEG_K = 3  # hard negatives per anchor

@@ -123,6 +123,8 @@ _BNLJ_OK = {
     "triangle_count_ivf",        # same IVF fan-out; orientation + wedge
                                  # joins are plain equi-joins (degree
                                  # table never broadcast at corpus grain)
+    "decontaminate_semantic_ivf",  # same IVF fan-out; the screen join is
+                                   # a cid equi-join vs the panel cell map
     "hard_negative_mining",      # same IVF broadcast fan-out; the label
                                  # joins are id-equi-joins (BHJ)
     "ranking_eval_topk",         # same IVF broadcast fan-out; labels +

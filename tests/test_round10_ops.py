@@ -395,3 +395,31 @@ def test_kcore_ivf_equals_python_peel(spark):
         .collect()
     }
     assert out == expected
+
+
+def test_semantic_decontamination_matches_brute_force_on_candidates(spark):
+    """The contamination report must equal a brute Python replay over the
+    same IVF candidate pairs: per corpus vector, argmax-dot benchmark
+    neighbor (ties to the lower bench_id), kept iff dot >= the bar — and
+    the bar must be load-bearing (some best-neighbor pair falls below it)."""
+    from gridiron_spark.queries.similarity import _DECON_MOD, _DECON_T
+
+    best: dict[int, tuple[int, int]] = {}
+    for (s, d), dot in _ivf_edges_scored(spark):
+        if s % _DECON_MOD == 0 or d % _DECON_MOD != 0:
+            continue
+        cur = best.get(s)
+        if cur is None or (dot, -d) > (cur[1], -cur[0]):
+            best[s] = (d, dot)
+    expected = {
+        v: (b, dot) for v, (b, dot) in best.items() if dot >= _DECON_T
+    }
+    assert expected, "fixture must flag at least one contaminated vector"
+    assert len(expected) < len(best), "the dot bar must filter something"
+    out = {
+        r["vec_id"]: (r["bench_id"], r["dot"])
+        for r in _CATALOG["decontaminate_semantic_ivf"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert out == expected
