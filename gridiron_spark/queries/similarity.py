@@ -2383,14 +2383,13 @@ def _harmonic_over_edges(edges):
             .groupBy("src", "dst")
             .agg(F.min("d").alias("d"))
         )
-        if h < _HARM_HOPS:
-            # cur feeds BOTH the next round's expansion join and its
-            # min-union — unmaterialized, the final plan re-derives each
-            # prior round twice per reference (2^rounds copies of the
-            # first expansion; the k-core peel pathology). The pair set
-            # is bounded by |V|·(2k)^h, so materializing it per round is
-            # the cheap side of that trade.
-            cur = cur.localCheckpoint()
+        # NOT checkpointed per round, deliberately: cur feeds the next
+        # round twice (expansion join + min-union), but materializing the
+        # |V|·(2k)^h-row pair set costs MORE than re-deriving the cheap
+        # prior-round aggregate twice — measured 3.4 s → 8.2 s at sf0.1
+        # when round-2 was checkpointed (the opposite trade from the
+        # k-core peel, whose rounds re-derive an expensive shrinking
+        # JOIN chain rather than one wide aggregate).
     return cur.groupBy(F.col("src").alias("vec_id")).agg(
         F.sum(F.expr("6 div d")).cast("bigint").alias("harmonic_x6"),
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
