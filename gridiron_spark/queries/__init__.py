@@ -227,6 +227,7 @@ _NEW_R10: tuple[str, ...] = (
     "kcore_decompose_ivf",
     "triangle_count_ivf",
     "decontaminate_semantic_ivf",
+    "quantile_rollup_merge",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
     "hard_negative_mining",

@@ -1072,3 +1072,127 @@ def hll_rollup_merge(spark, sf_dir):
             "denom_scaled", "exact_distinct",
         )
     )
+
+
+@register(
+    "quantile_rollup_merge",
+    survey="A-sketch(mergeable histogram pre-aggregation rollup: per-day bin-count shards SUM-merged at query time, merge==direct pinned in-plan, quantiles extracted from the merged sketch),A3,W1-W3",
+    oracle=f"""
+WITH b AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           CAST(floor(value) AS BIGINT) // 10 AS bin
+    FROM events
+),
+shard AS (
+    SELECT event_type, day, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS mcnt
+    FROM shard GROUP BY 1, 2
+),
+direct AS (
+    SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS dcnt
+    FROM b GROUP BY 1, 2
+),
+days AS (
+    SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+    FROM b GROUP BY 1
+),
+cc AS (
+    SELECT m.event_type, m.bin, m.mcnt,
+           CAST(CASE WHEN m.mcnt <> d.dcnt THEN 1 ELSE 0 END AS BIGINT)
+               AS mism,
+           SUM(m.mcnt) OVER (PARTITION BY m.event_type ORDER BY m.bin
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(m.mcnt) OVER (PARTITION BY m.event_type) AS total
+    FROM merged m
+    JOIN direct d ON d.event_type = m.event_type AND d.bin = m.bin
+)
+SELECT cc.event_type, MAX(dy.n_days) AS n_days,
+       CAST(MAX(total) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_set,
+       CAST(SUM(mism) AS BIGINT) AS n_mismatched_cells,
+       MIN(CASE WHEN cum >= (total + 1) // 2 THEN bin END) * 10 AS p50_lo,
+       MIN(CASE WHEN cum >= (9 * total + 9) // 10 THEN bin END) * 10 AS p90_lo,
+       MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN bin END) * 10
+           AS p99_lo
+FROM cc JOIN days dy ON dy.event_type = cc.event_type
+GROUP BY cc.event_type
+""",
+)
+def quantile_rollup_merge(spark, sf_dir):
+    """The percentile twin of `hll_rollup_merge` — the OTHER sketch a
+    lakehouse pre-aggregates nightly: per-(event_type, day) fixed-bin
+    histogram shards (the histogram_quantile_sketch binning, floor(value)
+    DIV 10) are rolled up to event_type grain by cell-wise SUM at query
+    time, the rollup is compared cell-for-cell against a histogram
+    computed directly from the raw rows (``n_mismatched_cells`` — count
+    additivity made a driver-checked output: any break in the merge path
+    flips the hash), and p50/p90/p99 lower bin bounds are extracted from
+    the MERGED sketch with exact integer rank arithmetic. Together the
+    two rollups cover the standard nightly-shard pair: MAX-mergeable
+    registers for distincts, SUM-mergeable bin counts for quantiles.
+
+    Scale shape: the shard table is ≤ |types|·days·bins rows and is the
+    only corpus-scale pass (one map-side-combined aggregate); the merge,
+    the direct comparison join, and the cumulative-rank window all run
+    over register-table-sized inputs (the window partitions by
+    event_type over ≤ bins rows per type — never corpus rows). Day
+    shards SUM-merge associatively across any partition of the data, so
+    the full histogram costs one bounded shuffle at any input size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr(f"ts_us div {_DAY_US}").alias("day"),
+        F.expr("CAST(floor(value) AS BIGINT) DIV 10").alias("bin"),
+    )
+    shard = b.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = shard.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("mcnt")
+    )
+    direct = b.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dcnt")
+    )
+    days = b.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cc = (
+        merged.join(direct, ["event_type", "bin"])
+        .select(
+            "event_type", "bin", "mcnt",
+            (F.col("mcnt") != F.col("dcnt")).cast("bigint").alias("mism"),
+        )
+        .withColumn("cum", F.sum("mcnt").over(w))
+        .withColumn("total", F.sum("mcnt").over(wt))
+    )
+
+    def _pick(rank_expr):
+        return F.min(F.when(F.col("cum") >= F.expr(rank_expr), F.col("bin")))
+
+    return (
+        cc.groupBy("event_type")
+        .agg(
+            F.max("total").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins_set"),
+            F.sum("mism").cast("bigint").alias("n_mismatched_cells"),
+            (_pick("(total + 1) DIV 2") * 10).alias("p50_lo"),
+            (_pick("(9 * total + 9) DIV 10") * 10).alias("p90_lo"),
+            (_pick("(99 * total + 99) DIV 100") * 10).alias("p99_lo"),
+        )
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type", "n_days", "n", "n_bins_set",
+            "n_mismatched_cells", "p50_lo", "p90_lo", "p99_lo",
+        )
+    )

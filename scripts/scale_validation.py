@@ -499,7 +499,7 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b",
-                         "--r9c", "--r10", "--r10b", "--r10c")]
+                         "--r9c", "--r10", "--r10b", "--r10c", "--r10d")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
@@ -509,6 +509,7 @@ def main() -> None:
     only_r10 = "--r10" in sys.argv[1:]
     only_r10b = "--r10b" in sys.argv[1:]
     only_r10c = "--r10c" in sys.argv[1:]
+    only_r10d = "--r10d" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -516,6 +517,15 @@ def main() -> None:
     spark = get_spark("gridiron-scale")
     spark.sparkContext.setLogLevel("ERROR")
     cat = catalog()
+
+    if only_r10d:
+        # builds its own corpora (distinct-embedding)
+        r10d = phase_r10d(spark, cat, {1: SRC}, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r10d.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r10d}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r10:
         # builds its own corpora (distinct-embedding + distinct-objective)
@@ -962,6 +972,59 @@ def phase_r10c(spark, cat, dirs, ks) -> dict:
             spark._jvm.System.gc()
     print("\nround-10 additions, distinct-content growth (forced eval):")
     print(_exponent_table(results, ks))
+    return {"timings": results}
+
+
+def phase_r10d(spark, cat, dirs, ks) -> dict:
+    """Growth exponents for the second-wave round-10 additions on the
+    DISTINCT-embedding corpora (the round-9b IVF isolation protocol):
+    triangle_count_ivf (the last panel-only graph query's corpus-grain
+    twin) and decontaminate_semantic_ivf (panel-to-corpus screen — the
+    benchmark panel grows with vec_id range, so the screen side scales
+    with the corpus while staying cell-bucketed); knn_graph_ivf rides
+    along as the shared-generator reference row, and kcore_decompose_ivf
+    re-measures post peel-round materialization (its round-10 table row
+    predates the fix). All forced through the noop sink."""
+    probe = (
+        "knn_graph_ivf",  # shared edge generator, reference row
+        "triangle_count_ivf",
+        "decontaminate_semantic_ivf",
+        "kcore_decompose_ivf",  # re-measure after the peel-round fix
+    )
+    dirs_e = {1: SRC}
+    for k in ks:
+        print(f"# building x{k}e (distinct embeddings) corpus ...",
+              file=sys.stderr)
+        dirs_e[k] = build_corpus_emb_distinct(k)
+    results: dict[str, dict[int, float]] = {q: {} for q in probe}
+    for k in [1] + ks:
+        for q in probe:
+            t0 = time.perf_counter()
+            _force(cat[q].spark_fn(spark, dirs_e[k]))
+            dt = time.perf_counter() - t0
+            results[q][k] = round(dt, 3)
+            print(f"# x{k}e {q}: {dt:.2f}s", file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nsecond-wave round-10 additions, distinct-embedding growth:")
+    print(_exponent_table(results, ks))
+
+    # quantile_rollup_merge is events-grain: ride the generic ×k corpus
+    # (events replicate with shifted ids/types — the r6 protocol). One
+    # linear shard pass + register-table-sized merge ⇒ α ≈ linear-or-below.
+    dirs_g = {1: SRC}
+    for k in ks:
+        print(f"# building x{k} corpus ...", file=sys.stderr)
+        dirs_g[k] = build_corpus(k)
+    qr: dict[str, dict[int, float]] = {"quantile_rollup_merge": {}}
+    for k in [1] + ks:
+        t0 = time.perf_counter()
+        _force(cat["quantile_rollup_merge"].spark_fn(spark, dirs_g[k]))
+        dt = time.perf_counter() - t0
+        qr["quantile_rollup_merge"][k] = round(dt, 3)
+        print(f"# x{k} quantile_rollup_merge: {dt:.2f}s", file=sys.stderr)
+    print("\nquantile rollup, generic corpus growth:")
+    print(_exponent_table(qr, ks))
+    results.update(qr)
     return {"timings": results}
 
 
