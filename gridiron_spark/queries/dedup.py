@@ -384,6 +384,12 @@ def corpus_clean_pipeline(spark, sf_dir):
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "text")
+        # NOT checkpointed, deliberately: survivors feeds both the
+        # candidate generator and the final keep-one join, but its rows
+        # carry the full text payload — materializing them measured
+        # 11.5 s → 16.3 s at sf0.1 (block-manager write+read of the wide
+        # column beats one repeated scan+window). Same trade as the
+        # harmonic pair set; the k-core peel is the opposite case.
     )
     pairs = prefix_filtered_pairs(survivors, threshold=0.5, shingle_k=3)
     clusters = connected_components_star(pairs).withColumnRenamed(
