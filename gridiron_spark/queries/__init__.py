@@ -228,6 +228,7 @@ _NEW_R10: tuple[str, ...] = (
     "triangle_count_ivf",
     "decontaminate_semantic_ivf",
     "quantile_rollup_merge",
+    "streaming_sketch_rollup_e2e",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
     "hard_negative_mining",

@@ -763,3 +763,87 @@ def streaming_cdc_upsert_e2e(spark, sf_dir):
     final = final.localCheckpoint()
     shutil.rmtree(run, ignore_errors=True)
     return final
+
+
+@register(
+    "streaming_sketch_rollup_e2e",
+    survey="ST-sketch(streaming-maintained mergeable histogram: stateful (event_type, bin) counts over a real readStream drained availableNow; quantiles extracted from the drained register table == the batch sketch),A3,W1-W3",
+    oracle="""
+WITH c AS (
+    SELECT event_type, CAST(floor(value) AS BIGINT) // 10 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+cc AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS total
+    FROM c
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_set,
+       MIN(CASE WHEN cum >= (total + 1) // 2 THEN bin END) * 10 AS p50_lo,
+       MIN(CASE WHEN cum >= (9 * total + 9) // 10 THEN bin END) * 10 AS p90_lo,
+       MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN bin END) * 10
+           AS p99_lo
+FROM cc GROUP BY event_type
+""",
+)
+def streaming_sketch_rollup_e2e(spark, sf_dir):
+    """The sketch-maintenance pattern in REAL Structured Streaming — the
+    streaming twin of `quantile_rollup_merge`: a stateful
+    (event_type, bin) count over a live file-source stream IS the
+    mergeable fixed-bin histogram (each micro-batch's partial counts
+    SUM-merge into state — the same additivity the batch rollup pins),
+    drained with the availableNow trigger, with p50/p90/p99 lower bin
+    bounds extracted batch-side from the drained register table and
+    hash-checked against the batch histogram over the same rows. This is
+    how a 100 TB pipeline serves percentiles continuously: the stream
+    maintains |types|·bins state cells (bounded — never per-event
+    state), the dashboard query reads the register table.
+
+    Scale shape: the stateful aggregate is map-side-combined before the
+    state-store shuffle (bounded key domain ⇒ bounded state); the
+    quantile extraction windows partition by event_type over ≤ bins
+    rows per type. Drain-side cost is one pass over the staged stream;
+    extraction cost is register-table-sized at any corpus size."""
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    stream = stream_events(spark, stage)
+    counts = (
+        stream.select(
+            "event_type",
+            F.expr("CAST(floor(value) AS BIGINT) DIV 10").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    reg = run_available_now(counts, f"sketch_{uuid.uuid4().hex[:8]}")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cc = reg.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+
+    def _pick(rank_expr):
+        return F.min(F.when(F.col("cum") >= F.expr(rank_expr), F.col("bin")))
+
+    return cc.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_set"),
+        (_pick("(total + 1) DIV 2") * 10).alias("p50_lo"),
+        (_pick("(9 * total + 9) DIV 10") * 10).alias("p90_lo"),
+        (_pick("(99 * total + 99) DIV 100") * 10).alias("p99_lo"),
+    )
