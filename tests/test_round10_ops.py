@@ -423,3 +423,36 @@ def test_semantic_decontamination_matches_brute_force_on_candidates(spark):
         .collect()
     }
     assert out == expected
+
+
+def test_quantile_rollup_merge_pins_additivity(spark):
+    """The merge==direct pin must actually hold (n_mismatched_cells == 0
+    on every row — count additivity), and the extracted quantiles must be
+    ordered p50 <= p90 <= p99 with n = sum of day-shard counts."""
+    rows = (
+        _CATALOG["quantile_rollup_merge"].spark_fn(spark, SF_SMALL).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_mismatched_cells"] == 0, r
+        assert r["p50_lo"] <= r["p90_lo"] <= r["p99_lo"], r
+        assert r["n"] > 0 and r["n_days"] > 0 and r["n_bins_set"] > 0
+
+
+def test_streaming_sketch_equals_batch_histogram(spark):
+    """The streaming-maintained register table must extract the SAME
+    quantile rows as histogram_quantile_sketch computes from the batch
+    table (shared binning, shared rank arithmetic)."""
+    batch = {
+        r["event_type"]: (r["n"], r["p50_lo"], r["p90_lo"], r["p99_lo"])
+        for r in _CATALOG["histogram_quantile_sketch"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    stream = {
+        r["event_type"]: (r["n"], r["p50_lo"], r["p90_lo"], r["p99_lo"])
+        for r in _CATALOG["streaming_sketch_rollup_e2e"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert stream == batch
