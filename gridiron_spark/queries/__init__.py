@@ -229,6 +229,7 @@ _NEW_R10: tuple[str, ...] = (
     "decontaminate_semantic_ivf",
     "quantile_rollup_merge",
     "streaming_sketch_rollup_e2e",
+    "ivf_cell_stats",
     "tokenizer_fertility_gate",
     "semdedup_prefix_prune",
     "hard_negative_mining",

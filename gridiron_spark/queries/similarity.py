@@ -2681,6 +2681,68 @@ def decontaminate_semantic_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "ivf_cell_stats",
+    survey="NS-sim(ANN index health: per-cell population + global balance/skew of the IVF coarse assignment — the index twin of key_skew_audit),A3-A6,J1",
+    oracle=_GIVF_CAND_CTES + """,
+cells AS (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM assigned GROUP BY cid
+),
+tot AS (
+    SELECT CAST(SUM(n_assigned) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n_assigned) AS BIGINT) AS max_cell
+    FROM cells
+)
+SELECT c.cid, c.n_assigned,
+       CAST(c.n_assigned * 1000 // t.total AS BIGINT) AS share_milli,
+       t.n_cells, t.max_cell,
+       CAST(t.max_cell * t.n_cells * 1000 // t.total AS BIGINT) AS skew_x1000
+FROM cells c CROSS JOIN tot t
+""",
+)
+def ivf_cell_stats(spark, sf_dir):
+    """ANN-index observability — the query an embedding-platform team
+    runs before trusting the IVF index: per-cell assigned population
+    plus the global balance numbers that predict query cost and skew
+    risk (`skew_x1000` = max_cell·n_cells·1000 div total — 1000 means
+    perfectly balanced; the key_skew_audit statistic applied to the
+    index itself). A hot cell is simultaneously a recall smell (too-
+    coarse quantizer region) and a latency smell (the cell self-join
+    pays |cell|² — the knn_graph_ivf docstring's duplicate-flood
+    caveat made a monitored number). Rides the SHARED `_ivf_assign`
+    two-level assignment, so the stats describe exactly the cell map
+    every IVF consumer (graph family, decontamination, hard negatives)
+    actually joins on.
+
+    Scale shape: one map-side-combined count over the (vec_id, cid)
+    cell map → |cells| rows; the global rollup is a 1-row aggregate
+    broadcast back across the per-cell rows (the agg_summary 1-row
+    cross pattern). Integer shares (·1000 div total) keep the output
+    hash-exact."""
+    _, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
+    cells = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned")
+    )
+    tot = cells.agg(
+        F.sum("n_assigned").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n_assigned").cast("bigint").alias("max_cell"),
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "cid", "n_assigned",
+            F.expr("n_assigned * 1000 div total").cast("bigint")
+            .alias("share_milli"),
+            "n_cells", "max_cell",
+            F.expr("max_cell * n_cells * 1000 div total").cast("bigint")
+            .alias("skew_x1000"),
+        )
+    )
+
+
 _HNEG_K = 3  # hard negatives per anchor
 
 

@@ -125,6 +125,8 @@ _BNLJ_OK = {
                                  # table never broadcast at corpus grain)
     "decontaminate_semantic_ivf",  # same IVF fan-out; the screen join is
                                    # a cid equi-join vs the panel cell map
+    "ivf_cell_stats",            # same IVF fan-out + the 1-row global
+                                 # rollup broadcast (agg_summary pattern)
     "hard_negative_mining",      # same IVF broadcast fan-out; the label
                                  # joins are id-equi-joins (BHJ)
     "ranking_eval_topk",         # same IVF broadcast fan-out; labels +
