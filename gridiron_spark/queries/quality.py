@@ -694,20 +694,63 @@ def filter_funnel_report(spark, sf_dir):
     followed by a single map-side-combined per-source aggregate whose
     output is |sources| rows. No joins, no explode, no second scan: the
     funnel costs exactly one pass at any corpus size."""
+    from gridiron_spark.operators.quality_model import (
+        _bucket as qm_bucket,
+        model_weights,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     rawtoks = F.split(F.lower("text"), " ")
     toks = qm_tokens_expr()
-    feats = qm_feature_array(toks)
+    # The unigram buckets feed BOTH the classifier fold and the LM fold —
+    # materialize them once per row so each token's md5 is computed once,
+    # not twice (the hash IS this query's cost; measured ~25% of the
+    # funnel's wall at sf0.1). Bigrams are classifier-only and hash in
+    # their own fold. Sums are identical to the one-array formulation the
+    # oracle replays: Σw over unigrams + Σw over bigrams == Σw over the
+    # concatenated feature array.
+    w_lit = F.array(*[F.lit(int(x)) for x in model_weights()])
+    nlp_lit = F.array(*[F.lit(int(x)) for x in unigram_nlp_table()])
+
+    def _fold_lit(arr, lit):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.element_at(lit, (b + 1).cast("int")).cast("bigint"),
+        )
+
+    n_toks = F.size(toks)
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: qm_bucket(
+                F.concat(
+                    F.element_at(toks, i),
+                    F.lit("_"),
+                    F.element_at(toks, i + 1),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     staged = docs.select(
         "source",
         (
             (F.size(rawtoks) >= 40)
             & (F.size(F.array_distinct(rawtoks)) / F.size(rawtoks) >= 0.35)
         ).alias("lex"),
-        qm_score_sum(feats).alias("score_sum"),
-        F.size(feats).cast("bigint").alias("n_feats"),
+        F.transform(toks, qm_bucket).alias("ubk"),
+        bigrams.alias("bbk"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        table_fold(toks, unigram_nlp_table()).alias("nlp10_sum"),
+    ).select(
+        "source",
+        "lex",
+        (_fold_lit(F.col("ubk"), w_lit) + _fold_lit(F.col("bbk"), w_lit))
+        .alias("score_sum"),
+        (F.size("ubk") + F.size("bbk")).cast("bigint").alias("n_feats"),
+        "n_tokens",
+        _fold_lit(F.col("ubk"), nlp_lit).alias("nlp10_sum"),
     )
     ml = (
         F.col("lex")
