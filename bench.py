@@ -56,6 +56,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if i > 0:  # discard cold run
                 samples.append(dt)
+            # UNTIMED per-run hygiene: localCheckpoint blocks from run i
+            # are only released when the DataFrame is GC'd (ContextCleaner
+            # weak refs), so back-to-back runs of a checkpointing query
+            # otherwise accumulate block-manager memory and run i+1 pays
+            # run i's pressure (measured: a checkpoint-bearing query's
+            # 5-run median more than doubled vs its 3-run median).
+            del df
+            spark._jvm.System.gc()
         timings[name] = round(statistics.median(samples), 4)
         rows = f" ({entry.spark_fn(spark, sf_dir).count()} rows)" if want_rows else ""
         print(f"# {name}: {timings[name]:.3f}s{rows}", file=sys.stderr)
