@@ -73,11 +73,12 @@ _QUERY_MODULES = (
 # regresses silently while out of the driver's window. Update after each
 # round's CORRECTNESS lands. Round 6: _EVIDENCE_R2 retired. Round 7:
 # _EVIDENCE_R6 folded. Round 9: _EVIDENCE_R7 folded (identical r07/r08
-# windows). Round 10 fold: CORRECTNESS_r09 was 47/47 oracle-green (+3
-# expected no_oracle MLlib rows) → its 50 rows became _EVIDENCE_R9 —
-# the 17 round-9 additions, the 8 round-3 stragglers (retiring
-# _EVIDENCE_R3), and 25 re-verified round-4 entries — leaving 25
-# round-4 entries as the ring's head for the round-10 window.
+# windows). Round 10 fold: CORRECTNESS_r09's 50 rows became _EVIDENCE_R9.
+# Round 11 fold: CORRECTNESS_r10 was 50/50 green (rows+schema+hash, zero
+# err) → its 50 rows became _EVIDENCE_R10 — the 13 round-10 additions,
+# all 25 round-4 entries (retiring _EVIDENCE_R4), and the 12 stalest
+# round-5 entries — leaving 38 round-5 entries as the ring's head for
+# the round-11 window.
 
 # The rows-only trio (the seeded-JVM MLlib family — hash families DuckDB
 # cannot reproduce): the driver records the same weaker rows-only check
@@ -90,46 +91,24 @@ _ROWS_ONLY_MLLIB = frozenset(
     }
 )
 
-# Latest driver evidence row is from round 4 — the stalest tier: the 25
-# entries that did not fit the round-9 window.
-_EVIDENCE_R4 = frozenset(
-    {
-        "anti_join_customers", "boilerplate_phrase_flags",
-        "bpe_pair_counts", "cluster_balanced_sample", "countmin_sketch",
-        "excess_shipped_suppliers", "gopher_repetition_flags",
-        "histogram_quantile_sketch", "hll_distinct_sketch",
-        "important_part_value", "intra_doc_repetition", "kmeans_assign",
-        "min_cost_supplier", "minhash_estimate_error",
-        "priority_exists_count", "quantile_stats", "sink_csv_roundtrip",
-        "sink_partitioned_roundtrip", "source_contamination_matrix",
-        "streaming_quality_gate_e2e", "table_profile",
-        "temperature_mixture_sample", "text_redact_pii",
-        "text_regex_tokens", "vocab_encode_checksum",
-    }
-)
-
-# Latest driver evidence row is from round 5 (50/50 green window: the 7
-# round-5 additions' first rows + all 43 then-stalest round-2 entries).
+# Latest driver evidence row is from round 5 — the stalest tier: the 38
+# round-5 entries that did not fit the round-10 window.
 _EVIDENCE_R5 = frozenset(
     {
         "agg_summary", "ann_cosine_topk", "ann_ivf_topk",
         "bpe_encode_tokens", "bpe_merge_sequence", "cogroup_reconcile",
-        "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "distinct_keys", "doc_chunking", "doc_fingerprint", "filter_project",
-        "join_enrich", "multi_join_topk_revenue", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_ppm_roundtrip",
-        "multimodal_wav_roundtrip", "range_join_bands", "rollup_revenue",
+        "dedup_embedding_cosine", "distinct_keys", "doc_chunking",
+        "doc_fingerprint", "filter_project", "join_enrich",
+        "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_ppm_roundtrip", "multimodal_wav_roundtrip",
         "sample_join_back", "scalar_functions", "semdedup_prune",
-        "semi_join_membership", "simhash_fingerprint", "simhash_near_pairs",
-        "staged_candidate_pairs", "streaming_dedup_e2e",
-        "streaming_enrich_e2e", "streaming_session_e2e",
-        "streaming_tumbling_e2e", "string_functions", "text_lang_id",
+        "semi_join_membership", "staged_candidate_pairs",
+        "streaming_dedup_e2e", "streaming_enrich_e2e",
+        "streaming_session_e2e", "streaming_tumbling_e2e", "text_lang_id",
         "text_normalize", "text_quality_score", "text_token_count",
-        "topk_orders", "topk_per_group", "tumbling_window_agg",
-        "udtf_bigrams", "union_distinct", "window_frame_stats",
-        "window_rank_suite", "winnow_fingerprint", "winnow_overlap_pairs",
-        "word_topk",
+        "topk_orders", "tumbling_window_agg", "udtf_bigrams",
+        "union_distinct", "window_frame_stats", "window_rank_suite",
+        "winnow_fingerprint", "winnow_overlap_pairs", "word_topk",
     }
 )
 
@@ -219,23 +198,37 @@ _EVIDENCE_R9 = frozenset(
     }
 )
 
-# Tier 1 = first-driver-row queue: the genuinely-new round-10 queries as
-# they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R10: tuple[str, ...] = (
-    "pagerank_ivf_centrality",
-    "harmonic_centrality_ivf",
-    "kcore_decompose_ivf",
-    "triangle_count_ivf",
-    "decontaminate_semantic_ivf",
-    "quantile_rollup_merge",
-    "streaming_sketch_rollup_e2e",
-    "ivf_cell_stats",
-    "tokenizer_fertility_gate",
-    "semdedup_prefix_prune",
-    "hard_negative_mining",
-    "embedding_drift_monitor",
-    "ranking_eval_topk",
+# Latest driver evidence row is from round 10 (CORRECTNESS_r10: 50/50
+# green): the 13 round-10 additions, all 25 retired round-4 entries, and
+# the 12 then-stalest round-5 entries. Freshest tier — re-verified last.
+_EVIDENCE_R10 = frozenset(
+    {
+        "anti_join_customers", "boilerplate_phrase_flags",
+        "bpe_pair_counts", "cluster_balanced_sample", "countmin_sketch",
+        "decontaminate_semantic_ivf", "dedup_clusters", "dedup_exact",
+        "dedup_exact_keep_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "embedding_drift_monitor", "excess_shipped_suppliers",
+        "gopher_repetition_flags", "hard_negative_mining",
+        "harmonic_centrality_ivf", "histogram_quantile_sketch",
+        "hll_distinct_sketch", "important_part_value",
+        "intra_doc_repetition", "ivf_cell_stats", "kcore_decompose_ivf",
+        "kmeans_assign", "min_cost_supplier", "minhash_estimate_error",
+        "multi_join_topk_revenue", "pagerank_ivf_centrality",
+        "priority_exists_count", "quantile_rollup_merge", "quantile_stats",
+        "range_join_bands", "ranking_eval_topk", "rollup_revenue",
+        "semdedup_prefix_prune", "simhash_fingerprint",
+        "simhash_near_pairs", "sink_csv_roundtrip",
+        "sink_partitioned_roundtrip", "source_contamination_matrix",
+        "streaming_quality_gate_e2e", "streaming_sketch_rollup_e2e",
+        "string_functions", "table_profile", "temperature_mixture_sample",
+        "text_redact_pii", "text_regex_tokens", "tokenizer_fertility_gate",
+        "topk_per_group", "triangle_count_ivf", "vocab_encode_checksum",
+    }
 )
+
+# Tier 1 = first-driver-row queue: the genuinely-new round-11 queries as
+# they land (named for the round whose queries it contains — ADVICE r9).
+_NEW_R11: tuple[str, ...] = ()
 
 
 def register(name: str, *, oracle: str | None, survey: str):
@@ -254,30 +247,30 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R10)
+    #   1. first-driver-row queue (_NEW_R11)
     #   2. anything without an evidence row (safety net; empty by audit)
-    #   3. stalest evidence (round 4) — the ring's head
-    #   4. round-5 evidence — fills whatever window slots remain
-    #   5. round-6 evidence
-    #   6. round-7/8 evidence
-    #   7. round-9 evidence — freshest
+    #   3. stalest evidence (round 5) — the ring's head
+    #   4. round-6 evidence — fills whatever window slots remain
+    #   5. round-7/8 evidence
+    #   6. round-9 evidence
+    #   7. round-10 evidence — freshest
     #   8. rows-only MLlib trio (no hash to refresh) — always last
-    new_r10 = set(_NEW_R10)
+    new_r11 = set(_NEW_R11)
 
     def tier(name: str) -> int:
-        if name in new_r10:
+        if name in new_r11:
             return 1
         if name in _ROWS_ONLY_MLLIB:
             return 8
-        if name in _EVIDENCE_R4:
-            return 3
         if name in _EVIDENCE_R5:
-            return 4
+            return 3
         if name in _EVIDENCE_R6:
-            return 5
+            return 4
         if name in _EVIDENCE_R7:
-            return 6
+            return 5
         if name in _EVIDENCE_R9:
+            return 6
+        if name in _EVIDENCE_R10:
             return 7
         return 2
 

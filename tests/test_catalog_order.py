@@ -11,12 +11,12 @@ evidence at most ~3 rounds old.
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _EVIDENCE_R4,
     _EVIDENCE_R5,
     _EVIDENCE_R6,
     _EVIDENCE_R7,
     _EVIDENCE_R9,
-    _NEW_R10,
+    _EVIDENCE_R10,
+    _NEW_R11,
     _ROWS_ONLY_MLLIB,
     catalog,
     oracle_sql,
@@ -25,14 +25,14 @@ from gridiron_spark.queries import (
 
 WINDOW = 50
 
-_TIERS_STALEST_FIRST = (_EVIDENCE_R4, _EVIDENCE_R5, _EVIDENCE_R6,
-                        _EVIDENCE_R7, _EVIDENCE_R9)
+_TIERS_STALEST_FIRST = (_EVIDENCE_R5, _EVIDENCE_R6, _EVIDENCE_R7,
+                        _EVIDENCE_R9, _EVIDENCE_R10)
 
 
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R10), _ROWS_ONLY_MLLIB):
+    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R11), _ROWS_ONLY_MLLIB):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -43,7 +43,7 @@ def test_ordering_sets_disjoint_and_complete():
     _ROWS_ONLY_MLLIB is a sub-tier of _EVIDENCE_R9, not a partition
     member."""
     assert _ROWS_ONLY_MLLIB <= _EVIDENCE_R9
-    tiers = [set(_NEW_R10), *_TIERS_STALEST_FIRST]
+    tiers = [set(_NEW_R11), *_TIERS_STALEST_FIRST]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -55,22 +55,22 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r10 = set(_NEW_R10)
+    new_r11 = set(_NEW_R11)
 
     def tier(n: str) -> int:
-        if n in new_r10:
+        if n in new_r11:
             return 1
         if n in _ROWS_ONLY_MLLIB:
             return 8
-        if n in _EVIDENCE_R4:
-            return 3
         if n in _EVIDENCE_R5:
-            return 4
+            return 3
         if n in _EVIDENCE_R6:
-            return 5
+            return 4
         if n in _EVIDENCE_R7:
-            return 6
+            return 5
         if n in _EVIDENCE_R9:
+            return 6
+        if n in _EVIDENCE_R10:
             return 7
         return 2
 
@@ -85,20 +85,20 @@ def test_window_rotation():
     leapfrog a staler one while its entries wait outside."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R10) <= window, "a new query missed its first-row slot"
-    filler = window - set(_NEW_R10)
-    stale_pool = _EVIDENCE_R4 | _EVIDENCE_R5
+    assert set(_NEW_R11) <= window, "a new query missed its first-row slot"
+    filler = window - set(_NEW_R11)
+    stale_pool = _EVIDENCE_R5 | _EVIDENCE_R6
     assert filler <= stale_pool, (
         "window filler must come from the stalest tiers: "
         f"{sorted(filler - stale_pool)}"
     )
-    # within the stale pool, round 4 strictly precedes round 5
-    if _EVIDENCE_R4 - window:
-        assert not (window & _EVIDENCE_R5), (
-            "round-5 entries in the window while stale round-4 entries "
-            f"wait outside: {sorted(window & _EVIDENCE_R5)}"
+    # within the stale pool, round 5 strictly precedes round 6
+    if _EVIDENCE_R5 - window:
+        assert not (window & _EVIDENCE_R6), (
+            "round-6 entries in the window while stale round-5 entries "
+            f"wait outside: {sorted(window & _EVIDENCE_R6)}"
         )
-    for fresher in (_EVIDENCE_R6, _EVIDENCE_R7, _EVIDENCE_R9):
+    for fresher in (_EVIDENCE_R7, _EVIDENCE_R9, _EVIDENCE_R10):
         if stale_pool - window:
             assert not (window & fresher), (
                 "fresh-evidence entries in the window while stale "
@@ -114,13 +114,13 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_round9_catalog_freeze_counts():
+def test_round10_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-9 catalog (225 queries; 222 oracles; 3 rows-only MLlib)
+    frozen round-10 catalog (238 queries; 235 oracles; 3 rows-only MLlib)
     so the docs can't drift from the code."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 225 + len(_NEW_R10), len(q)
+    assert len(q) == 238 + len(_NEW_R11), len(q)
     assert len(o) == len(q) - 3, (len(q), len(o))
     rows_only = set(q) - set(o)
     assert rows_only == {
