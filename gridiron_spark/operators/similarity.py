@@ -478,6 +478,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     assign: DataFrame | None = None,
     prune_rank_window: int | None = None,
+    exact_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     intra-cluster cosine pruning. Returns (id, cluster, keep ∈ {0,1}).
@@ -510,6 +511,22 @@ def semdedup_flags(
     and duplicate groups sit at nearly equal centroid distance, so real
     groups concentrate their representative high in the ranking);
     R ≥ max|cluster| degrades to the exact prune (pytest-pinned).
+
+    ``exact_cap=C`` makes the EXACT prune self-protecting: the paper's
+    k ∝ n contract is what keeps |cluster| bounded, and the full prune
+    has no in-plan guard if a hot cluster violates it (measured: 172 s
+    at ×10emb, 1 100 s at ×30emb, α = 1.69 — BASELINE.md round-10 probe).
+    Before the pairwise stage, a k-row census of the (already
+    checkpointed) assignment reads max|cluster|; while max ≤ C the
+    result is byte-identical to the unguarded exact prune (pytest-
+    pinned), and when a cluster outgrows C the prune auto-degrades to
+    the rank-window path with R = C — Σ C·|cluster| cosines, keeping
+    every comparison an in-contract cluster would have while turning
+    the growth LINEAR in cluster size (measured: α 1.69 → 1.01, ×30emb
+    1 099.6 s → 302.1 s — BASELINE.md round-11). The census is one tiny
+    aggregate (k rows, 1-row collect) off the same staged assignment
+    every consumer joins on. Ignored when a ``prune_rank_window`` is
+    already set.
     """
     # The assignment is referenced three times (pair-left, pair-right, and
     # the final flag join-back); without a lineage cut Spark re-runs the
@@ -520,6 +537,12 @@ def semdedup_flags(
     if assign is None:
         assign = lloyd_assign(emb, centroids, id_col)
     a = assign.localCheckpoint(eager=False)
+    if prune_rank_window is None and exact_cap is not None:
+        max_cluster = a.groupBy("cluster").count().agg(
+            F.max("count").alias("m")
+        ).first()["m"]
+        if max_cluster is not None and max_cluster > exact_cap:
+            prune_rank_window = exact_cap
     left = a
     if prune_rank_window is not None:
         from pyspark.sql import Window

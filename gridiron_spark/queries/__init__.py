@@ -228,7 +228,10 @@ _EVIDENCE_R10 = frozenset(
 
 # Tier 1 = first-driver-row queue: the genuinely-new round-11 queries as
 # they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R11: tuple[str, ...] = ()
+_NEW_R11: tuple[str, ...] = (
+    "ivf_cell_split",
+    "streaming_incremental_dedup_e2e",
+)
 
 
 def register(name: str, *, oracle: str | None, survey: str):

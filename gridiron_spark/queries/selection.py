@@ -22,16 +22,8 @@ from gridiron_spark.operators.lm import (
     unigram_nlp_table,
 )
 from gridiron_spark.operators.quality_model import feature_array, tokens_expr
+from gridiron_spark.functions.partitions import range_parts as _range_parts
 from gridiron_spark.queries import register
-
-
-def _range_parts(spark) -> int:
-    """Range-exchange width for the ranked-sort machinery: the session's
-    configured shuffle parallelism, NOT a literal — results are
-    rank-exact under any partition count (pytest pins invariance), so
-    the only effect is parallelism, which must scale with the cluster
-    (ADVICE r9: a hardcoded 32 caps a 1000-executor deployment)."""
-    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 # Keep threshold in deci-bits: in-vocab prose averages ~2–7 bits/token
 # (20–69 deci-bits) under the Zipf table, OOV tokens cost 140 — a doc
@@ -311,7 +303,7 @@ def curriculum_schedule(spark, sf_dir):
         ),
     )
     srt = (
-        b.repartitionByRange(16, "phase", "mix", "doc_id")
+        b.repartitionByRange(_range_parts(spark), "phase", "mix", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

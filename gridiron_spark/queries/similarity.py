@@ -513,6 +513,13 @@ def kmeans_assign(spark, sf_dir):
 
 
 _SEMDEDUP_THRESHOLD = 0.4
+# Self-protection bound for the EXACT prune entries: the paper's k ∝ n
+# contract keeps clusters near the design point (sf0.01 max ≈ 66, sf0.1
+# max ≈ 270 at k=8 — far below), so the exact path runs untouched at
+# every correctness/bench scale; a hot cluster past 1024 (the ×10emb
+# probe hit 2 650 → 172 s) flips the pairwise stage to the rank-window
+# prune with R = cap instead of paying Σ|cluster|² unguarded.
+_SD_EXACT_CAP = 1024
 
 
 @register(
@@ -559,13 +566,20 @@ def semdedup_prune(spark, sf_dir):
 
     Scale shape: see operators/similarity.semdedup_flags — the pairwise
     stage is bounded by cluster size by construction (the paper's design),
-    self-joined on the cluster key, one shuffle per side.
-    """.format(t=_SEMDEDUP_THRESHOLD)
+    self-joined on the cluster key, one shuffle per side. SELF-PROTECTING
+    since round 11: exact_cap={c} gates the exact prune on the staged
+    assignment's max|cluster| (a k-row census); if a hot cluster violates
+    the k ∝ n contract the entry auto-degrades to the rank-window prune
+    with R={c} (Σ R·|cluster| cosines) instead of silently paying
+    Σ|cluster|² — byte-identical to the exact prune at every in-contract
+    scale (pytest-pinned; probe in BASELINE.md round-11).
+    """.format(t=_SEMDEDUP_THRESHOLD, c=_SD_EXACT_CAP)
     from gridiron_spark.operators.similarity import semdedup_flags
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_flags(
-        emb, staged_kmeans_centroids(spark, sf_dir), _SEMDEDUP_THRESHOLD
+        emb, staged_kmeans_centroids(spark, sf_dir), _SEMDEDUP_THRESHOLD,
+        exact_cap=_SD_EXACT_CAP,
     )
 
 
@@ -674,10 +688,16 @@ def semdedup_two_level(spark, sf_dir):
     map-side fan-outs (×g, then ×probes·k/g) each pruned by a Partial
     WindowGroupLimit — no corpus shuffle until the cluster-keyed
     pairwise stage, which is the same bounded self-join as
-    semdedup_prune. The assignment is approximate-but-deterministic
-    (IVF probe trade-off), so the oracle replays it exactly; pytest
-    pins that probes==groups degrades to the exact argmin.
-    """.format(k=_SD2_K, g=_SD2_G, p=_SD2_PROBES, t=_SEMDEDUP_THRESHOLD)
+    semdedup_prune — and carries the same round-11 self-protection
+    (exact_cap={c}: a k-row max|cluster| census auto-degrades an
+    out-of-contract hot cluster to the R={c} rank-window prune). The
+    assignment is approximate-but-deterministic (IVF probe trade-off),
+    so the oracle replays it exactly; pytest pins that probes==groups
+    degrades to the exact argmin.
+    """.format(
+        k=_SD2_K, g=_SD2_G, p=_SD2_PROBES, t=_SEMDEDUP_THRESHOLD,
+        c=_SD_EXACT_CAP,
+    )
     from gridiron_spark.operators.similarity import (
         semdedup_flags,
         two_level_assign,
@@ -687,7 +707,10 @@ def semdedup_two_level(spark, sf_dir):
     assign = two_level_assign(
         emb, _sd2_cents(emb), groups=_SD2_G, probes=_SD2_PROBES
     )
-    return semdedup_flags(emb, None, _SEMDEDUP_THRESHOLD, assign=assign)
+    return semdedup_flags(
+        emb, None, _SEMDEDUP_THRESHOLD, assign=assign,
+        exact_cap=_SD_EXACT_CAP,
+    )
 
 
 def _sd2_cents(emb):
@@ -2590,9 +2613,12 @@ def triangle_count_ivf(spark, sf_dir):
     already ≤ 2·{k} on this bounded-degree graph, so the wedge join
     cannot explode on hubs. The oracle replays edge generation,
     orientation, and the closing join as one MATERIALIZED CTE chain.
-    """.format(k=_GIVF_K)
+    """
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _triangles_over_edges(edges, broadcast_deg=False, checkpoint=True)
+
+
+triangle_count_ivf.__doc__ = triangle_count_ivf.__doc__.format(k=_GIVF_K)
 
 
 _DECON_MOD = 100   # benchmark panel: every vec_id % 100 == 0 embedding
@@ -2652,7 +2678,7 @@ def decontaminate_semantic_ivf(spark, sf_dir):
     IVF probe trade-off (a paraphrase landing outside the anchor's
     probed cells is missed — raise probes/stride for coverage), the
     same honest caveat hard_negative_mining documents.
-    """.format(m=_DECON_MOD, t=_DECON_T)
+    """
     from pyspark.sql import Window
 
     q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
@@ -2679,6 +2705,11 @@ def decontaminate_semantic_ivf(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("dot") >= _DECON_T))
         .select("vec_id", "bench_id", "dot")
     )
+
+
+decontaminate_semantic_ivf.__doc__ = decontaminate_semantic_ivf.__doc__.format(
+    m=_DECON_MOD, t=_DECON_T
+)
 
 
 @register(
@@ -2741,6 +2772,124 @@ def ivf_cell_stats(spark, sf_dir):
             .alias("skew_x1000"),
         )
     )
+
+
+_SPLIT_CAP = 100  # population bound above which an IVF cell is re-seeded
+
+
+@register(
+    "ivf_cell_split",
+    survey="NS-sim(ANN index maintenance: hot-cell split — re-seed an over-populated IVF cell's members against ceil(sqrt(|cell|)) sub-centroids, bounding the |cell|² candidate term),J1,W1-W3,A6",
+    oracle=_GIVF_CAND_CTES + f""",
+csz AS (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cid
+),
+hot AS (
+    SELECT cid, CAST(ceil(sqrt(n)) AS BIGINT) AS s
+    FROM csz WHERE n > {_SPLIT_CAP}
+),
+seeds AS (
+    SELECT cid, seed FROM (
+        SELECT a.cid, a.vec_id AS seed, h.s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cid ORDER BY a.vec_id) AS srank
+        FROM assigned a JOIN hot h USING (cid)
+    ) WHERE srank <= s
+),
+remap AS (
+    SELECT vec_id, cid, sub_cid FROM (
+        SELECT a.vec_id, a.cid, s.seed AS sub_cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id, a.cid
+                   ORDER BY list_sum(list_transform(list_zip(qm.qv, qs.qv),
+                                     x -> x[1] * x[2])) DESC, s.seed
+               ) AS rn
+        FROM assigned a
+        JOIN seeds s USING (cid)
+        JOIN q qm ON qm.vec_id = a.vec_id
+        JOIN q qs ON qs.vec_id = s.seed
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT vec_id, cid, CAST(-1 AS BIGINT) AS sub_cid
+    FROM assigned WHERE cid NOT IN (SELECT cid FROM hot)
+)
+SELECT cid, sub_cid, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM remap GROUP BY cid, sub_cid
+""",
+)
+def ivf_cell_split(spark, sf_dir):
+    """ANN-index maintenance — the remedy `ivf_cell_stats` monitors for:
+    any cell whose population exceeds {cap} is RE-SEEDED against
+    ceil(sqrt(|cell|)) sub-centroids (the s smallest member vec_ids,
+    deterministic), and each member moves to its exact-integer-dot
+    nearest sub-seed — the semdedup_two_level sqrt trick applied
+    DOWNWARD, bounding the |cell|² candidate term of every cell
+    self-join consumer (knn_graph_ivf's documented duplicate-flood
+    caveat, now with a shipped mitigation like semdedup's exact_cap
+    guard). In-contract cells pass through unsplit (sub_cid = -1).
+    Output is cell-grain index health after mitigation: (cid, sub_cid,
+    n_members) — the artifact a reindex job would persist as the new
+    cell map.
+
+    Scale shape: the census is a map-side-combined count (|cells|
+    rows); `hot` and its seed list (Σ ceil(sqrt(|cell|)) rows) stay
+    centroid-sized and BROADCAST; hot-cell members re-rank against
+    only their own cell's seeds — Σ |cell|·sqrt(|cell|) integer dots,
+    pruned to the argmin map-side by a Partial WindowGroupLimit — and
+    the unsplit side is a broadcast anti join. No corpus self-join
+    anywhere: the whole point is the candidate term AFTER one split
+    round falls from Σ|cell|² toward Σ|cell|^1.5 (probe: BASELINE.md
+    round-11, exact-copy adversarial corpus).
+    """
+    from pyspark.sql import Window
+
+    q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
+    # referenced by the census, both remap branches, and the seed pick —
+    # pin the (sample-free but 5-stage) assignment once
+    a = assigned.localCheckpoint(eager=False)
+    cells = a.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hot = cells.filter(F.col("n") > _SPLIT_CAP).select(
+        "cid", F.ceil(F.sqrt(F.col("n"))).cast("bigint").alias("s")
+    )
+    ws = Window.partitionBy("cid").orderBy("vec_id")
+    seeds = (
+        a.join(F.broadcast(hot), "cid")
+        .withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= F.col("s"))
+        .select("cid", F.col("vec_id").alias("seed"))
+    )
+    seeded = seeds.join(
+        q.select(F.col("vec_id").alias("seed"), F.col("qv").alias("qs")),
+        "seed",
+    )
+    sdot = F.aggregate(
+        F.zip_with("qv", "qs", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wr = Window.partitionBy("vec_id", "cid").orderBy(
+        F.desc("sdot"), F.asc("seed")
+    )
+    split = (
+        a.join(F.broadcast(hot.select("cid")), "cid")
+        .join(q, "vec_id")
+        .join(F.broadcast(seeded), "cid")
+        .select("vec_id", "cid", "seed", sdot.alias("sdot"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("seed").alias("sub_cid"))
+    )
+    keep = a.join(F.broadcast(hot.select("cid")), "cid", "left_anti").select(
+        "vec_id", "cid", F.lit(-1).cast("bigint").alias("sub_cid")
+    )
+    return (
+        split.unionByName(keep)
+        .groupBy("cid", "sub_cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+
+
+ivf_cell_split.__doc__ = ivf_cell_split.__doc__.format(cap=_SPLIT_CAP)
 
 
 _HNEG_K = 3  # hard negatives per anchor

@@ -226,6 +226,26 @@ def _stage_documents(spark, sf_dir) -> str:
     )
 
 
+def _stage_documents_sharded(spark, sf_dir, shards: int = 4) -> str:
+    """Documents staged as ``shards`` separate parquet files so a
+    maxFilesPerTrigger=1 drain genuinely runs one micro-batch per shard
+    (the small-SF stages otherwise collapse to a single file and the
+    multi-batch merge path never executes). Shard membership is
+    hash(doc_id % shards) — deterministic for a given lake; consumers
+    must be batching-independent anyway (that is the property their
+    oracles pin)."""
+    from gridiron_spark.io.staging import ensure_stage, stage_path
+
+    stage = stage_path(sf_dir, f"stream_docs_sharded{shards}_v1", "documents")
+    return ensure_stage(
+        stage,
+        lambda p: load_table(spark, sf_dir, "documents")
+        .repartition(shards, F.col("doc_id") % shards)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+
+
 @register(
     "streaming_session_e2e",
     survey="ST2 as real readStream session_window (availableNow), watermarked",
@@ -847,3 +867,95 @@ def streaming_sketch_rollup_e2e(spark, sf_dir):
         (_pick("(9 * total + 9) DIV 10") * 10).alias("p90_lo"),
         (_pick("(99 * total + 99) DIV 100") * 10).alias("p99_lo"),
     )
+
+
+@register(
+    "streaming_incremental_dedup_e2e",
+    survey="ST-dedup(streaming incremental MinHash dedup: foreachBatch screen of each arriving micro-batch against the accumulated signature side-car, CDC-merged keep/drop flags — real readStream),NS-dedup",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+),
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, ub.b AS band_idx,
+           md5(array_to_string(sig[ub.b*4+1 : ub.b*4+4], '|')) AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS pid, b.doc_id AS did
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.did, c.pid,
+           len(list_filter(range(0, 16), i -> sd.sig[i+1] = sp.sig[i+1])) / 16.0
+               AS est_jaccard
+    FROM cand c
+    JOIN sig sd ON sd.doc_id = c.did
+    JOIN sig sp ON sp.doc_id = c.pid
+),
+hits AS (
+    SELECT did, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(pid) AS min_partner, MAX(est_jaccard) AS max_est
+    FROM est WHERE est_jaccard >= 0.5 GROUP BY did
+)
+SELECT d.doc_id,
+       COALESCE(h.n_matches, 0) AS n_matches,
+       h.min_partner, h.max_est,
+       CAST(CASE WHEN h.did IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN hits h ON h.did = d.doc_id
+""",
+)
+def streaming_incremental_dedup_e2e(spark, sf_dir):
+    """The arriving-shard dedup a 100 TB ingest actually runs, as a REAL
+    readStream drain — the streaming composition of
+    `incremental_dedup_flags` (batch-vs-side-car screen) with the
+    `streaming_cdc_upsert_e2e` foreachBatch MERGE: each micro-batch of
+    documents is shingled + MinHash-signed, LSH-screened against the
+    ACCUMULATED signature side-car (plus its own earlier-id peers), and
+    the per-doc keep/drop flags and the side-car itself are CDC-merged
+    into parquet state, exactly-once per pair. maxFilesPerTrigger=1
+    forces one merge per staged file so the multi-batch path (side-car
+    growth, later-arrival re-flagging) genuinely executes.
+
+    Every merge rule is confluent and each unordered matched pair is
+    formed in exactly the micro-batch where its later member arrives
+    (attributed to the GREATER doc_id), so the drained state is
+    batching-independent — the oracle states it as one batch SQL over
+    all smaller-id→larger-id band-collision pairs: stream == batch
+    keep/drop parity, the lambda-architecture property the §2.10 family
+    pins. See streaming/pipelines.minhash_sidecar_dedup_available_now
+    for the plan-shape and MERGE-INTO correspondence."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    stage = _stage_documents_sharded(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix=f"gridiron_sdedup_{uuid.uuid4().hex[:8]}_")
+    stream = stream_documents(spark, stage, max_files_per_trigger=1)
+    final = minhash_sidecar_dedup_available_now(
+        stream, f"{run}/sigs", f"{run}/flags", f"{run}/ckpt"
+    )
+    # pin the drained flags into Spark storage so the per-run scratch dir
+    # can be reclaimed immediately (the cdc_upsert pattern: every run is a
+    # real stream replay, deliberately not fingerprint-staged)
+    final = final.localCheckpoint()
+    shutil.rmtree(run, ignore_errors=True)
+    return final

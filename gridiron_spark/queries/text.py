@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gridiron_spark.functions.partitions import range_parts as _range_parts
 from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.queries import register
 
@@ -465,7 +466,7 @@ def sequence_pack_bucketed(spark, sf_dir):
         F.least(n_tok, F.lit(128)).alias("n_tokens"),
     )
     srt = (
-        d.repartitionByRange(16, "bucket_len", "doc_id")
+        d.repartitionByRange(_range_parts(spark), "bucket_len", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gridiron_spark.functions.decimal_safe import dec, dmean, dsum
+from gridiron_spark.functions.partitions import range_parts as _range_parts
 from gridiron_spark.io.tables import load_table
 from gridiron_spark.queries import register
 
@@ -983,7 +984,7 @@ def ranged_global_sort(spark, sf_dir):
     # boundaries, silently skewing seq — nondeterministic partition
     # identity must be pinned before a plan forks over it.
     srt = (
-        o.repartitionByRange(16, "o_orderdate", "o_orderkey")
+        o.repartitionByRange(_range_parts(spark), "o_orderdate", "o_orderkey")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

@@ -401,10 +401,16 @@ DOCUMENT_SCHEMA = StructType(
 )
 
 
-def stream_documents(spark: SparkSession, source_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream of document rows — the arriving-crawl shape a
     streaming quality gate consumes."""
-    return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def quality_gate_agg(docs: DataFrame, min_tokens: int = 40,
@@ -545,3 +551,167 @@ def cdc_upsert_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+def minhash_sidecar_dedup_available_now(
+    docs: DataFrame,
+    sig_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming incremental near-dup screening — the arriving-shard dedup
+    a 100 TB ingest actually runs, composing the batch
+    `incremental_minhash_flags` screen with the `cdc_upsert` foreachBatch
+    MERGE pattern. Each micro-batch:
+
+    1. shingles + MinHash-signs ONLY the arriving docs (the corpus side is
+       never re-shingled — its signature side-car is the state),
+    2. LSH-band-joins the batch against side-car ∪ batch for candidate
+       pairs, scoring signature-estimated Jaccard (matching-component
+       fraction — a k/num_hashes grid, bit-exact cross-engine),
+    3. attributes every matched pair to its GREATEST doc_id and MERGEs the
+       per-doc flag rows (SUM matches / MIN partner / MAX estimate) and the
+       appended signatures into two parquet state tables.
+
+    Every merge rule is CONFLUENT, and each unordered pair is formed in
+    exactly one micro-batch — the one where its later-arriving member
+    lands (same-batch pairs dedup to one row) — so the final flag table is
+    independent of how the file source batches the input, which is what
+    lets the DuckDB oracle state it as one batch SQL over all
+    (smaller-id → larger-id) pairs. A doc flagged keep on arrival is
+    RE-FLAGGED when a smaller-id near-dup arrives later: latest state wins,
+    the CDC contract.
+
+    Scale shape: per batch, only |batch| docs are shingled; the side-car
+    contributes (doc_id, sig) rows — ~1000× smaller than text; the band
+    join shuffles 32-byte band keys; flag state is one row per doc and
+    merges key-wise. The parquet overwrite is the dependency-free stand-in
+    for a Delta/Iceberg MERGE INTO (see cdc_upsert_available_now).
+    """
+    import os
+
+    from gridiron_spark.operators.dedup import (
+        band_keys,
+        minhash_signature_df,
+        shingle_rows,
+    )
+
+    spark = docs.sparkSession
+    rows = num_hashes // bands
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sig = minhash_signature_df(
+            shingle_rows(batch_df), num_hashes
+        ).localCheckpoint()
+        if os.path.isfile(os.path.join(sig_dir, "_SUCCESS")):
+            sidecar = spark.read.parquet(sig_dir)
+            all_sig = sidecar.unionByName(batch_sig)
+        else:
+            all_sig = batch_sig
+        # referenced by the band join, both estimate joins, and the state
+        # overwrite it is about to replace — materialize once, BEFORE the
+        # overwrite truncates the directory it was read from
+        all_sig = all_sig.localCheckpoint()
+
+        def banded(sig_df: DataFrame) -> DataFrame:
+            return sig_df.select(
+                "doc_id",
+                F.posexplode(band_keys(F.col("sig"), bands, rows)).alias(
+                    "band_idx", "band_key"
+                ),
+            )
+
+        bb = banded(batch_sig).alias("b")
+        bp = banded(all_sig).alias("p")
+        pairs = (
+            bb.join(
+                bp,
+                (F.col("b.band_idx") == F.col("p.band_idx"))
+                & (F.col("b.band_key") == F.col("p.band_key"))
+                & (F.col("b.doc_id") != F.col("p.doc_id")),
+            )
+            .select(
+                F.least("b.doc_id", "p.doc_id").alias("pid"),
+                F.greatest("b.doc_id", "p.doc_id").alias("did"),
+            )
+            .dropDuplicates(["pid", "did"])
+        )
+        est = (
+            pairs.join(
+                all_sig.select(
+                    F.col("doc_id").alias("did"), F.col("sig").alias("sd")
+                ),
+                "did",
+            )
+            .join(
+                all_sig.select(
+                    F.col("doc_id").alias("pid"), F.col("sig").alias("sp")
+                ),
+                "pid",
+            )
+            .select(
+                "did",
+                "pid",
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "sd", "sp", lambda x, y: (x == y).cast("int")
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.lit(float(num_hashes))
+                ).alias("est_jaccard"),
+            )
+        )
+        hits = (
+            est.filter(F.col("est_jaccard") >= threshold)
+            .groupBy("did")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+                F.min("pid").alias("min_partner"),
+                F.max("est_jaccard").alias("max_est"),
+            )
+            .select(
+                F.col("did").alias("doc_id"),
+                "n_matches", "min_partner", "max_est",
+            )
+        )
+        base = batch_sig.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_matches"),
+            F.lit(None).cast("bigint").alias("min_partner"),
+            F.lit(None).cast("double").alias("max_est"),
+        )
+        delta = base.unionByName(hits)
+        if os.path.isfile(os.path.join(flags_dir, "_SUCCESS")):
+            delta = delta.unionByName(spark.read.parquet(flags_dir))
+        merged = (
+            delta.groupBy("doc_id")
+            .agg(
+                F.sum("n_matches").cast("bigint").alias("n_matches"),
+                F.min("min_partner").alias("min_partner"),
+                F.max("max_est").alias("max_est"),
+            )
+            .localCheckpoint()  # materialize BEFORE overwriting the source
+        )
+        merged.write.mode("overwrite").parquet(flags_dir)
+        all_sig.write.mode("overwrite").parquet(sig_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(flags_dir).select(
+        "doc_id",
+        "n_matches",
+        "min_partner",
+        "max_est",
+        (F.col("n_matches") == 0).cast("bigint").alias("keep"),
+    )

@@ -499,7 +499,8 @@ def phase_r9(spark, cat, dirs, ks) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b",
-                         "--r9c", "--r10", "--r10b", "--r10c", "--r10d")]
+                         "--r9c", "--r10", "--r10b", "--r10c", "--r10d",
+                         "--r11")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
@@ -510,6 +511,7 @@ def main() -> None:
     only_r10b = "--r10b" in sys.argv[1:]
     only_r10c = "--r10c" in sys.argv[1:]
     only_r10d = "--r10d" in sys.argv[1:]
+    only_r11 = "--r11" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -517,6 +519,15 @@ def main() -> None:
     spark = get_spark("gridiron-scale")
     spark.sparkContext.setLogLevel("ERROR")
     cat = catalog()
+
+    if only_r11:
+        # builds its own corpora (embeddings-only exact copies)
+        r11 = phase_r11(spark, cat, {1: SRC}, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r11.json", "w") as f:
+            json.dump({**r11}, f, indent=1)
+        spark.stop()
+        return
 
     if only_r10d:
         # builds its own corpora (distinct-embedding)
@@ -937,6 +948,93 @@ def phase_r10b(spark, cat, dirs, ks) -> dict:
         print(f"| {label} | {dt:.2f} s |")
     return {"prune_stage_probe": probe, "max_cluster": sizes,
             "alpha": alphas}
+
+
+def phase_r11(spark, cat, dirs, ks) -> dict:
+    """Round-11 self-protection probe: the GUARDED exact prune
+    (exact_cap=_SD_EXACT_CAP — what the catalog entries semdedup_prune /
+    semdedup_two_level now run) on the same exact-copy corpora as the
+    r10b probe. In contract (max|cluster| ≤ cap) the guard is inert and
+    the time is the exact prune's; out of contract it must auto-degrade
+    to the R=cap rank-window prune and stay bounded — the ×30emb exact
+    time was 1 099.6 s, the guarded entry must land near the prefix
+    regime plus the one-job census. Same protocol: assignment eagerly
+    checkpointed outside the timer, noop-sink forced evaluation."""
+    import math as _math
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        kmeans_fit,
+        lloyd_assign,
+        semdedup_flags,
+    )
+    from gridiron_spark.queries.similarity import _SD_EXACT_CAP
+
+    probe: dict[str, float] = {}
+    sizes: dict[int, int] = {}
+    for k in [10, 30]:
+        corpus = build_corpus_emb_copies(k)
+        emb = load_table(spark, corpus, "embeddings")
+        cents = kmeans_fit(emb, k=8, rounds=8)
+        assign = lloyd_assign(emb, cents).localCheckpoint()  # outside timer
+        sizes[k] = max(
+            r["count"]
+            for r in assign.groupBy("cluster").count().collect()
+        )
+        _force(semdedup_flags(emb, None, 0.4, assign=assign,
+                              exact_cap=_SD_EXACT_CAP))  # warm
+        t0 = time.perf_counter()
+        _force(semdedup_flags(emb, None, 0.4, assign=assign,
+                              exact_cap=_SD_EXACT_CAP))
+        probe[f"x{k}emb_guarded"] = round(time.perf_counter() - t0, 3)
+        print(f"# guarded prune x{k}emb (maxclust {sizes[k]}, cap "
+              f"{_SD_EXACT_CAP}): {probe[f'x{k}emb_guarded']:.2f}s",
+              file=sys.stderr)
+        spark._jvm.System.gc()
+    alpha = round(
+        _math.log(max(probe["x30emb_guarded"], 1e-3)
+                  / max(probe["x10emb_guarded"], 1e-3)) / _math.log(3), 3)
+    print(f"\nsemdedup GUARDED exact prune (cap {_SD_EXACT_CAP}, cluster "
+          f"sizes {sizes}; alpha x10->x30 {alpha}):")
+    for label, dt in probe.items():
+        print(f"| {label} | {dt:.2f} s |")
+
+    # --- ivf_cell_split: |cell|² candidate-term bound on the adversarial
+    # exact-copy corpus. The split entry's own output (cid, sub_cid,
+    # n_members) carries both sides: before = Σ(Σ n_members per cid)²,
+    # after = Σ n_members² — the candidate terms of the cell self-join
+    # on the original vs post-split cell map.
+    split_probe: dict[str, dict] = {}
+    for k in [10, 30]:
+        corpus = build_corpus_emb_copies(k)
+        _force(cat["ivf_cell_split"].spark_fn(spark, corpus))  # warm
+        t0 = time.perf_counter()
+        rows = cat["ivf_cell_split"].spark_fn(spark, corpus).collect()
+        dt = round(time.perf_counter() - t0, 3)
+        by_cid: dict[int, int] = {}
+        after = 0
+        for r in rows:
+            by_cid[r["cid"]] = by_cid.get(r["cid"], 0) + r["n_members"]
+            after += r["n_members"] ** 2
+        before = sum(n * n for n in by_cid.values())
+        split_probe[f"x{k}emb"] = {
+            "sec": dt, "cells_before": len(by_cid), "cells_after": len(rows),
+            "cand_before": before, "cand_after": after,
+            "reduction_x": round(before / max(after, 1), 1),
+        }
+        print(f"# cell_split x{k}emb: {dt:.2f}s, candidate term "
+              f"{before} -> {after} "
+              f"({split_probe[f'x{k}emb']['reduction_x']}x)",
+              file=sys.stderr)
+        spark._jvm.System.gc()
+    print("\nivf_cell_split candidate-term bound (exact-copy corpus):")
+    for label, d in split_probe.items():
+        print(f"| {label} | {d['sec']:.2f} s | cells {d['cells_before']}"
+              f"->{d['cells_after']} | Σ|cell|² {d['cand_before']}"
+              f"->{d['cand_after']} ({d['reduction_x']}×) |")
+    return {"guarded_prune_probe": probe, "max_cluster": sizes,
+            "alpha": alpha, "exact_cap": _SD_EXACT_CAP,
+            "cell_split_probe": split_probe}
 
 
 def phase_r10c(spark, cat, dirs, ks) -> dict:

@@ -79,6 +79,77 @@ def test_semdedup_keeper_is_closest_to_centroid(spark):
     assert flags[10] == 0 and flags[11] == 0
 
 
+def test_semdedup_exact_cap_inert_while_in_contract(spark):
+    """exact_cap is the round-11 self-protection bound: while every
+    cluster is at or under the cap (the k ∝ n contract regime) the
+    guarded prune must be byte-identical to the unguarded exact prune —
+    the census may not perturb results, only runaway clusters."""
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    rows = [
+        (10, _vec(10, 0.1, 0, 0)),
+        (11, _vec(10, 0.11, 0, 0)),
+        (12, _vec(10.2, 0.1, 0, 0)),
+        (13, _vec(5, 0, 4.9, 0)),
+        (20, _vec(0.1, 9, 0, 0)),
+        (21, _vec(0.1, 9.1, 0, 0)),
+        (22, _vec(0, 5, 0, 4.9)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, _vec(1, 0, 0, 0)), (1, _vec(0, 1, 0, 0))],
+        "cluster bigint, cvec array<float>",
+    )
+    exact = sorted(
+        map(tuple, semdedup_flags(emb, cents, threshold=0.95).collect())
+    )
+    # max cluster is 4; cap = 4 sits exactly on the contract boundary
+    guarded = sorted(
+        map(
+            tuple,
+            semdedup_flags(emb, cents, threshold=0.95, exact_cap=4).collect(),
+        )
+    )
+    assert guarded == exact
+
+
+def test_semdedup_exact_cap_degrades_to_rank_window(spark):
+    """When a cluster outgrows exact_cap, the guard must flip the
+    pairwise stage to the rank-window prune with R = cap — equal, row
+    for row, to calling the rank-window path explicitly."""
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    # one hot cluster: 6 colinear near-dups (violates a cap of 2) plus a
+    # second small in-contract cluster that must stay exactly pruned
+    rows = [(i, _vec(10 + 0.01 * i, 0.1, 0, 0)) for i in range(10, 16)]
+    rows += [(20, _vec(0.1, 9, 0, 0)), (21, _vec(0.1, 9.1, 0, 0))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, _vec(1, 0, 0, 0)), (1, _vec(0, 1, 0, 0))],
+        "cluster bigint, cvec array<float>",
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            semdedup_flags(emb, cents, threshold=0.95, exact_cap=2).collect(),
+        )
+    )
+    windowed = sorted(
+        map(
+            tuple,
+            semdedup_flags(
+                emb, cents, threshold=0.95, prune_rank_window=2
+            ).collect(),
+        )
+    )
+    assert guarded == windowed
+    # and the degraded prune still collapses the planted colinear group
+    # (every member cosine-matches the top-ranked survivors)
+    keep = {vid: k for vid, _, k in guarded}
+    assert sum(keep[i] for i in range(10, 16)) == 1
+    assert keep[20] == 1 and keep[21] == 0
+
+
 def _reference_bpe(word_freq: dict[str, int], n_merges: int):
     """Plain-Python BPE (Sennrich et al. 2016): symbol sequences per word,
     argmax adjacent pair by weighted count (ties lexicographic), left-to-

@@ -326,3 +326,52 @@ def test_late_data_e2e_drop_accounting(spark):
         for so in p["stateOperators"]
     )
     assert dropped == n_late, (dropped, n_late)
+
+
+def test_minhash_sidecar_dedup_stream_equals_batch(spark, tmp_path):
+    """The round-11 streaming incremental dedup: duplicates split ACROSS
+    micro-batches (one file per doc, maxFilesPerTrigger=1) must produce
+    the same final flag table as a one-shot batch screen — including the
+    later-arrival re-flag path, where the LARGER-id member of a dup pair
+    arrives in an earlier batch than its smaller-id partner and its
+    keep flag must flip when that partner lands."""
+    from gridiron_spark.streaming.pipelines import (
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    text_dup = "the quick brown fox jumps over the lazy dog again and again"
+    text_other = "completely different words about streaming state machines"
+    # doc 9 (the dup pair's GREATER id) is written FIRST, its partner doc 1
+    # second, the unrelated doc 5 last — three files, three micro-batches.
+    src = tmp_path / "docs"
+    src.mkdir()
+    for fname, (did, text) in (
+        ("a.parquet", (9, text_dup)),
+        ("b.parquet", (1, text_dup)),
+        ("c.parquet", (5, text_other)),
+    ):
+        spark.createDataFrame(
+            [(did, text, "en", "unit", len(text))],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp1"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "tmp1" / "*.parquet"))[0]
+        shutil.copy(part, str(src / fname))
+
+    flags = minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {r["doc_id"]: r.asDict() for r in flags.collect()}
+    assert set(got) == {1, 5, 9}
+    # pair (1, 9) attributed to the greater id: 9 is dropped even though it
+    # arrived before its partner; 1 (the pair's keeper) and 5 survive
+    assert got[9]["keep"] == 0 and got[9]["n_matches"] == 1
+    assert got[9]["min_partner"] == 1 and got[9]["max_est"] == 1.0
+    assert got[1]["keep"] == 1 and got[1]["n_matches"] == 0
+    assert got[5]["keep"] == 1
