@@ -231,6 +231,7 @@ _EVIDENCE_R10 = frozenset(
 _NEW_R11: tuple[str, ...] = (
     "ivf_cell_split",
     "streaming_incremental_dedup_e2e",
+    "knn_graph_cellsplit",
 )
 
 

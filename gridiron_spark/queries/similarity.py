@@ -2776,11 +2776,11 @@ def ivf_cell_stats(spark, sf_dir):
 
 _SPLIT_CAP = 100  # population bound above which an IVF cell is re-seeded
 
-
-@register(
-    "ivf_cell_split",
-    survey="NS-sim(ANN index maintenance: hot-cell split — re-seed an over-populated IVF cell's members against ceil(sqrt(|cell|)) sub-centroids, bounding the |cell|² candidate term),J1,W1-W3,A6",
-    oracle=_GIVF_CAND_CTES + f""",
+# the hot-cell split CTE chain (ends in ``remap`` = (vec_id, cid,
+# sub_cid) with sub_cid = -1 for in-contract passthrough rows) — shared
+# by ivf_cell_split (cell-grain aggregate) and knn_graph_cellsplit
+# (post-split candidate generation); mirror of _cell_split_assign
+_SPLIT_CTES = _GIVF_CAND_CTES + f""",
 csz AS (
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cid
 ),
@@ -2796,7 +2796,7 @@ seeds AS (
         FROM assigned a JOIN hot h USING (cid)
     ) WHERE srank <= s
 ),
-remap AS (
+remap AS MATERIALIZED (
     SELECT vec_id, cid, sub_cid FROM (
         SELECT a.vec_id, a.cid, s.seed AS sub_cid,
                ROW_NUMBER() OVER (
@@ -2812,7 +2812,13 @@ remap AS (
     UNION ALL
     SELECT vec_id, cid, CAST(-1 AS BIGINT) AS sub_cid
     FROM assigned WHERE cid NOT IN (SELECT cid FROM hot)
-)
+)"""
+
+
+@register(
+    "ivf_cell_split",
+    survey="NS-sim(ANN index maintenance: hot-cell split — re-seed an over-populated IVF cell's members against ceil(sqrt(|cell|)) sub-centroids, bounding the |cell|² candidate term),J1,W1-W3,A6",
+    oracle=_SPLIT_CTES + """
 SELECT cid, sub_cid, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM remap GROUP BY cid, sub_cid
 """,
@@ -2841,6 +2847,22 @@ def ivf_cell_split(spark, sf_dir):
     round falls from Σ|cell|² toward Σ|cell|^1.5 (probe: BASELINE.md
     round-11, exact-copy adversarial corpus).
     """
+    _, remap = _cell_split_assign(spark, sf_dir)
+    return remap.groupBy("cid", "sub_cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+ivf_cell_split.__doc__ = ivf_cell_split.__doc__.format(cap=_SPLIT_CAP)
+
+
+def _cell_split_assign(spark, sf_dir, cap=_SPLIT_CAP):
+    """Member-grain hot-cell split over the shared `_ivf_assign` map:
+    returns ``(q, remap)`` where remap = (vec_id, cid, sub_cid) —
+    sub_cid is the chosen sub-seed for members of over-``cap`` cells and
+    -1 for in-contract passthrough rows. The plan-shape audit lives on
+    `ivf_cell_split` (its cell-grain aggregate); `knn_graph_cellsplit`
+    consumes the remap as its candidate key."""
     from pyspark.sql import Window
 
     q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
@@ -2848,7 +2870,7 @@ def ivf_cell_split(spark, sf_dir):
     # pin the (sample-free but 5-stage) assignment once
     a = assigned.localCheckpoint(eager=False)
     cells = a.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    hot = cells.filter(F.col("n") > _SPLIT_CAP).select(
+    hot = cells.filter(F.col("n") > cap).select(
         "cid", F.ceil(F.sqrt(F.col("n"))).cast("bigint").alias("s")
     )
     ws = Window.partitionBy("cid").orderBy("vec_id")
@@ -2882,14 +2904,94 @@ def ivf_cell_split(spark, sf_dir):
     keep = a.join(F.broadcast(hot.select("cid")), "cid", "left_anti").select(
         "vec_id", "cid", F.lit(-1).cast("bigint").alias("sub_cid")
     )
+    return q, split.unionByName(keep)
+
+
+@register(
+    "knn_graph_cellsplit",
+    survey="NS-sim(corpus k-NN graph over the POST-SPLIT cell map — the hot-cell mitigation composed into candidate generation: candidates join on (cid, sub_cid), so an adversarial hot cell contributes Σ|sub-cell|² ≈ |cell|^1.5 pairs instead of |cell|²),J1,W2",
+    oracle=_SPLIT_CTES + f""",
+candm AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM remap a JOIN remap b
+      ON a.cid = b.cid AND a.sub_cid = b.sub_cid AND a.vec_id <> b.vec_id
+),
+scoredm AS (
+    SELECT c.src, c.dst,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                    x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM candm c
+    JOIN q qa ON qa.vec_id = c.src
+    JOIN q qb ON qb.vec_id = c.dst
+)
+SELECT src, dst, dot FROM (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scoredm
+) WHERE rk <= {_GIVF_K}
+""",
+)
+def knn_graph_cellsplit(spark, sf_dir):
+    """The hot-cell mitigation COMPOSED into candidate generation — proof
+    the `ivf_cell_split` remedy is usable, not just observable: the
+    corpus k-NN graph's candidate self-join keys on the post-split
+    (cid, sub_cid) map instead of the raw cid, so an adversarial hot
+    cell (exact-copy flood, quantizer collapse) contributes
+    Σ|sub-cell|² ≈ |cell|·ceil(sqrt(|cell|)) candidate pairs instead of
+    |cell|². The recall trade is explicit and the split's own design:
+    neighbors split across sibling sub-cells are not candidates (raise
+    the cap, or probe sibling sub-cells, to recover them) — in-contract
+    cells pass through unsplit, where this query degenerates to
+    knn_graph_ivf exactly (pytest-pinned on a no-hot-cell corpus).
+
+    Scale shape: inherits the `ivf_cell_split` audit through the remap
+    (broadcast seeds, map-side argmin, checkpointed assignment); the
+    candidate join is an equi-join on the composite cell key with the
+    exact-dot top-{k} ranked per source through a Partial
+    WindowGroupLimit — the knn_graph_ivf plan with a narrower, split-
+    bounded key. Probe: BASELINE.md round-11 (candidate term on the
+    exact-copy corpus).
+    """
+    from pyspark.sql import Window
+
+    q, remap = _cell_split_assign(spark, sf_dir)
+    # both sides of the candidate self-join read the remap — pin it once
+    a = remap.localCheckpoint(eager=False)
+    cand = (
+        a.alias("a")
+        .join(
+            a.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.sub_cid") == F.col("b.sub_cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(q.select(F.col("vec_id").alias("src"),
+                           F.col("qv").alias("qa")), "src")
+        .join(q.select(F.col("vec_id").alias("dst"),
+                       F.col("qv").alias("qb")), "dst")
+        .select("src", "dst", pdot.alias("dot"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
     return (
-        split.unionByName(keep)
-        .groupBy("cid", "sub_cid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _GIVF_K)
+        .select("src", "dst", "dot")
     )
 
 
-ivf_cell_split.__doc__ = ivf_cell_split.__doc__.format(cap=_SPLIT_CAP)
+knn_graph_cellsplit.__doc__ = knn_graph_cellsplit.__doc__.format(k=_GIVF_K)
 
 
 _HNEG_K = 3  # hard negatives per anchor

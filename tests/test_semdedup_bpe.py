@@ -637,3 +637,82 @@ def test_kmeans_fit_two_level_full_probe_equals_brute(spark):
         ).collect()
     }
     assert two == brute
+
+
+def test_cell_split_no_hot_cells_degenerates_to_knn_graph_ivf(spark):
+    """knn_graph_cellsplit's contract: with no cell over the cap, the
+    remap is a pure passthrough (every sub_cid = -1) and the graph is
+    byte-identical to knn_graph_ivf — the split only changes behavior
+    where a cell actually violates the population bound."""
+    from gridiron_spark.queries.similarity import (
+        _GIVF_K,
+        _cell_split_assign,
+        knn_graph_ivf_edges,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    q, remap = _cell_split_assign(spark, sf_dir, cap=10**9)
+    assert remap.filter(F.col("sub_cid") != -1).count() == 0
+    cand = (
+        remap.alias("a")
+        .join(
+            remap.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.sub_cid") == F.col("b.sub_cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    got = (
+        cand.join(q.select(F.col("vec_id").alias("src"),
+                           F.col("qv").alias("qa")), "src")
+        .join(q.select(F.col("vec_id").alias("dst"),
+                       F.col("qv").alias("qb")), "dst")
+        .select("src", "dst", pdot.alias("dot"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _GIVF_K)
+        .select("src", "dst", "dot")
+    )
+    from gridiron_spark.queries.similarity import _GIVF_SFAC
+
+    want = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_cell_split_bounds_hot_cell_candidates(spark):
+    """On a corpus with a genuinely hot cell the post-split candidate
+    term must shrink: Σ|sub-cell|² < |cell|² for every split cell, and
+    the split must partition the cell's members exactly."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries import catalog
+
+    rows = catalog()["ivf_cell_split"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_cid: dict[int, list] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    split_cells = {c: rs for c, rs in by_cid.items()
+                   if any(r["sub_cid"] != -1 for r in rs)}
+    assert split_cells, "sf0.01 must exercise the split branch (cap=100)"
+    for c, rs in split_cells.items():
+        assert all(r["sub_cid"] != -1 for r in rs)  # no half-split cells
+        n_cell = sum(r["n_members"] for r in rs)
+        assert n_cell > 100
+        assert sum(r["n_members"] ** 2 for r in rs) < n_cell**2
+    passthrough = {c: rs for c, rs in by_cid.items() if c not in split_cells}
+    assert passthrough, "sf0.01 must also exercise the passthrough branch"
+    assert all(len(rs) == 1 and rs[0]["sub_cid"] == -1
+               for rs in passthrough.values())
