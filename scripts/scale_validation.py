@@ -500,7 +500,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--r6", "--r6-late", "--r7", "--r9", "--r9b",
                          "--r9c", "--r10", "--r10b", "--r10c", "--r10d",
-                         "--r11")]
+                         "--r11", "--r11b")]
     only_r6 = "--r6" in sys.argv[1:]
     only_r6_late = "--r6-late" in sys.argv[1:]
     only_r7 = "--r7" in sys.argv[1:]
@@ -512,6 +512,7 @@ def main() -> None:
     only_r10c = "--r10c" in sys.argv[1:]
     only_r10d = "--r10d" in sys.argv[1:]
     only_r11 = "--r11" in sys.argv[1:]
+    only_r11b = "--r11b" in sys.argv[1:]
     ks = [int(a) for a in args] or [3, 10]
     from gridiron_spark.queries import catalog
     from gridiron_spark.session import get_spark
@@ -566,6 +567,14 @@ def main() -> None:
         os.makedirs(ROOT, exist_ok=True)
         with open(f"{ROOT}/report_r10c.json", "w") as f:
             json.dump({"scales": [1] + ks, **r10c}, f, indent=1)
+        spark.stop()
+        return
+
+    if only_r11b:
+        r11b = phase_r11b(spark, cat, dirs, ks)
+        os.makedirs(ROOT, exist_ok=True)
+        with open(f"{ROOT}/report_r11b.json", "w") as f:
+            json.dump({"scales": [1] + ks, **r11b}, f, indent=1)
         spark.stop()
         return
 
@@ -1035,6 +1044,40 @@ def phase_r11(spark, cat, dirs, ks) -> dict:
     return {"guarded_prune_probe": probe, "max_cluster": sizes,
             "alpha": alpha, "exact_cap": _SD_EXACT_CAP,
             "cell_split_probe": split_probe}
+
+
+def phase_r11b(spark, cat, dirs, ks) -> dict:
+    """Growth exponents for the round-11 additions: the cell-split pair
+    (ivf_cell_split, knn_graph_cellsplit) rides the DISTINCT-embedding
+    corpora (the round-9b IVF isolation protocol; knn_graph_ivf rides
+    along as the shared-generator reference row), and
+    streaming_incremental_dedup_e2e rides the rename corpus at doc grain
+    (every replica distinct — the side-car, the band join, and the flag
+    state all grow ×k; the drain replays the whole stream per run, so
+    the timing covers staging + 4 shard merges end to end). All batch
+    entries forced through the noop sink; the streaming entry's own
+    drain forces itself."""
+    emb_qs = ("knn_graph_ivf", "ivf_cell_split", "knn_graph_cellsplit")
+    doc_qs = ("streaming_incremental_dedup_e2e",)
+    dirs_e = {1: SRC}
+    for k in ks:
+        print(f"# building x{k}e (distinct embeddings) corpus ...",
+              file=sys.stderr)
+        dirs_e[k] = build_corpus_emb_distinct(k)
+    results: dict[str, dict[int, float]] = {}
+    for qs, dd in ((emb_qs, dirs_e), (doc_qs, dirs)):
+        for q in qs:
+            results[q] = {}
+            for k in [1] + ks:
+                t0 = time.perf_counter()
+                _force(cat[q].spark_fn(spark, dd[k]))
+                dt = time.perf_counter() - t0
+                results[q][k] = round(dt, 3)
+                print(f"# x{k} {q}: {dt:.2f}s", file=sys.stderr)
+            spark._jvm.System.gc()
+    print("\nround-11 additions, distinct-content growth (forced eval):")
+    print(_exponent_table(results, ks))
+    return {"timings": results}
 
 
 def phase_r10c(spark, cat, dirs, ks) -> dict:
