@@ -232,6 +232,7 @@ _NEW_R11: tuple[str, ...] = (
     "ivf_cell_split",
     "streaming_incremental_dedup_e2e",
     "knn_graph_cellsplit",
+    "sink_minhash_sidecar_roundtrip",
 )
 
 

@@ -549,3 +549,68 @@ def bucketed_join_roundtrip(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "sink_minhash_sidecar_roundtrip",
+    survey="S5+NS-dedup(the MinHash signature SIDE-CAR as a persisted lake artifact: build-at-ingest sink + read-back, the table incremental_dedup_flags and the streaming drain assume),A3",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+),
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+)
+SELECT doc_id,
+       md5(array_to_string(sig, '|')) AS sig_fp,
+       CAST(len(sig) AS BIGINT) AS n_hashes
+FROM sig
+""",
+)
+def sink_minhash_sidecar_roundtrip(spark, sf_dir):
+    """The signature side-car as a PERSISTED lake artifact — the
+    write-once-at-ingest table that `incremental_dedup_flags` and
+    `streaming_incremental_dedup_e2e` document as the production corpus
+    side (their in-query signing exists only because the synthetic lake
+    ships no side-car). This entry closes that loop as a checkable sink:
+    compute the 16-hash MinHash signatures, WRITE them to a
+    fingerprint-keyed parquet stage, READ the stage back, and emit one
+    row per doc with the md5 fingerprint of the full signature vector —
+    any row the writer/reader pair loses, duplicates, or corrupts (array
+    element order included) flips the hash against the oracle, which
+    recomputes the signatures from the original documents table.
+
+    Scale shape: the signature build is one map-side-combined groupBy on
+    doc_id (operators/dedup.minhash_signature_df); the write is
+    partition-parallel with no further shuffle; the read-back
+    fingerprint is pure map-side column math. The persisted artifact is
+    |docs| × 16 md5 strings — the ~1000×-smaller-than-text table every
+    arriving-batch screen joins against instead of re-shingling the
+    lake."""
+    from gridiron_spark.operators.dedup import (
+        minhash_signature_df,
+        shingle_rows,
+    )
+
+    stage = stage_path(sf_dir, "minhash_sidecar_v1", "documents")
+    doc = load_table(spark, sf_dir, "documents")
+    ensure_stage(
+        stage,
+        lambda p: minhash_signature_df(shingle_rows(doc))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    back = spark.read.parquet(stage)
+    return back.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "sig")).alias("sig_fp"),
+        F.size("sig").cast("bigint").alias("n_hashes"),
+    )
