@@ -119,10 +119,16 @@ def main() -> None:
             samples = []
             for i in range(runs + 1):
                 t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
+                df = fn(spark, sf_dir)
+                _force(df)
                 dt = time.perf_counter() - t0
                 if i > 0:
                     samples.append(dt)
+                # same per-run hygiene as the headline loop: release run
+                # i's localCheckpoint blocks before run i+1 is timed (the
+                # panel graph queries checkpoint per iteration)
+                del df
+                spark._jvm.System.gc()
             full[name] = round(statistics.median(samples), 4)
             print(f"# {name}: {full[name]:.3f}s", file=sys.stderr)
             _between_query_hygiene(spark)

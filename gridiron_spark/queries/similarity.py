@@ -2932,7 +2932,7 @@ SELECT src, dst, dot FROM (
 ) WHERE rk <= {_GIVF_K}
 """,
 )
-def knn_graph_cellsplit(spark, sf_dir):
+def knn_graph_cellsplit(spark, sf_dir, cap=_SPLIT_CAP):
     """The hot-cell mitigation COMPOSED into candidate generation — proof
     the `ivf_cell_split` remedy is usable, not just observable: the
     corpus k-NN graph's candidate self-join keys on the post-split
@@ -2955,7 +2955,7 @@ def knn_graph_cellsplit(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    q, remap = _cell_split_assign(spark, sf_dir)
+    q, remap = _cell_split_assign(spark, sf_dir, cap=cap)
     # both sides of the candidate self-join read the remap — pin it once
     a = remap.localCheckpoint(eager=False)
     cand = (

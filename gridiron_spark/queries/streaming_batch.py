@@ -230,17 +230,20 @@ def _stage_documents_sharded(spark, sf_dir, shards: int = 4) -> str:
     """Documents staged as ``shards`` separate parquet files so a
     maxFilesPerTrigger=1 drain genuinely runs one micro-batch per shard
     (the small-SF stages otherwise collapse to a single file and the
-    multi-batch merge path never executes). Shard membership is
-    hash(doc_id % shards) — deterministic for a given lake; consumers
-    must be batching-independent anyway (that is the property their
-    oracles pin)."""
+    multi-batch merge path never executes). Range-partitioned on doc_id:
+    ``repartition(n, expr)`` HASHES the expression, which collides
+    residues into the same partition (shards=4 measured 3 non-empty
+    files), while range boundaries over a non-degenerate id column give
+    exactly ``shards`` non-empty contiguous files. Consumers must be
+    batching-independent anyway (that is the property their oracles
+    pin)."""
     from gridiron_spark.io.staging import ensure_stage, stage_path
 
-    stage = stage_path(sf_dir, f"stream_docs_sharded{shards}_v1", "documents")
+    stage = stage_path(sf_dir, f"stream_docs_sharded{shards}_v2", "documents")
     return ensure_stage(
         stage,
         lambda p: load_table(spark, sf_dir, "documents")
-        .repartition(shards, F.col("doc_id") % shards)
+        .repartitionByRange(shards, F.col("doc_id"))
         .write.mode("overwrite")
         .parquet(p),
     )
@@ -922,15 +925,20 @@ def streaming_incremental_dedup_e2e(spark, sf_dir):
     """The arriving-shard dedup a 100 TB ingest actually runs, as a REAL
     readStream drain — the streaming composition of
     `incremental_dedup_flags` (batch-vs-side-car screen) with the
-    `streaming_cdc_upsert_e2e` foreachBatch MERGE: each micro-batch of
-    documents is shingled + MinHash-signed, LSH-screened against the
-    ACCUMULATED signature side-car (plus its own earlier-id peers), and
-    the per-doc keep/drop flags and the side-car itself are CDC-merged
-    into parquet state, exactly-once per pair. maxFilesPerTrigger=1
-    forces one merge per staged file so the multi-batch path (side-car
-    growth, later-arrival re-flagging) genuinely executes.
+    `streaming_cdc_upsert_e2e` foreachBatch MERGE pattern: each
+    micro-batch of documents is shingled + MinHash-signed, LSH-screened
+    against the ACCUMULATED signature side-car (plus its own earlier-id
+    peers), and the batch's signature rows and flag deltas land in
+    per-batch state partitions — exactly-once per pair even under
+    at-least-once replay (a replayed batch overwrites its own
+    deterministic subdir against the strictly-earlier state it saw the
+    first time; pytest re-drains and pins byte-equal flags), with
+    write I/O linear in the arriving batch, never the corpus.
+    maxFilesPerTrigger=1 over the range-sharded doc stage forces one
+    merge per staged file so the multi-batch path (side-car growth,
+    later-arrival re-flagging) genuinely executes.
 
-    Every merge rule is confluent and each unordered matched pair is
+    Every aggregate is confluent and each unordered matched pair is
     formed in exactly the micro-batch where its later member arrives
     (attributed to the GREATER doc_id), so the drained state is
     batching-independent — the oracle states it as one batch SQL over

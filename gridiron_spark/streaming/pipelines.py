@@ -564,33 +564,46 @@ def minhash_sidecar_dedup_available_now(
 ) -> DataFrame:
     """Streaming incremental near-dup screening — the arriving-shard dedup
     a 100 TB ingest actually runs, composing the batch
-    `incremental_minhash_flags` screen with the `cdc_upsert` foreachBatch
-    MERGE pattern. Each micro-batch:
+    `incremental_minhash_flags` screen with a foreachBatch MERGE whose
+    state is PARTITIONED BY MICRO-BATCH. Each micro-batch:
 
     1. shingles + MinHash-signs ONLY the arriving docs (the corpus side is
        never re-shingled — its signature side-car is the state),
     2. LSH-band-joins the batch against side-car ∪ batch for candidate
        pairs, scoring signature-estimated Jaccard (matching-component
        fraction — a k/num_hashes grid, bit-exact cross-engine),
-    3. attributes every matched pair to its GREATEST doc_id and MERGEs the
-       per-doc flag rows (SUM matches / MIN partner / MAX estimate) and the
-       appended signatures into two parquet state tables.
+    3. attributes every matched pair to its GREATEST doc_id and writes the
+       batch's signature rows and per-doc flag DELTAS each to their own
+       ``batch=<id>`` subdirectory.
 
-    Every merge rule is CONFLUENT, and each unordered pair is formed in
-    exactly one micro-batch — the one where its later-arriving member
-    lands (same-batch pairs dedup to one row) — so the final flag table is
-    independent of how the file source batches the input, which is what
-    lets the DuckDB oracle state it as one batch SQL over all
-    (smaller-id → larger-id) pairs. A doc flagged keep on arrival is
-    RE-FLAGGED when a smaller-id near-dup arrives later: latest state wins,
-    the CDC contract.
+    The per-batch state layout is what makes the drain honest at scale:
+
+    - **Idempotent replay.** foreachBatch is at-least-once; a replayed
+      batch OVERWRITES its own deterministic ``batch=<id>`` subdir (prior
+      subdirs are read-only inputs), so a crash between state write and
+      checkpoint commit cannot double-count a pair or duplicate a
+      signature row — "exactly-once per pair" survives failure replay,
+      not just clean runs.
+    - **Linear write I/O.** Only the arriving batch's rows are written
+      per trigger (the side-car is append-only by construction); a
+      rewrite-everything overwrite would pay O(corpus) per batch.
+
+    Every aggregate is CONFLUENT (SUM matches / MIN partner / MAX
+    estimate), and each unordered pair is formed in exactly one
+    micro-batch — the one where its later-arriving member lands
+    (same-batch pairs dedup to one row) — so the final flag table,
+    assembled by ONE aggregate over the delta partitions at drain end,
+    is independent of how the file source batches the input: the DuckDB
+    oracle states it as one batch SQL. A doc flagged keep on arrival is
+    re-flagged when a smaller-id near-dup arrives later, the CDC
+    contract.
 
     Scale shape: per batch, only |batch| docs are shingled; the side-car
     contributes (doc_id, sig) rows — ~1000× smaller than text; the band
-    join shuffles 32-byte band keys; flag state is one row per doc and
-    merges key-wise. The parquet overwrite is the dependency-free stand-in
-    for a Delta/Iceberg MERGE INTO (see cdc_upsert_available_now).
-    """
+    join shuffles 32-byte band keys; flag deltas are |batch| + |hits|
+    rows. The closing aggregate is one map-side-combined groupBy over
+    doc-grain rows."""
+    import glob
     import os
 
     from gridiron_spark.operators.dedup import (
@@ -602,19 +615,28 @@ def minhash_sidecar_dedup_available_now(
     spark = docs.sparkSession
     rows = num_hashes // bands
 
+    def _parts(root: str, before: int | None = None) -> list[str]:
+        out = []
+        for d in glob.glob(os.path.join(root, "batch=*")):
+            bid = int(os.path.basename(d).split("=", 1)[1])
+            if before is None or bid < before:
+                out.append((bid, d))
+        return [d for _, d in sorted(out)]
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_sig = minhash_signature_df(
             shingle_rows(batch_df), num_hashes
         ).localCheckpoint()
-        if os.path.isfile(os.path.join(sig_dir, "_SUCCESS")):
-            sidecar = spark.read.parquet(sig_dir)
-            all_sig = sidecar.unionByName(batch_sig)
+        # prior side-car = the batch partitions STRICTLY EARLIER than this
+        # id — not merely "all other subdirs": a replayed batch must see
+        # exactly the state it saw the first time (its own half-written
+        # rows AND any later batch's rows excluded), or a pair counted by
+        # a later batch re-forms here and double-counts
+        prior_dirs = _parts(sig_dir, before=batch_id)
+        if prior_dirs:
+            all_sig = spark.read.parquet(*prior_dirs).unionByName(batch_sig)
         else:
             all_sig = batch_sig
-        # referenced by the band join, both estimate joins, and the state
-        # overwrite it is about to replace — materialize once, BEFORE the
-        # overwrite truncates the directory it was read from
-        all_sig = all_sig.localCheckpoint()
 
         def banded(sig_df: DataFrame) -> DataFrame:
             return sig_df.select(
@@ -687,19 +709,14 @@ def minhash_sidecar_dedup_available_now(
             F.lit(None).cast("double").alias("max_est"),
         )
         delta = base.unionByName(hits)
-        if os.path.isfile(os.path.join(flags_dir, "_SUCCESS")):
-            delta = delta.unionByName(spark.read.parquet(flags_dir))
-        merged = (
-            delta.groupBy("doc_id")
-            .agg(
-                F.sum("n_matches").cast("bigint").alias("n_matches"),
-                F.min("min_partner").alias("min_partner"),
-                F.max("max_est").alias("max_est"),
-            )
-            .localCheckpoint()  # materialize BEFORE overwriting the source
+        # deterministic per-batch partitions: a replay overwrites ITS OWN
+        # subdir and leaves every other batch's state untouched
+        delta.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch={batch_id}")
         )
-        merged.write.mode("overwrite").parquet(flags_dir)
-        all_sig.write.mode("overwrite").parquet(sig_dir)
+        batch_sig.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}")
+        )
 
     q = (
         docs.writeStream.foreachBatch(merge)
@@ -708,10 +725,19 @@ def minhash_sidecar_dedup_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(flags_dir).select(
-        "doc_id",
-        "n_matches",
-        "min_partner",
-        "max_est",
-        (F.col("n_matches") == 0).cast("bigint").alias("keep"),
+    return (
+        spark.read.parquet(*_parts(flags_dir))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_matches").cast("bigint").alias("n_matches"),
+            F.min("min_partner").alias("min_partner"),
+            F.max("max_est").alias("max_est"),
+        )
+        .select(
+            "doc_id",
+            "n_matches",
+            "min_partner",
+            "max_est",
+            (F.col("n_matches") == 0).cast("bigint").alias("keep"),
+        )
     )

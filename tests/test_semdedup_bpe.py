@@ -643,47 +643,22 @@ def test_cell_split_no_hot_cells_degenerates_to_knn_graph_ivf(spark):
     """knn_graph_cellsplit's contract: with no cell over the cap, the
     remap is a pure passthrough (every sub_cid = -1) and the graph is
     byte-identical to knn_graph_ivf — the split only changes behavior
-    where a cell actually violates the population bound."""
-    from gridiron_spark.queries.similarity import (
-        _GIVF_K,
-        _cell_split_assign,
-        knn_graph_ivf_edges,
-    )
-    from pyspark.sql import Window
+    where a cell actually violates the population bound. Drives the
+    REGISTERED query function (cap is a keyword with the catalog
+    default), so a divergence in its own body goes red here."""
     from pyspark.sql import functions as F
 
-    sf_dir = "/root/testdata/sf0.001"
-    q, remap = _cell_split_assign(spark, sf_dir, cap=10**9)
-    assert remap.filter(F.col("sub_cid") != -1).count() == 0
-    cand = (
-        remap.alias("a")
-        .join(
-            remap.alias("b"),
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.sub_cid") == F.col("b.sub_cid"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
+    from gridiron_spark.queries.similarity import (
+        _GIVF_SFAC,
+        _cell_split_assign,
+        knn_graph_cellsplit,
+        knn_graph_ivf_edges,
     )
-    pdot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
-    got = (
-        cand.join(q.select(F.col("vec_id").alias("src"),
-                           F.col("qv").alias("qa")), "src")
-        .join(q.select(F.col("vec_id").alias("dst"),
-                       F.col("qv").alias("qb")), "dst")
-        .select("src", "dst", pdot.alias("dot"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _GIVF_K)
-        .select("src", "dst", "dot")
-    )
-    from gridiron_spark.queries.similarity import _GIVF_SFAC
 
+    sf_dir = "/root/testdata/sf0.001"
+    _, remap = _cell_split_assign(spark, sf_dir, cap=10**9)
+    assert remap.filter(F.col("sub_cid") != -1).count() == 0
+    got = knn_graph_cellsplit(spark, sf_dir, cap=10**9)
     want = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())

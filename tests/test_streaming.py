@@ -375,3 +375,17 @@ def test_minhash_sidecar_dedup_stream_equals_batch(spark, tmp_path):
     assert got[9]["min_partner"] == 1 and got[9]["max_est"] == 1.0
     assert got[1]["keep"] == 1 and got[1]["n_matches"] == 0
     assert got[5]["keep"] == 1
+
+    # replay idempotency: re-drain the SAME state dirs with a fresh
+    # checkpoint (foreachBatch is at-least-once — a crash between state
+    # write and checkpoint commit replays batches against existing
+    # state). Batch-partitioned overwrites make the replay a no-op: no
+    # doubled n_matches, no duplicated signature rows.
+    replay = minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt2"),
+    )
+    got2 = {r["doc_id"]: r.asDict() for r in replay.collect()}
+    assert got2 == got
