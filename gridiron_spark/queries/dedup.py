@@ -645,11 +645,14 @@ def dup_span_coverage(spark, sf_dir):
     the interval-union windows run per doc_id — a corpus-cardinality key.
     All shuffles are linear; coverage math is pure integers + one final
     division.
-    """.format(k=_SPAN_K)
+    """
     from gridiron_spark.operators.dedup import dup_span_coverage_stats
 
     doc = load_table(spark, sf_dir, "documents")
     return dup_span_coverage_stats(doc, _SPAN_K)
+
+
+dup_span_coverage.__doc__ = dup_span_coverage.__doc__.format(k=_SPAN_K)
 
 
 @register(
@@ -1044,7 +1047,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     directory is corpus-bounded and shrinks with duplication), per-doc
     re-agg. Same skeleton as shingle_novelty_score; no pair fan-out
     anywhere.
-    """.format(w=_CDC_W)
+    """
     doc = load_table(spark, sf_dir, "documents")
     gm = doc.select(
         "doc_id", "text", cdc_char_gears(F.col("text")).alias("g")
@@ -1066,6 +1069,9 @@ def dedup_cdc_chunks(spark, sf_dir):
             ).alias("shared_frac"),
         )
     )
+
+
+dedup_cdc_chunks.__doc__ = dedup_cdc_chunks.__doc__.format(w=_CDC_W)
 
 
 # --- Entity resolution / record linkage --------------------------------------

@@ -151,7 +151,7 @@ def domain_cap_keep(spark, sf_dir):
     sort beyond its pruned remnant. The n_docs side is a plain
     map-side-combined count. Two linear corpus passes, both skew-proof;
     everything after is domain-cardinality.
-    """.format(cap=_DOMAIN_CAP)
+    """
     from pyspark.sql import Window
 
     dd = doc_domains(spark, sf_dir)
@@ -174,6 +174,9 @@ def domain_cap_keep(spark, sf_dir):
     return totals.join(kept, "domain").select(
         "domain", "n_docs", "n_kept", "kept_id_sum"
     )
+
+
+domain_cap_keep.__doc__ = domain_cap_keep.__doc__.format(cap=_DOMAIN_CAP)
 
 
 @register(
@@ -488,7 +491,7 @@ def domain_quality_threshold_keep(spark, sf_dir):
     Degenerate worst case (every doc of a domain sharing one score) would
     make the remnant the domain itself — the cap query's honest limit,
     documented here because the coarse score makes it reachable.
-    """.format(num=_KEEP_NUM, den=_KEEP_DEN)
+    """
     from pyspark.sql import Window
 
     sc = (
@@ -568,6 +571,9 @@ def domain_quality_threshold_keep(spark, sf_dir):
             .alias("thr_score"),
         )
     )
+
+
+domain_quality_threshold_keep.__doc__ = domain_quality_threshold_keep.__doc__.format(num=_KEEP_NUM, den=_KEEP_DEN)
 
 
 @register(

@@ -153,7 +153,7 @@ def boilerplate_phrase_flags(spark, sf_dir):
     corpus-sized shuffles are the linear by-doc_id window of gram assembly
     and the per-doc agg; the gram-frequency count is map-side combined on
     the gram key, and the 1-row corpus count broadcasts into its filter.
-    """.format(frac=_BOILER_DOC_FRAC)
+    """
     doc = load_table(spark, sf_dir, "documents")
     grams = shingle_rows(doc, k=2, distinct=False)
     min_docs = doc.agg(
@@ -181,6 +181,9 @@ def boilerplate_phrase_flags(spark, sf_dir):
             (F.col("n_boiler") / F.col("n_grams") < 0.2).alias("keep"),
         )
     )
+
+
+boilerplate_phrase_flags.__doc__ = boilerplate_phrase_flags.__doc__.format(frac=_BOILER_DOC_FRAC)
 
 
 # --- repetition / diversity flags --------------------------------------------

@@ -536,7 +536,7 @@ def bitmap_posting_index(spark, sf_dir):
     exchange. Both aggregates are associative/commutative, so the same
     masks MERGE across files, days, or clusters (the HLL-rollup
     property, here exact).
-    """.format(b=_BMP_BITS)
+    """
     doc = load_table(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(
@@ -562,3 +562,6 @@ def bitmap_posting_index(spark, sf_dir):
         F.max("container").cast("bigint").alias("last_container"),
         F.expr("bit_xor(mask)").alias("mask_xor"),
     )
+
+
+bitmap_posting_index.__doc__ = bitmap_posting_index.__doc__.format(b=_BMP_BITS)

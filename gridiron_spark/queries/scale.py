@@ -116,7 +116,7 @@ def countmin_sketch(spark, sf_dir):
     estimate for a key = min over rows of its bucket counts (≥ true count;
     error bounded by N·e/w per the CMS guarantee) — checked in pytest; the
     deterministic hash family makes sketch *construction* oracle-exact.
-    """.format(d=_CMS_DEPTH, w=_CMS_WIDTH)
+    """
     ev = load_table(spark, sf_dir, "events")
     uid = F.col("user_id").cast("string")
     cells = F.array(
@@ -141,6 +141,9 @@ def countmin_sketch(spark, sf_dir):
         .groupBy("row_i", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+countmin_sketch.__doc__ = countmin_sketch.__doc__.format(d=_CMS_DEPTH, w=_CMS_WIDTH)
 
 
 _HLL_BUCKETS = 64
@@ -178,8 +181,11 @@ def hll_distinct_sketch(spark, sf_dir):
     floating log2. The estimate (alpha·m²/Σ2^-M_j, checked in pytest)
     lands within the ~1.04/√m ≈ 13% HLL bound; the deterministic hash
     family makes sketch *construction* oracle-exact.
-    """.format(m=_HLL_BUCKETS)
+    """
     return hll_registers(load_table(spark, sf_dir, "events"))
+
+
+hll_distinct_sketch.__doc__ = hll_distinct_sketch.__doc__.format(m=_HLL_BUCKETS)
 
 
 def hll_registers(ev):
@@ -512,7 +518,7 @@ def bloom_prefilter_join(spark, sf_dir):
     (set union here), the property that makes the sketch distributable.
     The verification join exists to MEASURE the FP rate; a production
     prefilter drops it and keeps only bloom_pass=1 rows.
-    """.format(m=_BLOOM_M, k=_BLOOM_K)
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     build = (
@@ -563,6 +569,9 @@ def bloom_prefilter_join(spark, sf_dir):
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+bloom_prefilter_join.__doc__ = bloom_prefilter_join.__doc__.format(m=_BLOOM_M, k=_BLOOM_K)
 
 
 _KMV_K = 64

@@ -502,7 +502,7 @@ def kmeans_assign(spark, sf_dir):
     map-side and the argmin is a rank-1 window over vec_id — corpus-
     cardinality key, Partial WindowGroupLimit prunes to one row per vector
     before the shuffle. One linear pass end-to-end.
-    """.format(k=_KMEANS_K)
+    """
     from gridiron_spark.operators.similarity import lloyd_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -510,6 +510,9 @@ def kmeans_assign(spark, sf_dir):
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
     )
     return lloyd_assign(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+kmeans_assign.__doc__ = kmeans_assign.__doc__.format(k=_KMEANS_K)
 
 
 _SEMDEDUP_THRESHOLD = 0.4
@@ -573,7 +576,7 @@ def semdedup_prune(spark, sf_dir):
     with R={c} (Σ R·|cluster| cosines) instead of silently paying
     Σ|cluster|² — byte-identical to the exact prune at every in-contract
     scale (pytest-pinned; probe in BASELINE.md round-11).
-    """.format(t=_SEMDEDUP_THRESHOLD, c=_SD_EXACT_CAP)
+    """
     from gridiron_spark.operators.similarity import semdedup_flags
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -581,6 +584,9 @@ def semdedup_prune(spark, sf_dir):
         emb, staged_kmeans_centroids(spark, sf_dir), _SEMDEDUP_THRESHOLD,
         exact_cap=_SD_EXACT_CAP,
     )
+
+
+semdedup_prune.__doc__ = semdedup_prune.__doc__.format(t=_SEMDEDUP_THRESHOLD, c=_SD_EXACT_CAP)
 
 
 _SD2_K = 32  # scaled-k regime: 4× the converged-kmeans catalog k
@@ -694,10 +700,7 @@ def semdedup_two_level(spark, sf_dir):
     assignment is approximate-but-deterministic (IVF probe trade-off),
     so the oracle replays it exactly; pytest pins that probes==groups
     degrades to the exact argmin.
-    """.format(
-        k=_SD2_K, g=_SD2_G, p=_SD2_PROBES, t=_SEMDEDUP_THRESHOLD,
-        c=_SD_EXACT_CAP,
-    )
+    """
     from gridiron_spark.operators.similarity import (
         semdedup_flags,
         two_level_assign,
@@ -710,6 +713,12 @@ def semdedup_two_level(spark, sf_dir):
     return semdedup_flags(
         emb, None, _SEMDEDUP_THRESHOLD, assign=assign,
         exact_cap=_SD_EXACT_CAP,
+    )
+
+
+semdedup_two_level.__doc__ = semdedup_two_level.__doc__.format(
+        k=_SD2_K, g=_SD2_G, p=_SD2_PROBES, t=_SEMDEDUP_THRESHOLD,
+        c=_SD_EXACT_CAP,
     )
 
 
@@ -769,7 +778,7 @@ def semdedup_prefix_prune(spark, sf_dir):
     corpus size — and the probe row (BASELINE.md round-10) measures the
     stage sub-quadratic at k80/×10 where the full prune was the
     residual super-linear term.
-    """.format(r=_SD2_RANK_WINDOW)
+    """
     from gridiron_spark.operators.similarity import (
         semdedup_flags,
         two_level_assign,
@@ -783,6 +792,9 @@ def semdedup_prefix_prune(spark, sf_dir):
         emb, None, _SEMDEDUP_THRESHOLD, assign=assign,
         prune_rank_window=_SD2_RANK_WINDOW,
     )
+
+
+semdedup_prefix_prune.__doc__ = semdedup_prefix_prune.__doc__.format(r=_SD2_RANK_WINDOW)
 
 
 def staged_kmeans_centroids(spark, sf_dir):
@@ -850,12 +862,15 @@ def kmeans_converged_assign(spark, sf_dir):
     k×dims centroids, rank-1 WindowGroupLimit) + one k×dims-row
     aggregate; lineage cut per round; the convergence probe is a 1-row
     fingerprint. Training cost amortizes across consumers via the stage.
-    """.format(r=_KMEANS_ROUNDS)
+    """
     from gridiron_spark.operators.similarity import lloyd_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = staged_kmeans_centroids(spark, sf_dir)
     return lloyd_assign(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+kmeans_converged_assign.__doc__ = kmeans_converged_assign.__doc__.format(r=_KMEANS_ROUNDS)
 
 
 _IVF_KM_PROBE = 2
@@ -910,7 +925,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     deployment); the probed-cell scan is a cluster-key semi-join; top-k
     is TakeOrderedAndProject. No shuffle of the embedding table beyond
     the assignment argmin.
-    """.format(p=_IVF_KM_PROBE)
+    """
     from gridiron_spark.operators.similarity import lloyd_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -938,6 +953,9 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+ann_ivf_kmeans_topk.__doc__ = ann_ivf_kmeans_topk.__doc__.format(p=_IVF_KM_PROBE)
 
 
 # --- Product quantization (ADC) ----------------------------------------------
@@ -1013,7 +1031,7 @@ def ann_pq_topk(spark, sf_dir):
     TakeOrderedAndProject. The encode output (codes) is the artifact a
     real deployment stages once and reuses per query — at 100 TB only
     the {m}-lookup sum runs per search.
-    """.format(m=_PQ_M, k=_PQ_K)
+    """
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1076,6 +1094,9 @@ def ann_pq_topk(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(_TOP_K)
     )
+
+
+ann_pq_topk.__doc__ = ann_pq_topk.__doc__.format(m=_PQ_M, k=_PQ_K)
 
 
 # --- Graph centrality over the k-NN graph ------------------------------------
@@ -1756,9 +1777,12 @@ def label_propagation_knn(spark, sf_dir):
     panel-sized so it broadcasts into the edge join; a billion-node graph
     buckets edges and labels on the same key instead, the rounds
     unchanged (and the edge source swaps to knn_graph_ivf's cell-join
-    candidates at corpus grain).""".format(r=_LPA_ROUNDS)
+    candidates at corpus grain)."""
     _, edges = _panel_knn_edges(spark, sf_dir)
     return _lpa_over_edges(edges, broadcast_labels=True)
+
+
+label_propagation_knn.__doc__ = label_propagation_knn.__doc__.format(r=_LPA_ROUNDS)
 
 
 def _lpa_over_edges(edges, broadcast_labels):
@@ -2078,8 +2102,11 @@ def knn_graph_ivf(spark, sf_dir):
     same cell and the candidate join pays multiplicity², so a pipeline
     runs exact/near dedup BEFORE graph construction (the
     distinct-embedding probe isolates the operator itself).
-    """.format(p=_GIVF_PROBES, k=_GIVF_K, s=_GIVF_SFAC, sp=_GIVF_SPROBES)
+    """
     return knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+
+
+knn_graph_ivf.__doc__ = knn_graph_ivf.__doc__.format(p=_GIVF_PROBES, k=_GIVF_K, s=_GIVF_SFAC, sp=_GIVF_SPROBES)
 
 
 _PCA_D = 64           # embedding dimensionality (TESTDATA.md)
@@ -2189,12 +2216,7 @@ def pca_power_projection(spark, sf_dir):
     64·(4096·n)² < 2¹²⁷ ⇒ n ≲ 3·10¹⁵ vectors; past that, pre-shift G
     right by a power of two (magnitude-split, a config) — the iteration
     is scale-invariant.
-    """.format(
-        r=_PCA_ROUNDS,
-        d2=_PCA_D * _PCA_D,
-        s=_PCA_SQUARINGS,
-        k=(1 << _PCA_SQUARINGS) * _PCA_ROUNDS,
-    )
+    """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     d, scale = _PCA_D, _PCA_SCALE
@@ -2250,6 +2272,14 @@ def pca_power_projection(spark, sf_dir):
     )
 
 
+pca_power_projection.__doc__ = pca_power_projection.__doc__.format(
+        r=_PCA_ROUNDS,
+        d2=_PCA_D * _PCA_D,
+        s=_PCA_SQUARINGS,
+        k=(1 << _PCA_SQUARINGS) * _PCA_ROUNDS,
+    )
+
+
 def _lpa_ivf_oracle() -> str:
     return (
         _GIVF_EDGE_CTES
@@ -2294,9 +2324,12 @@ def community_lpa_ivf(spark, sf_dir):
     O(rounds × |E|) map-side-combined aggregates; |E| ≤ k·n by the
     top-{k} prune. The oracle replays edge generation AND all {r}
     rounds as one CTE chain.
-    """.format(r=_LPA_ROUNDS, k=_GIVF_K)
+    """
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _lpa_over_edges(edges, broadcast_labels=False)
+
+
+community_lpa_ivf.__doc__ = community_lpa_ivf.__doc__.format(r=_LPA_ROUNDS, k=_GIVF_K)
 
 
 _HARM_HOPS = 3  # bounded-hop harmonic centrality (unbounded = APSP)
@@ -2371,9 +2404,12 @@ def harmonic_centrality_knn(spark, sf_dir):
     corpus grain the generator swaps to knn_graph_ivf's cell-join
     candidates exactly as community_lpa_ivf demonstrates
     (harmonic_centrality_ivf below is that swap).
-    """.format(h=_HARM_HOPS)
+    """
     _, edges = _panel_knn_edges(spark, sf_dir)
     return _harmonic_over_edges(edges)
+
+
+harmonic_centrality_knn.__doc__ = harmonic_centrality_knn.__doc__.format(h=_HARM_HOPS)
 
 
 def _harmonic_over_edges(edges):
@@ -2490,9 +2526,12 @@ def pagerank_ivf_centrality(spark, sf_dir):
     round is ONE map-side-combined dst-aggregate plus one left join back
     to the node list — O(rounds × |E|) with |E| ≤ {k}·n, no lineage
     growth across rounds.
-    """.format(r=_PR_ITERS, k=_GIVF_K, m=_PR_MOD)
+    """
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _pagerank_over_edges(edges)
+
+
+pagerank_ivf_centrality.__doc__ = pagerank_ivf_centrality.__doc__.format(r=_PR_ITERS, k=_GIVF_K, m=_PR_MOD)
 
 
 def _pagerank_over_edges(edges):
@@ -2553,9 +2592,12 @@ def harmonic_centrality_ivf(spark, sf_dir):
     bounded by |V|·(2·{k})^{h} on this bounded-out-degree graph. The
     oracle replays edge generation and every expansion round as one
     CTE chain.
-    """.format(h=_HARM_HOPS, k=_GIVF_K)
+    """
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _harmonic_over_edges(edges)
+
+
+harmonic_centrality_ivf.__doc__ = harmonic_centrality_ivf.__doc__.format(h=_HARM_HOPS, k=_GIVF_K)
 
 
 @register(
@@ -2581,9 +2623,12 @@ def kcore_decompose_ivf(spark, sf_dir):
     each peel round is a linear degree aggregate plus two equi-joins of
     the (shrinking, checkpointed-once) edge list against the keep set —
     never pairwise.
-    """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    """
     edges = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
     return _kcore_over_edges(edges)
+
+
+kcore_decompose_ivf.__doc__ = kcore_decompose_ivf.__doc__.format(k=_KCORE_K, r=_KCORE_ROUNDS)
 
 
 @register(
@@ -3041,11 +3086,14 @@ def hard_negative_mining(spark, sf_dir):
     no negatives (the IVF probe trade-off; raise probes or stride for
     coverage) — on the 10-cluster fixture every anchor's 2 probed cells
     mix labels, so coverage is full there.
-    """.format(k=_HNEG_K)
+    """
     return knn_graph_ivf_edges(
         spark, sf_dir, k=_HNEG_K, super_fac=_GIVF_SFAC,
         label_mismatch_only=True,
     )
+
+
+hard_negative_mining.__doc__ = hard_negative_mining.__doc__.format(k=_HNEG_K)
 
 
 _RANKEVAL_K = 10      # ranked-list depth for the retrieval metrics
@@ -3111,7 +3159,7 @@ def ranking_eval_topk(spark, sf_dir):
     metrics are ONE map-side-combined per-anchor aggregate. At 100 TB
     the eval costs one index probe pass — the same plan the production
     query path runs.
-    """.format(k=_RANKEVAL_K, s=_RR_SCALE)
+    """
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3154,6 +3202,9 @@ def ranking_eval_topk(spark, sf_dir):
             ).cast("bigint").alias("recall_milli"),
         )
     )
+
+
+ranking_eval_topk.__doc__ = ranking_eval_topk.__doc__.format(k=_RANKEVAL_K, s=_RR_SCALE)
 
 
 _DRIFT_Q = 1 << 20  # fixed-point unit for the per-dimension sums

@@ -177,7 +177,7 @@ def winnow_fingerprint(spark, sf_dir):
     fingerprint — the rolling-hash dedup primitive for plagiarism/contamination
     detection. Plan shape: one explode (gram rows, lower(text) computed once
     per doc in the projection under the Generate), one windowed min per doc
-    — linear, partial-agg friendly.""".format(k=_WIN_K, w=_WIN_W)
+    — linear, partial-agg friendly."""
     from pyspark.sql import Window
 
     doc = load_table(spark, sf_dir, "documents")
@@ -214,6 +214,9 @@ def winnow_fingerprint(spark, sf_dir):
         .select("doc_id", F.col("m").alias("fingerprint"))
         .distinct()
     )
+
+
+winnow_fingerprint.__doc__ = winnow_fingerprint.__doc__.format(k=_WIN_K, w=_WIN_W)
 
 
 @register(
@@ -347,7 +350,7 @@ def doc_chunking(spark, sf_dir):
     per chunk row. The explode is narrow, so the pre-explode rows are
     fan_out-repartitioned only when the scan is under-partitioned (no-op
     at 100 TB, where chunking is embarrassingly parallel and shuffle-free).
-    """.format(c=_CHUNK, s=_CHUNK_STRIDE, o=_CHUNK - _CHUNK_STRIDE)
+    """
     from gridiron_spark.io.tables import fan_out
 
     doc = fan_out(load_table(spark, sf_dir, "documents"))
@@ -367,6 +370,9 @@ def doc_chunking(spark, sf_dir):
         F.concat_ws(" ", sl).alias("chunk_text"),
         F.size(sl).alias("n_chunk_tokens"),
     )
+
+
+doc_chunking.__doc__ = doc_chunking.__doc__.format(c=_CHUNK, s=_CHUNK_STRIDE, o=_CHUNK - _CHUNK_STRIDE)
 
 
 @register(
@@ -728,11 +734,14 @@ def bpe_merge_sequence(spark, sf_dir):
     Scale shape: see operators/bpe.bpe_merge_table — one corpus-sized
     aggregation total; every round is vocab-bounded with a 1-row broadcast
     winner, no driver collect, lineage cut per round.
-    """.format(n=_BPE_N_MERGES)
+    """
     from gridiron_spark.operators.bpe import bpe_merge_table, word_freq
 
     doc = load_table(spark, sf_dir, "documents")
     return bpe_merge_table(word_freq(doc), _BPE_N_MERGES)
+
+
+bpe_merge_sequence.__doc__ = bpe_merge_sequence.__doc__.format(n=_BPE_N_MERGES)
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
@@ -810,7 +819,7 @@ def bpe_encode_tokens(spark, sf_dir):
     not per encode) and is vocab-sized, so it BROADCASTS into the
     positional token stream — the corpus side is one linear explode
     feeding a map-side join straight into the per-doc aggregate.
-    """.format(n=_BPE_N_MERGES)
+    """
     doc = load_table(spark, sf_dir, "documents")
     wsyms = _staged_segmentations(spark, sf_dir)
     tok = doc.select(
@@ -824,6 +833,9 @@ def bpe_encode_tokens(spark, sf_dir):
         .cast("bigint")
         .alias("tokens_checksum"),
     )
+
+
+bpe_encode_tokens.__doc__ = bpe_encode_tokens.__doc__.format(n=_BPE_N_MERGES)
 
 
 _FERT_MAX_FRAG_PERMILLE = 400   # drop docs where >40% of word occurrences
@@ -911,8 +923,7 @@ def tokenizer_fertility_gate(spark, sf_dir):
     per-doc aggregate and one |sources|-row rollup; no second corpus
     scan, no window, no self-join. The oracle replays tokenizer
     training AND the gate in one CTE chain.
-    """.format(n=_BPE_N_MERGES, f=_FERT_MAX_FRAG_PERMILLE,
-               c=_FERT_MIN_CPT_MILLI)
+    """
     doc = load_table(spark, sf_dir, "documents")
     wsyms = _staged_segmentations(spark, sf_dir, split="even")
     tok = doc.select(
@@ -949,6 +960,10 @@ def tokenizer_fertility_gate(spark, sf_dir):
         .cast("bigint")
         .alias("fragmented_permille"),
     )
+
+
+tokenizer_fertility_gate.__doc__ = tokenizer_fertility_gate.__doc__.format(n=_BPE_N_MERGES, f=_FERT_MAX_FRAG_PERMILLE,
+               c=_FERT_MIN_CPT_MILLI)
 
 
 _WIN_DF_CAP = 10   # fingerprints seen in more docs than this are boilerplate
@@ -988,7 +1003,7 @@ def winnow_overlap_pairs(spark, sf_dir):
     failure mode BASELINE.md measured on the naive n-gram variant, here
     excluded up front). Fingerprinting itself is the audited
     winnow_fingerprint plan: one explode + one windowed min per doc.
-    """.format(m=_WIN_MIN_SHARED, cap=_WIN_DF_CAP)
+    """
     wf = winnow_fingerprint(spark, sf_dir)
     freq = (
         wf.groupBy("fingerprint")
@@ -1010,6 +1025,9 @@ def winnow_overlap_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+winnow_overlap_pairs.__doc__ = winnow_overlap_pairs.__doc__.format(m=_WIN_MIN_SHARED, cap=_WIN_DF_CAP)
 
 
 _POOL_DIMS = 16
@@ -1069,7 +1087,7 @@ def doc_embedding_pool(spark, sf_dir):
     folds ({d} per doc over precomputed digests) and a width-{d}
     posexplode; zero exchanges, no joins (plan-guarded). The downstream
     consumers are the ANN/SemDeDup family over the embeddings table.
-    """.format(d=_POOL_DIMS, m=_POOL_MOD)
+    """
     # fan_out: the 16 per-dim folds are heavy per row and the stage is
     # narrow — an under-partitioned scan would run the whole pooling pass
     # on one task (measured 4.5 s single-task vs ~1 s fanned at sf0.1).
@@ -1119,6 +1137,9 @@ def doc_embedding_pool(spark, sf_dir):
         )
         .alias("val"),
     )
+
+
+doc_embedding_pool.__doc__ = doc_embedding_pool.__doc__.format(d=_POOL_DIMS, m=_POOL_MOD)
 
 
 _PMI_MIN_COUNT = 5
