@@ -74,11 +74,12 @@ _QUERY_MODULES = (
 # round's CORRECTNESS lands. Round 6: _EVIDENCE_R2 retired. Round 7:
 # _EVIDENCE_R6 folded. Round 9: _EVIDENCE_R7 folded (identical r07/r08
 # windows). Round 10 fold: CORRECTNESS_r09's 50 rows became _EVIDENCE_R9.
-# Round 11 fold: CORRECTNESS_r10 was 50/50 green (rows+schema+hash, zero
-# err) → its 50 rows became _EVIDENCE_R10 — the 13 round-10 additions,
-# all 25 round-4 entries (retiring _EVIDENCE_R4), and the 12 stalest
-# round-5 entries — leaving 38 round-5 entries as the ring's head for
-# the round-11 window.
+# Round 11 fold: CORRECTNESS_r10's 50/50-green rows became _EVIDENCE_R10.
+# Round 12 fold: CORRECTNESS_r11 was 50/50 green (rows+schema+hash, zero
+# err) → its 50 rows became _EVIDENCE_R11 — the 4 round-11 additions,
+# all 38 remaining round-5 entries (retiring _EVIDENCE_R5), and the 8
+# stalest round-6 entries — leaving 42 round-6 entries as the ring's
+# head for the round-12 window.
 
 # The rows-only trio (the seeded-JVM MLlib family — hash families DuckDB
 # cannot reproduce): the driver records the same weaker rows-only check
@@ -91,29 +92,8 @@ _ROWS_ONLY_MLLIB = frozenset(
     }
 )
 
-# Latest driver evidence row is from round 5 — the stalest tier: the 38
-# round-5 entries that did not fit the round-10 window.
-_EVIDENCE_R5 = frozenset(
-    {
-        "agg_summary", "ann_cosine_topk", "ann_ivf_topk",
-        "bpe_encode_tokens", "bpe_merge_sequence", "cogroup_reconcile",
-        "dedup_embedding_cosine", "distinct_keys", "doc_chunking",
-        "doc_fingerprint", "filter_project", "join_enrich",
-        "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_ppm_roundtrip", "multimodal_wav_roundtrip",
-        "sample_join_back", "scalar_functions", "semdedup_prune",
-        "semi_join_membership", "staged_candidate_pairs",
-        "streaming_dedup_e2e", "streaming_enrich_e2e",
-        "streaming_session_e2e", "streaming_tumbling_e2e", "text_lang_id",
-        "text_normalize", "text_quality_score", "text_token_count",
-        "topk_orders", "tumbling_window_agg", "udtf_bigrams",
-        "union_distinct", "window_frame_stats", "window_rank_suite",
-        "winnow_fingerprint", "winnow_overlap_pairs", "word_topk",
-    }
-)
-
-# Latest driver evidence row is from round 6 (50/50 green window: first
-# rows for all 22 round-6 additions + the 28 then-stalest round-3 entries).
+# Latest driver evidence row is from round 6 — the stalest tier: the 42
+# round-6 entries that did not fit the round-11 window.
 _EVIDENCE_R6 = frozenset(
     {
         "ann_ivf_kmeans_topk", "ann_pq_topk", "asof_join_events",
@@ -125,17 +105,17 @@ _EVIDENCE_R6 = frozenset(
         "generator_outer_expand", "higher_order_functions",
         "incremental_dedup_flags", "ingest_json_roundtrip",
         "ingest_normalize_roundtrip", "kmeans_converged_assign",
-        "large_volume_customers", "local_supplier_volume", "lsh_recall_curve",
+        "lsh_recall_curve",
         "math_functions", "mixture_token_budget", "model_quality_score",
         "multimodal_png_roundtrip", "multiset_ops", "null_functions",
         "paginated_orders", "perplexity_filter", "pii_luhn_flags",
-        "pricing_summary_q1", "profit_by_nation_year", "promo_revenue_ratio",
-        "ranged_global_sort", "resample_forward_fill", "returned_item_topk",
+        "pricing_summary_q1",
+        "ranged_global_sort", "resample_forward_fill",
         "robust_outlier_flags", "scan_unified_drift_roundtrip",
         "set_intersect_users", "shingle_novelty_score",
-        "small_qty_avg_revenue", "stratified_sample_agg",
+        "stratified_sample_agg",
         "streaming_late_data_e2e", "streaming_model_gate_e2e",
-        "supplier_part_relation", "top_revenue_supplier", "unpivot_metrics",
+        "unpivot_metrics",
     }
 )
 
@@ -226,13 +206,38 @@ _EVIDENCE_R10 = frozenset(
     }
 )
 
-# Tier 1 = first-driver-row queue: the genuinely-new round-11 queries as
+# Latest driver evidence row is from round 11 (CORRECTNESS_r11: 50/50
+# green): the 4 round-11 additions, all 38 retired round-5 entries, and
+# the 8 then-stalest round-6 entries. Freshest tier — re-verified last.
+_EVIDENCE_R11 = frozenset(
+    {
+        "agg_summary", "ann_cosine_topk", "ann_ivf_topk",
+        "bpe_encode_tokens", "bpe_merge_sequence", "cogroup_reconcile",
+        "dedup_embedding_cosine", "distinct_keys", "doc_chunking",
+        "doc_fingerprint", "filter_project", "ivf_cell_split",
+        "join_enrich", "knn_graph_cellsplit", "large_volume_customers",
+        "local_supplier_volume", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_ppm_roundtrip",
+        "multimodal_wav_roundtrip", "profit_by_nation_year",
+        "promo_revenue_ratio", "returned_item_topk", "sample_join_back",
+        "scalar_functions", "semdedup_prune", "semi_join_membership",
+        "sink_minhash_sidecar_roundtrip", "small_qty_avg_revenue",
+        "staged_candidate_pairs", "streaming_dedup_e2e",
+        "streaming_enrich_e2e", "streaming_incremental_dedup_e2e",
+        "streaming_session_e2e", "streaming_tumbling_e2e",
+        "supplier_part_relation", "text_lang_id", "text_normalize",
+        "text_quality_score", "text_token_count", "top_revenue_supplier",
+        "topk_orders", "tumbling_window_agg", "udtf_bigrams",
+        "union_distinct", "window_frame_stats", "window_rank_suite",
+        "winnow_fingerprint", "winnow_overlap_pairs", "word_topk",
+    }
+)
+
+# Tier 1 = first-driver-row queue: the genuinely-new round-12 queries as
 # they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R11: tuple[str, ...] = (
-    "ivf_cell_split",
-    "streaming_incremental_dedup_e2e",
-    "knn_graph_cellsplit",
-    "sink_minhash_sidecar_roundtrip",
+_NEW_R12: tuple[str, ...] = (
+    "semdedup_capped_degrade",
+    "knn_graph_cellsplit_probe",
 )
 
 
@@ -252,30 +257,30 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R11)
+    #   1. first-driver-row queue (_NEW_R12)
     #   2. anything without an evidence row (safety net; empty by audit)
-    #   3. stalest evidence (round 5) — the ring's head
-    #   4. round-6 evidence — fills whatever window slots remain
-    #   5. round-7/8 evidence
-    #   6. round-9 evidence
-    #   7. round-10 evidence — freshest
+    #   3. stalest evidence (round 6) — the ring's head
+    #   4. round-7/8 evidence — fills whatever window slots remain
+    #   5. round-9 evidence
+    #   6. round-10 evidence
+    #   7. round-11 evidence — freshest
     #   8. rows-only MLlib trio (no hash to refresh) — always last
-    new_r11 = set(_NEW_R11)
+    new_r12 = set(_NEW_R12)
 
     def tier(name: str) -> int:
-        if name in new_r11:
+        if name in new_r12:
             return 1
         if name in _ROWS_ONLY_MLLIB:
             return 8
-        if name in _EVIDENCE_R5:
-            return 3
         if name in _EVIDENCE_R6:
-            return 4
+            return 3
         if name in _EVIDENCE_R7:
-            return 5
+            return 4
         if name in _EVIDENCE_R9:
-            return 6
+            return 5
         if name in _EVIDENCE_R10:
+            return 6
+        if name in _EVIDENCE_R11:
             return 7
         return 2
 
