@@ -553,6 +553,31 @@ def cdc_upsert_available_now(
     return spark.read.parquet(state_dir)
 
 
+def _batch_parts(
+    spark: SparkSession, root: str, before: int | None = None
+) -> list[str]:
+    """List ``batch=<id>`` state subdirs via the Hadoop FS API (works on
+    HDFS/S3/local alike — the state layout carries no local-FS
+    assumption), optionally only those STRICTLY EARLIER than ``before``.
+    Returned id-sorted. Missing/empty root → []."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/batch=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(pattern)
+    out: list[tuple[int, str]] = []
+    for st in statuses or []:
+        bid = int(st.getPath().getName().split("=", 1)[1])
+        if before is None or bid < before:
+            out.append((bid, st.getPath().toString()))
+    return [p for _, p in sorted(out)]
+
+
+_FLAG_SCHEMA = (
+    "doc_id bigint, n_matches bigint, min_partner bigint, "
+    "max_est double, keep bigint"
+)
+
+
 def minhash_sidecar_dedup_available_now(
     docs: DataFrame,
     sig_dir: str,
@@ -561,6 +586,8 @@ def minhash_sidecar_dedup_available_now(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 4,
+    n_buckets: int = 8,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Streaming incremental near-dup screening — the arriving-shard dedup
     a 100 TB ingest actually runs, composing the batch
@@ -587,6 +614,20 @@ def minhash_sidecar_dedup_available_now(
     - **Linear write I/O.** Only the arriving batch's rows are written
       per trigger (the side-car is append-only by construction); a
       rewrite-everything overwrite would pay O(corpus) per batch.
+    - **Bounded read I/O (round 12).** The side-car is persisted BANDED
+      (one row per (doc, band), signature carried) and hash-partitioned
+      into ``bucket=<pmod(xxhash64(band_key), n_buckets)>`` subdirs, so
+      the per-trigger candidate join (a) partition-prunes the side-car
+      scan to the buckets the arriving batch actually collides with and
+      (b) never RESHUFFLES the side-car: the batch side — bounded by the
+      trigger (maxFilesPerTrigger / maxBytesPerTrigger) — broadcasts
+      into a map-side hash join against the pruned scan, and the
+      signature estimate is computed INLINE from the sig arrays both
+      rows carry (no join-back against the corpus). For triggers sized
+      past broadcast limits, pass ``broadcast_batch=False``: the join
+      degrades to a shuffle of the pruned buckets only, never the whole
+      side-car. Periodic small-file compaction of old ``batch=`` dirs is
+      the `compact` CLI's job (layout-preserving; ids stay).
 
     Every aggregate is CONFLUENT (SUM matches / MIN partner / MAX
     estimate), and each unordered pair is formed in exactly one
@@ -599,13 +640,10 @@ def minhash_sidecar_dedup_available_now(
     contract.
 
     Scale shape: per batch, only |batch| docs are shingled; the side-car
-    contributes (doc_id, sig) rows — ~1000× smaller than text; the band
-    join shuffles 32-byte band keys; flag deltas are |batch| + |hits|
-    rows. The closing aggregate is one map-side-combined groupBy over
-    doc-grain rows."""
-    import glob
-    import os
-
+    contributes (doc_id, band, sig) rows — ~1000× smaller than text —
+    and only its colliding buckets are read; flag deltas are
+    |batch| + |hits| rows. The closing aggregate is one
+    map-side-combined groupBy over doc-grain rows."""
     from gridiron_spark.operators.dedup import (
         band_keys,
         minhash_signature_df,
@@ -615,72 +653,60 @@ def minhash_sidecar_dedup_available_now(
     spark = docs.sparkSession
     rows = num_hashes // bands
 
-    def _parts(root: str, before: int | None = None) -> list[str]:
-        out = []
-        for d in glob.glob(os.path.join(root, "batch=*")):
-            bid = int(os.path.basename(d).split("=", 1)[1])
-            if before is None or bid < before:
-                out.append((bid, d))
-        return [d for _, d in sorted(out)]
+    def banded(sig_df: DataFrame) -> DataFrame:
+        b = sig_df.select(
+            "doc_id",
+            "sig",
+            F.posexplode(band_keys(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        return b.withColumn(
+            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(n_buckets))
+        )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_sig = minhash_signature_df(
             shingle_rows(batch_df), num_hashes
         ).localCheckpoint()
+        bb = banded(batch_sig).localCheckpoint()
+        # the arriving batch's collision footprint: ≤ n_buckets ints — a
+        # bounded driver collect that turns into partition pruning below
+        hot_buckets = [
+            r["bucket"] for r in bb.select("bucket").distinct().collect()
+        ]
         # prior side-car = the batch partitions STRICTLY EARLIER than this
         # id — not merely "all other subdirs": a replayed batch must see
         # exactly the state it saw the first time (its own half-written
         # rows AND any later batch's rows excluded), or a pair counted by
         # a later batch re-forms here and double-counts
-        prior_dirs = _parts(sig_dir, before=batch_id)
+        prior_dirs = _batch_parts(spark, sig_dir, before=batch_id)
         if prior_dirs:
-            all_sig = spark.read.parquet(*prior_dirs).unionByName(batch_sig)
+            prior = (
+                spark.read.option("basePath", sig_dir)
+                .parquet(*prior_dirs)
+                .filter(F.col("bucket").isin(hot_buckets))
+                .select("doc_id", "sig", "band_idx", "band_key", "bucket")
+            )
+            probe = prior.unionByName(bb)
         else:
-            all_sig = batch_sig
-
-        def banded(sig_df: DataFrame) -> DataFrame:
-            return sig_df.select(
-                "doc_id",
-                F.posexplode(band_keys(F.col("sig"), bands, rows)).alias(
-                    "band_idx", "band_key"
-                ),
-            )
-
-        bb = banded(batch_sig).alias("b")
-        bp = banded(all_sig).alias("p")
-        pairs = (
-            bb.join(
-                bp,
-                (F.col("b.band_idx") == F.col("p.band_idx"))
-                & (F.col("b.band_key") == F.col("p.band_key"))
-                & (F.col("b.doc_id") != F.col("p.doc_id")),
-            )
-            .select(
-                F.least("b.doc_id", "p.doc_id").alias("pid"),
-                F.greatest("b.doc_id", "p.doc_id").alias("did"),
-            )
-            .dropDuplicates(["pid", "did"])
-        )
+            probe = bb
+        build = F.broadcast(bb) if broadcast_batch else bb
         est = (
-            pairs.join(
-                all_sig.select(
-                    F.col("doc_id").alias("did"), F.col("sig").alias("sd")
-                ),
-                "did",
-            )
+            probe.alias("p")
             .join(
-                all_sig.select(
-                    F.col("doc_id").alias("pid"), F.col("sig").alias("sp")
-                ),
-                "pid",
+                build.alias("b"),
+                (F.col("p.band_idx") == F.col("b.band_idx"))
+                & (F.col("p.band_key") == F.col("b.band_key"))
+                & (F.col("p.doc_id") != F.col("b.doc_id")),
             )
             .select(
-                "did",
-                "pid",
+                F.least("p.doc_id", "b.doc_id").alias("pid"),
+                F.greatest("p.doc_id", "b.doc_id").alias("did"),
                 (
                     F.aggregate(
                         F.zip_with(
-                            "sd", "sp", lambda x, y: (x == y).cast("int")
+                            "p.sig", "b.sig", lambda x, y: (x == y).cast("int")
                         ),
                         F.lit(0),
                         lambda acc, x: acc + x,
@@ -688,6 +714,7 @@ def minhash_sidecar_dedup_available_now(
                     / F.lit(float(num_hashes))
                 ).alias("est_jaccard"),
             )
+            .dropDuplicates(["pid", "did"])
         )
         hits = (
             est.filter(F.col("est_jaccard") >= threshold)
@@ -711,12 +738,12 @@ def minhash_sidecar_dedup_available_now(
         delta = base.unionByName(hits)
         # deterministic per-batch partitions: a replay overwrites ITS OWN
         # subdir and leaves every other batch's state untouched
-        delta.write.mode("overwrite").parquet(
-            os.path.join(flags_dir, f"batch={batch_id}")
-        )
-        batch_sig.write.mode("overwrite").parquet(
-            os.path.join(sig_dir, f"batch={batch_id}")
-        )
+        delta.write.mode("overwrite").parquet(f"{flags_dir}/batch={batch_id}")
+        # banded side-car state: one file per bucket per batch (the
+        # repartition keys writer tasks to buckets)
+        bb.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(f"{sig_dir}/batch={batch_id}")
 
     q = (
         docs.writeStream.foreachBatch(merge)
@@ -725,8 +752,11 @@ def minhash_sidecar_dedup_available_now(
         .start()
     )
     q.awaitTermination()
+    flag_parts = _batch_parts(spark, flags_dir)
+    if not flag_parts:  # the drained stream produced zero micro-batches
+        return spark.createDataFrame([], _FLAG_SCHEMA)
     return (
-        spark.read.parquet(*_parts(flags_dir))
+        spark.read.parquet(*flag_parts)
         .groupBy("doc_id")
         .agg(
             F.sum("n_matches").cast("bigint").alias("n_matches"),

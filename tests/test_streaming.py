@@ -376,16 +376,135 @@ def test_minhash_sidecar_dedup_stream_equals_batch(spark, tmp_path):
     assert got[1]["keep"] == 1 and got[1]["n_matches"] == 0
     assert got[5]["keep"] == 1
 
-    # replay idempotency: re-drain the SAME state dirs with a fresh
-    # checkpoint (foreachBatch is at-least-once — a crash between state
-    # write and checkpoint commit replays batches against existing
-    # state). Batch-partitioned overwrites make the replay a no-op: no
-    # doubled n_matches, no duplicated signature rows.
+    # replay idempotency — TRUE at-least-once replay: delete the LAST
+    # batch's commit record from the ORIGINAL checkpoint (exactly the
+    # crash window between state write and checkpoint commit) and
+    # re-drain the same checkpoint. The engine replays that batch — same
+    # id, same composition, guaranteed by the checkpoint's offset log —
+    # against the already-written state. Batch-partitioned overwrites
+    # make the replay a no-op: no doubled n_matches, no duplicated
+    # signature rows. (A fresh-checkpoint re-drain would NOT pin this:
+    # batch ids/composition across independent drains are an accident of
+    # listing order, and the strictly-earlier state filter is only
+    # guaranteed sound within one checkpoint.)
+    commits = sorted(
+        (tmp_path / "ckpt" / "commits").iterdir(),
+        key=lambda p: int(p.name) if p.name.isdigit() else -1,
+    )
+    last = commits[-1]
+    assert last.name.isdigit() and int(last.name) > 0, [p.name for p in commits]
+    last.unlink()
+    # the local ChecksumFileSystem keeps a .<name>.crc side-car; a stale
+    # one fails the replay's re-write of the commit record
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
     replay = minhash_sidecar_dedup_available_now(
         stream_documents(spark, str(src), max_files_per_trigger=1),
         str(tmp_path / "sigs"),
         str(tmp_path / "flags"),
-        str(tmp_path / "ckpt2"),
+        str(tmp_path / "ckpt"),
     )
     got2 = {r["doc_id"]: r.asDict() for r in replay.collect()}
     assert got2 == got
+
+    # round-12 side-car layout: the per-trigger candidate join must
+    # partition-prune the accumulated side-car to the arriving batch's
+    # colliding band-key buckets — the banded state is written under
+    # bucket=<pmod(xxhash64(band_key), n_buckets)> subdirs, and the
+    # merge's prior read filters bucket IN (batch's buckets). Re-create
+    # that read here and pin the filter lands as a PartitionFilter on
+    # the scan (pruned at planning, not post-scan).
+    from gridiron_spark.streaming.pipelines import _batch_parts
+
+    sig_dir = str(tmp_path / "sigs")
+    parts = _batch_parts(spark, sig_dir)
+    assert len(parts) == 3, parts  # one per micro-batch
+    prior = (
+        spark.read.option("basePath", sig_dir)
+        .parquet(*parts)
+        .filter(F.col("bucket").isin([0, 3]))
+    )
+    plan = prior._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    # and the banded rows carry the signature inline (no join-back table)
+    assert {"doc_id", "sig", "band_idx", "band_key"} <= set(prior.columns)
+
+
+def test_minhash_sidecar_compaction_preserves_layout_and_flags(spark, tmp_path):
+    """The side-car's small-file maintenance path: compact_pool over the
+    banded signature state with partition_cols=("batch", "bucket") must
+    preserve the batch/bucket layout (ids stay — the strictly-earlier
+    replay contract depends on them) and leave the signature rows
+    byte-identical, so a drain resumed after compaction sees the same
+    state."""
+    from gridiron_spark.io.compact import compact_pool
+    from gridiron_spark.streaming.pipelines import (
+        _batch_parts,
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, (did, text) in enumerate(
+        [(9, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (5, "totally different words entirely here now")]
+    ):
+        spark.createDataFrame(
+            [(did, text, "en", "unit", len(text))],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "w" / "*.parquet"))[0]
+        shutil.copy(part, str(src / f"{i}.parquet"))
+
+    sig_dir = str(tmp_path / "sigs")
+    minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        sig_dir,
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+    )
+    before = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*_batch_parts(spark, sig_dir))
+            .select("doc_id", "band_idx", "band_key", "sig").collect())
+    )
+    compact_pool(spark, sig_dir, partition_cols=("batch", "bucket"))
+    parts_after = _batch_parts(spark, sig_dir)
+    assert len(parts_after) == 3, parts_after  # batch ids preserved
+    after = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*parts_after)
+            .select("doc_id", "band_idx", "band_key", "sig").collect())
+    )
+    assert after == before
+
+
+def test_minhash_sidecar_empty_drain_returns_empty_flags(spark, tmp_path):
+    """A drained stream that produced zero micro-batches (empty source
+    dir) must return an empty, correctly-typed flags frame — not throw
+    on the empty state read (round-11 ADVICE)."""
+    from gridiron_spark.streaming.pipelines import (
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()  # no files: availableNow drains zero batches
+    flags = minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+    )
+    assert flags.count() == 0
+    assert flags.columns == [
+        "doc_id", "n_matches", "min_partner", "max_est", "keep"
+    ]
