@@ -529,6 +529,13 @@ _SD_EXACT_CAP = 1024
     "semdedup_prune",
     survey="NS-dedup(SemDeDup: intra-cluster semantic dedup via cosine pruning),J1,W2",
     oracle=f"""
+-- DIVERGENCE CONTRACT: this oracle replays the EXACT pairwise prune. The
+-- Spark side self-protects with exact_cap={_SD_EXACT_CAP}: if the staged
+-- assignment's max|cluster| exceeds the cap (out of SemDeDup's k-prop-to-n
+-- contract; never at any checked sf — sf0.1 max ~ 270), the Spark plan
+-- degrades to the rank-window prune and this hash comparison would fail
+-- LOUDLY. The degraded branch carries its own oracle-checked entry:
+-- semdedup_capped_degrade.
 WITH {kmeans_ctes(_KMEANS_K, _KMEANS_ROUNDS)},
 d AS (
     SELECT e.vec_id, c.cluster,
@@ -667,7 +674,12 @@ FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
 @register(
     "semdedup_two_level",
     survey="NS-dedup(SemDeDup scaled-k regime: two-level √k coarse-then-fine assignment + intra-cluster cosine pruning),J1,W2",
-    oracle=_SD2_ASSIGN_CTES + f""",
+    oracle="-- DIVERGENCE CONTRACT: exact pairwise prune replay; the Spark\n"
+    f"-- side's exact_cap={_SD_EXACT_CAP} guard degrades to the rank-window\n"
+    "-- prune on an out-of-contract hot cluster (never at checked sf) and\n"
+    "-- would then fail this hash LOUDLY — see semdedup_capped_degrade for\n"
+    "-- the degraded branch's own oracle.\n"
+    + _SD2_ASSIGN_CTES + f""",
 dropped AS (
     SELECT DISTINCT y.vec_id
     FROM a x JOIN a y ON x.cluster = y.cluster
@@ -795,6 +807,92 @@ def semdedup_prefix_prune(spark, sf_dir):
 
 
 semdedup_prefix_prune.__doc__ = semdedup_prefix_prune.__doc__.format(r=_SD2_RANK_WINDOW)
+
+
+_SDC_K = 2  # adversarially tiny k: clusters of ~n/2 members, far past cap
+_SDC_CAP = 8  # exact_cap chosen so the census PROVABLY trips at every sf
+
+
+@register(
+    "semdedup_capped_degrade",
+    survey="NS-dedup(SemDeDup exact_cap guard DEGRADE PATH: hot-cluster census trips, prune auto-degrades to rank-window),J1,W2",
+    oracle=f"""
+-- This oracle replays the exact_cap guard's DEGRADED branch (rank-window
+-- R = {_SDC_CAP}): the k = {_SDC_K} seed clustering makes max|cluster| ~ n/2,
+-- violating SemDeDup's k-proportional-to-n contract at every scale, so the
+-- Spark side's census always flips the pairwise stage to the rank-window
+-- prune. Valid for any corpus with > {_SDC_CAP * _SDC_K} vectors.
+WITH cents AS (
+    SELECT vec_id AS cluster, embedding AS cvec
+    FROM embeddings WHERE vec_id < {_SDC_K}
+),
+d AS (
+    SELECT e.vec_id, c.cluster,
+           {_L2_AB.format(a="e.embedding", b="c.cvec")} AS dist2,
+           e.embedding AS v
+    FROM embeddings e CROSS JOIN cents c
+),
+a AS (
+    SELECT vec_id, cluster, dist2, v FROM (
+        SELECT vec_id, cluster, dist2, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+        FROM d
+    ) WHERE rn = 1
+),
+topr AS (
+    SELECT vec_id, cluster, dist2, v FROM (
+        SELECT vec_id, cluster, dist2, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster ORDER BY dist2, vec_id) AS rk
+        FROM a
+    ) WHERE rk <= {_SDC_CAP}
+),
+dropped AS (
+    SELECT DISTINCT y.vec_id
+    FROM topr x JOIN a y ON x.cluster = y.cluster
+     AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
+    WHERE {_COS_AB.format(a="x.v", b="y.v")} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+""",
+)
+def semdedup_capped_degrade(spark, sf_dir):
+    """The exact_cap guard's DEGRADE path as a driver-checked entry — the
+    round-11 self-protection (semdedup_prune's auto-degrade when a hot
+    cluster violates the paper's k ∝ n contract) previously ran only in
+    probes and pytest, because the catalog corpora never trip the
+    production cap at checked scales. This entry makes the branch carry
+    its own green CORRECTNESS row: an adversarial k={k} seed clustering
+    puts ~n/2 vectors in each cluster — past exact_cap={c} at every
+    sf — so operators/similarity.semdedup_flags's k-row census ALWAYS
+    flips the pairwise stage to the rank-window prune with R={c}, and
+    the oracle replays that degraded branch (not the exact prune)
+    explicitly. pytest additionally pins (a) the census genuinely
+    exceeds the cap and (b) the result is byte-equal to an explicit
+    prune_rank_window={c} call.
+
+    Scale shape: exactly the degraded contract the guard promises —
+    Σ R·|cluster| cosines (linear in cluster size) instead of the
+    unguarded Σ|cluster|²; the rank-window prefix is ≤ R·k rows and the
+    argmin assignment is one map-side ×k fan-out + Partial
+    WindowGroupLimit pass."""
+    from gridiron_spark.operators.similarity import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _SDC_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    return semdedup_flags(
+        emb, cents, _SEMDEDUP_THRESHOLD, exact_cap=_SDC_CAP
+    )
+
+
+semdedup_capped_degrade.__doc__ = semdedup_capped_degrade.__doc__.format(
+    k=_SDC_K, c=_SDC_CAP
+)
 
 
 def staged_kmeans_centroids(spark, sf_dir):
@@ -2901,13 +2999,19 @@ def ivf_cell_split(spark, sf_dir):
 ivf_cell_split.__doc__ = ivf_cell_split.__doc__.format(cap=_SPLIT_CAP)
 
 
-def _cell_split_assign(spark, sf_dir, cap=_SPLIT_CAP):
+def _cell_split_assign(spark, sf_dir, cap=_SPLIT_CAP, probes=1):
     """Member-grain hot-cell split over the shared `_ivf_assign` map:
-    returns ``(q, remap)`` where remap = (vec_id, cid, sub_cid) —
-    sub_cid is the chosen sub-seed for members of over-``cap`` cells and
-    -1 for in-contract passthrough rows. The plan-shape audit lives on
-    `ivf_cell_split` (its cell-grain aggregate); `knn_graph_cellsplit`
-    consumes the remap as its candidate key."""
+    returns ``(q, remap)`` where remap = (vec_id, cid, sub_cid, home) —
+    sub_cid is a chosen sub-seed for members of over-``cap`` cells and
+    -1 for in-contract passthrough rows. With ``probes=1`` (default)
+    every member carries exactly its nearest sub-seed (``home`` always
+    true); ``probes=p`` additionally emits each hot-cell member's
+    2nd..p-th nearest sub-seeds with ``home=false`` — the sibling-probe
+    rows `knn_graph_cellsplit_probe` uses on the SOURCE side of its
+    candidate join to recover neighbors the split scattered across
+    sibling sub-cells. The plan-shape audit lives on `ivf_cell_split`
+    (its cell-grain aggregate); `knn_graph_cellsplit` consumes the remap
+    as its candidate key."""
     from pyspark.sql import Window
 
     q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
@@ -2943,11 +3047,15 @@ def _cell_split_assign(spark, sf_dir, cap=_SPLIT_CAP):
         .join(F.broadcast(seeded), "cid")
         .select("vec_id", "cid", "seed", sdot.alias("sdot"))
         .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("seed").alias("sub_cid"))
+        .filter(F.col("rn") <= probes)
+        .select(
+            "vec_id", "cid", F.col("seed").alias("sub_cid"),
+            (F.col("rn") == 1).alias("home"),
+        )
     )
     keep = a.join(F.broadcast(hot.select("cid")), "cid", "left_anti").select(
-        "vec_id", "cid", F.lit(-1).cast("bigint").alias("sub_cid")
+        "vec_id", "cid", F.lit(-1).cast("bigint").alias("sub_cid"),
+        F.lit(True).alias("home"),
     )
     return q, split.unionByName(keep)
 
@@ -3037,6 +3145,218 @@ def knn_graph_cellsplit(spark, sf_dir, cap=_SPLIT_CAP):
 
 
 knn_graph_cellsplit.__doc__ = knn_graph_cellsplit.__doc__.format(k=_GIVF_K)
+
+
+_SPLIT_PROBES = 2  # sibling-probe width: each hot-cell member also probes
+                   # its 2nd-nearest sub-seed on the SOURCE side
+
+
+@register(
+    "knn_graph_cellsplit_probe",
+    survey="NS-sim(post-split k-NN graph WITH sibling-probe recall recovery: hot-cell members probe their top-2 sub-seeds on the source side, recovering neighbors the split scattered across sibling sub-cells at ~2x the split-bounded candidate cost),J1,W2",
+    oracle=_SPLIT_CTES + f""",
+remapp AS MATERIALIZED (
+    SELECT vec_id, cid, sub_cid FROM (
+        SELECT a.vec_id, a.cid, s.seed AS sub_cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id, a.cid
+                   ORDER BY list_sum(list_transform(list_zip(qm.qv, qs.qv),
+                                     x -> x[1] * x[2])) DESC, s.seed
+               ) AS rn
+        FROM assigned a
+        JOIN seeds s USING (cid)
+        JOIN q qm ON qm.vec_id = a.vec_id
+        JOIN q qs ON qs.vec_id = s.seed
+    ) WHERE rn <= {_SPLIT_PROBES}
+    UNION ALL
+    SELECT vec_id, cid, CAST(-1 AS BIGINT) AS sub_cid
+    FROM assigned WHERE cid NOT IN (SELECT cid FROM hot)
+),
+candp AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM remapp a JOIN remap b
+      ON a.cid = b.cid AND a.sub_cid = b.sub_cid AND a.vec_id <> b.vec_id
+),
+scoredp AS (
+    SELECT c.src, c.dst,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                    x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM candp c
+    JOIN q qa ON qa.vec_id = c.src
+    JOIN q qb ON qb.vec_id = c.dst
+)
+SELECT src, dst, dot FROM (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scoredp
+) WHERE rk <= {_GIVF_K}
+""",
+)
+def knn_graph_cellsplit_probe(spark, sf_dir, cap=_SPLIT_CAP):
+    """`knn_graph_cellsplit` with the sibling-probe recall knob SHIPPED —
+    the round-11 docstring's "probe sibling sub-cells" option, measured
+    instead of promised: each hot-cell member probes its top-{p}
+    nearest sub-seeds on the SOURCE side of the candidate join (the
+    standard IVF nprobe trick applied one level down), while the
+    candidate side keeps the home (nearest-sub-seed) assignment — so a
+    neighbor pair the split scattered across sibling sub-cells is
+    recovered whenever either member's {p}-probe reaches the other's
+    home sub-cell. Candidate cost rises by at most ×{p} over
+    knn_graph_cellsplit's Σ|sub-cell|² ≈ |cell|^1.5 — still far under
+    the unsplit |cell|² — and with no hot cells it degenerates to
+    knn_graph_ivf exactly, like its sibling (passthrough rows carry one
+    probe). Recall vs the unsplit cell join is measured on a forced-
+    split distinct-content corpus in pytest and BASELINE.md round-12:
+    probing recovers a strict superset of the home-only edges.
+
+    Scale shape: identical to knn_graph_cellsplit except the source
+    side of the candidate equi-join carries ≤ {p} rows per hot-cell
+    member (the probe fan-out is map-side, pruned by the same Partial
+    WindowGroupLimit rank); the top-{k} per source is unchanged."""
+    from pyspark.sql import Window
+
+    q, remap = _cell_split_assign(spark, sf_dir, cap=cap,
+                                  probes=_SPLIT_PROBES)
+    # both sides of the candidate join read the remap — pin it once
+    a = remap.localCheckpoint(eager=False)
+    home = a.filter(F.col("home"))
+    cand = (
+        a.alias("a")
+        .join(
+            home.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.sub_cid") == F.col("b.sub_cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(q.select(F.col("vec_id").alias("src"),
+                           F.col("qv").alias("qa")), "src")
+        .join(q.select(F.col("vec_id").alias("dst"),
+                       F.col("qv").alias("qb")), "dst")
+        .select("src", "dst", pdot.alias("dot"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _GIVF_K)
+        .select("src", "dst", "dot")
+    )
+
+
+knn_graph_cellsplit_probe.__doc__ = knn_graph_cellsplit_probe.__doc__.format(
+    p=_SPLIT_PROBES, k=_GIVF_K
+)
+
+
+def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
+    """Iterated hot-cell split (round 12) — closes the one-round split's
+    residual: splitting a mega-cell of n members into ceil(sqrt(n))
+    sub-cells bounds the candidate term at ~Σ|cell|^1.5, but an
+    adversarial cell can leave a sub-cell still past ``cap``. This
+    operator re-censuses after every round and re-splits any sub-cell
+    still hot, until all are ≤ cap or ``max_rounds`` is exhausted —
+    O(log log n) rounds for hash-spread ties, since populations fall
+    ~√n per round.
+
+    Returns the member-grain final map (vec_id, cid, ck): ``ck`` is the
+    final sub-cell key — equal to cid for never-split members, else the
+    deterministic path hash xxhash64(parent_ck, chosen_seed).
+
+    Tie handling is the load-bearing difference from the one-round
+    split: EXACT-copy members have identical dots to every seed, so a
+    (dot DESC, seed ASC) rank sends all copies to one seed and no
+    amount of iteration can separate them. Rounds ≥ 2 therefore break
+    dot ties by the member-specific hash xxhash64(vec_id, seed) —
+    deterministic, content-respecting for distinct vectors (the dot
+    still dominates), and uniformly spreading for exact ties, which is
+    semantically free: exact duplicates are interchangeable candidates,
+    any balanced partition of them preserves which NON-duplicate
+    neighbors each can reach. Round 1 keeps the (dot, seed) rank so the
+    first round matches `_cell_split_assign` / the ivf_cell_split
+    oracle exactly.
+
+    Scale shape per round: census is one map-side-combined count; hot
+    keys and their seed lists stay centroid-sized and broadcast;
+    members re-rank only against their own cell's ≤ ceil(sqrt(n)) seeds
+    with a Partial WindowGroupLimit argmin; lineage is cut per round
+    (localCheckpoint), the dedup_clusters_star iteration pattern. A
+    1-row census collect decides termination — bounded driver I/O."""
+    from pyspark.sql import Window
+
+    q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
+    cur = assigned.join(q, "vec_id").select(
+        "vec_id", "cid", F.col("cid").alias("ck"), "qv"
+    ).localCheckpoint(eager=False)
+    for rnd in range(max_rounds):
+        cells = cur.groupBy("cid", "ck").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        max_cell = cells.agg(F.max("n")).first()[0]
+        if max_cell is None or max_cell <= cap:
+            break
+        hot = cells.filter(F.col("n") > cap).select(
+            "cid", "ck", F.ceil(F.sqrt(F.col("n"))).cast("bigint").alias("s")
+        )
+        ws = Window.partitionBy("cid", "ck").orderBy("vec_id")
+        seeds = (
+            cur.join(F.broadcast(hot), ["cid", "ck"])
+            .withColumn("srank", F.row_number().over(ws))
+            .filter(F.col("srank") <= F.col("s"))
+            .select("cid", "ck", F.col("vec_id").alias("seed"))
+        )
+        seeded = seeds.join(
+            q.select(F.col("vec_id").alias("seed"), F.col("qv").alias("qs")),
+            "seed",
+        )
+        sdot = F.aggregate(
+            F.zip_with("qv", "qs", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        # round 1: (dot DESC, seed ASC) — byte-compatible with the
+        # one-round split; later rounds: hash tie-spread (see docstring).
+        # The hash input is a CONCATENATED STRING, not the two-column
+        # xxhash64(vec_id, seed): Spark chains multi-column xxhash64
+        # through the seed parameter, whose avalanche on 8-byte integer
+        # inputs is weak enough that one seed can win the argmin for
+        # EVERY member of a cell (measured: an 11-member cell where all
+        # 11 argmins picked the same seed — the split no-ops and the
+        # recursion stalls above the cap). String-byte hashing mixes
+        # fully; the spread is deterministic either way.
+        tiebreak = (
+            F.asc("seed") if rnd == 0
+            else F.asc(F.xxhash64(F.concat_ws("#", "vec_id", "seed")))
+        )
+        wr = Window.partitionBy("vec_id", "cid", "ck").orderBy(
+            F.desc("sdot"), tiebreak
+        )
+        split = (
+            cur.join(F.broadcast(hot.select("cid", "ck")), ["cid", "ck"])
+            .join(F.broadcast(seeded), ["cid", "ck"])
+            .select("vec_id", "cid", "ck", "seed", "qv", sdot.alias("sdot"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "cid",
+                F.xxhash64("ck", "seed").alias("ck"), "qv",
+            )
+        )
+        keep = cur.join(
+            F.broadcast(hot.select("cid", "ck")), ["cid", "ck"], "left_anti"
+        ).select("vec_id", "cid", "ck", "qv")
+        cur = split.unionByName(keep).localCheckpoint(eager=False)
+    return cur.select("vec_id", "cid", "ck")
 
 
 _HNEG_K = 3  # hard negatives per anchor

@@ -150,6 +150,62 @@ def test_semdedup_exact_cap_degrades_to_rank_window(spark):
     assert keep[20] == 1 and keep[21] == 0
 
 
+def test_semdedup_capped_degrade_entry_takes_degraded_branch(spark):
+    """The round-12 catalog entry semdedup_capped_degrade must (a) build a
+    clustering whose max|cluster| genuinely exceeds its exact_cap at the
+    test corpus — i.e. the census provably trips — and (b) return flags
+    byte-equal to calling the rank-window prune explicitly with R = cap
+    (the branch its oracle replays)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.io.tables import load_table
+    from gridiron_spark.operators.similarity import (
+        lloyd_assign,
+        semdedup_flags,
+    )
+    from gridiron_spark.queries import catalog
+    from gridiron_spark.queries.similarity import (
+        _SDC_CAP,
+        _SDC_K,
+        _SEMDEDUP_THRESHOLD,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _SDC_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    max_cluster = (
+        lloyd_assign(emb, cents)
+        .groupBy("cluster")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_cluster > _SDC_CAP, (max_cluster, _SDC_CAP)
+
+    entry = sorted(
+        map(
+            tuple,
+            catalog()["semdedup_capped_degrade"]
+            .spark_fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    windowed = sorted(
+        map(
+            tuple,
+            semdedup_flags(
+                emb,
+                cents,
+                _SEMDEDUP_THRESHOLD,
+                prune_rank_window=_SDC_CAP,
+            ).collect(),
+        )
+    )
+    assert entry == windowed
+
+
 def _reference_bpe(word_freq: dict[str, int], n_merges: int):
     """Plain-Python BPE (Sennrich et al. 2016): symbol sequences per word,
     argmax adjacent pair by weighted count (ties lexicographic), left-to-
@@ -691,3 +747,70 @@ def test_cell_split_bounds_hot_cell_candidates(spark):
     assert passthrough, "sf0.01 must also exercise the passthrough branch"
     assert all(len(rs) == 1 and rs[0]["sub_cid"] == -1
                for rs in passthrough.values())
+
+
+def test_cellsplit_probe_recall_dominates_home_only(spark):
+    """The sibling-probe recall row (round-12): vs the unsplit
+    knn_graph_ivf edges as ground truth, knn_graph_cellsplit_probe must
+    recover a SUPERSET of the true edges knn_graph_cellsplit recovers
+    (probe candidates ⊇ home candidates, and a true-top-k edge present
+    in a candidate subset always survives its top-k), i.e. recall is
+    monotone in the probe width. sf0.01 genuinely splits (cap=100 trips
+    — pinned by test_cell_split_bounds_hot_cell_candidates), so the
+    probe rows are live, not passthrough."""
+    from gridiron_spark.queries import catalog
+
+    sf_dir = "/root/testdata/sf0.01"
+    cat = catalog()
+    true = set(map(tuple, cat["knn_graph_ivf"].spark_fn(
+        spark, sf_dir).select("src", "dst").collect()))
+    home = set(map(tuple, cat["knn_graph_cellsplit"].spark_fn(
+        spark, sf_dir).select("src", "dst").collect()))
+    probe = set(map(tuple, cat["knn_graph_cellsplit_probe"].spark_fn(
+        spark, sf_dir).select("src", "dst").collect()))
+    assert (home & true) <= (probe & true)
+    recall_home = len(home & true) / len(true)
+    recall_probe = len(probe & true) / len(true)
+    assert recall_probe >= recall_home
+    # the split genuinely loses edges here (else the probe has nothing
+    # to recover and this test pins nothing)
+    assert recall_home < 1.0
+
+
+def test_recursive_cell_split_passthrough_when_no_hot_cells(spark):
+    """Degeneracy contract (unchanged from the one-round split): with no
+    cell over the cap, the recursive split is a pure passthrough — the
+    final sub-cell key equals the original cell id for every member."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries.similarity import recursive_cell_split
+
+    remap = recursive_cell_split(spark, "/root/testdata/sf0.001", cap=10**9)
+    assert remap.filter(F.col("ck") != F.col("cid")).count() == 0
+
+
+def test_recursive_cell_split_caps_exact_copy_mega_cell(spark, tmp_path):
+    """The round-12 residual closed: an EXACT-copy mega-cell defeats one
+    split round (every copy ties to the same sub-seed), and defeats
+    iteration too unless ties hash-spread. The recursive split must
+    bring every final sub-cell under the cap within its round budget on
+    a 100-copy cell, while conserving membership."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries.similarity import recursive_cell_split
+
+    base = [float(i % 7) / 7.0 for i in range(16)]
+    rows = [(i, base, 0) for i in range(100)]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
+
+    cap = 8
+    remap = recursive_cell_split(spark, str(corpus), cap=cap, max_rounds=4)
+    sizes = remap.groupBy("cid", "ck").count()
+    assert sizes.agg(F.max("count")).first()[0] <= cap
+    # membership conserved: every (vec_id, cid) appears exactly once
+    n_pairs = remap.count()
+    assert remap.select("vec_id", "cid").distinct().count() == n_pairs
