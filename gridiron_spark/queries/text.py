@@ -656,6 +656,8 @@ def vocab_encode_checksum(spark, sf_dir):
     )
 
 
+vocab_encode_checksum.__doc__ = vocab_encode_checksum.__doc__.format(k=_VOCAB_K)
+
 _BPE_N_MERGES = 8
 
 
