@@ -431,6 +431,14 @@ def test_minhash_sidecar_dedup_stream_equals_batch(spark, tmp_path):
     )[1][:200], plan
     # and the banded rows carry the signature inline (no join-back table)
     assert {"doc_id", "sig", "band_idx", "band_key"} <= set(prior.columns)
+    # quantitative: the pruned read touches strictly fewer files than the
+    # side-car holds (input_file_name reflects post-pruning scan input)
+    all_files = (
+        spark.read.option("basePath", sig_dir).parquet(*parts)
+        .select(F.input_file_name()).distinct().count()
+    )
+    pruned_files = prior.select(F.input_file_name()).distinct().count()
+    assert pruned_files < all_files, (pruned_files, all_files)
 
 
 def test_minhash_sidecar_compaction_preserves_layout_and_flags(spark, tmp_path):
