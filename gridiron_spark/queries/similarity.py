@@ -3309,15 +3309,16 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
             "cid", "ck", F.ceil(F.sqrt(F.col("n"))).cast("bigint").alias("s")
         )
         ws = Window.partitionBy("cid", "ck").orderBy("vec_id")
-        seeds = (
+        # seed rows are a subset of the checkpointed cur, which already
+        # carries qv — no re-join against the corpus-sized q per round
+        seeded = (
             cur.join(F.broadcast(hot), ["cid", "ck"])
             .withColumn("srank", F.row_number().over(ws))
             .filter(F.col("srank") <= F.col("s"))
-            .select("cid", "ck", F.col("vec_id").alias("seed"))
-        )
-        seeded = seeds.join(
-            q.select(F.col("vec_id").alias("seed"), F.col("qv").alias("qs")),
-            "seed",
+            .select(
+                "cid", "ck",
+                F.col("vec_id").alias("seed"), F.col("qv").alias("qs"),
+            )
         )
         sdot = F.aggregate(
             F.zip_with("qv", "qs", lambda x, y: x * y),

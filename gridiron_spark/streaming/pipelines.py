@@ -669,6 +669,21 @@ def minhash_sidecar_dedup_available_now(
         batch_sig = minhash_signature_df(
             shingle_rows(batch_df), num_hashes
         ).localCheckpoint()
+        if not batch_sig.take(1):
+            # zero-row micro-batch (e.g. an empty source file): write a
+            # schema-carrying empty flags delta and NO sig subdir — a
+            # partitionBy write of an empty frame emits no part files,
+            # and an all-_SUCCESS batch dir would fail later batches'
+            # schema inference on the prior read. An absent subdir is
+            # equivalent state (the batch contributes nothing) and the
+            # replay contract holds vacuously.
+            batch_sig.select(
+                "doc_id",
+                F.lit(0).cast("bigint").alias("n_matches"),
+                F.lit(None).cast("bigint").alias("min_partner"),
+                F.lit(None).cast("double").alias("max_est"),
+            ).write.mode("overwrite").parquet(f"{flags_dir}/batch={batch_id}")
+            return
         bb = banded(batch_sig).localCheckpoint()
         # the arriving batch's collision footprint: ≤ n_buckets ints — a
         # bounded driver collect that turns into partition pruning below

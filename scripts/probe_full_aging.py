@@ -51,7 +51,9 @@ def _telemetry(spark) -> dict:
         if "CodeHeap" in name or name == "Metaspace":
             u = pool.getUsage()
             out[name] = round(u.getUsed() / 2**20, 1)
-            out[name + " max"] = round(u.getMax() / 2**20, 1)
+            # getMax() == -1 means "undefined" (unbounded pool)
+            mx = u.getMax()
+            out[name + " max"] = round(mx / 2**20, 1) if mx >= 0 else None
     out["loaded_classes"] = mf.getClassLoadingMXBean().getLoadedClassCount()
     out["jit_time_ms"] = mf.getCompilationMXBean().getTotalCompilationTime()
     return out
@@ -65,9 +67,14 @@ def _old_hygiene(spark) -> None:
 
 
 def _new_hygiene(spark) -> None:
-    _old_hygiene(spark)
+    # same order as bench.py's shipped hygiene: release the references
+    # (views, terminated queries, state-store providers) FIRST, gc last
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary:
+            spark.catalog.dropTempView(tbl.name)
     spark.streams.resetTerminated()
     spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    spark._jvm.System.gc()
 
 
 def main() -> None:

@@ -495,6 +495,49 @@ def test_minhash_sidecar_compaction_preserves_layout_and_flags(spark, tmp_path):
     assert after == before
 
 
+def test_minhash_sidecar_survives_zero_row_micro_batch(spark, tmp_path):
+    """A zero-ROW file in the stream (empty parquet, valid schema) must
+    not kill the drain: a partitionBy write of an empty frame emits no
+    part files, so the batch writes no sig subdir at all (an
+    all-_SUCCESS dir would fail later batches' prior-read schema
+    inference) and later batches screen against the remaining state
+    normally."""
+    from gridiron_spark.streaming.pipelines import (
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = tmp_path / "docs"
+    src.mkdir()
+    import glob
+    import shutil
+
+    for fname, rows in (
+        ("a.parquet", []),  # batch 0: zero rows
+        ("b.parquet", [(9, "the quick brown fox jumps over the lazy dog", "en", "u", 44)]),
+        ("c.parquet", [(1, "the quick brown fox jumps over the lazy dog", "en", "u", 44)]),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "w"))
+        shutil.copy(
+            glob.glob(str(tmp_path / "w" / "*.parquet"))[0], str(src / fname)
+        )
+
+    flags = minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {r["doc_id"]: r.asDict() for r in flags.collect()}
+    assert set(got) == {1, 9}
+    # the cross-batch pair still forms despite the empty leading batch
+    assert got[9]["keep"] == 0 and got[9]["min_partner"] == 1
+    assert got[1]["keep"] == 1
+
+
 def test_minhash_sidecar_empty_drain_returns_empty_flags(spark, tmp_path):
     """A drained stream that produced zero micro-batches (empty source
     dir) must return an empty, correctly-typed flags frame — not throw
