@@ -238,6 +238,7 @@ _EVIDENCE_R11 = frozenset(
 _NEW_R12: tuple[str, ...] = (
     "semdedup_capped_degrade",
     "knn_graph_cellsplit_probe",
+    "ivf_cell_split_recursive",
 )
 
 

@@ -3259,6 +3259,120 @@ knn_graph_cellsplit_probe.__doc__ = knn_graph_cellsplit_probe.__doc__.format(
 )
 
 
+_RSPLIT_CAP = 12  # entry-scale cap: sf0.01 round-1 sub-cells reach 31, so
+                  # the SECOND round provably fires at the checked scale
+
+
+@register(
+    "ivf_cell_split_recursive",
+    survey="NS-sim(ANN index maintenance: RECURSIVE hot-cell split — re-census after each round, re-split any sub-cell still past cap; bounded rounds, md5 path keys + md5 tie-spread so the whole iteration replays in ANSI SQL),J1,W1-W3,A6",
+    oracle=_GIVF_CAND_CTES + f""",
+r1c AS (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cid
+),
+r1hot AS (
+    SELECT cid, CAST(ceil(sqrt(n)) AS BIGINT) AS s
+    FROM r1c WHERE n > {_RSPLIT_CAP}
+),
+r1seeds AS (
+    SELECT cid, seed FROM (
+        SELECT a.cid, a.vec_id AS seed, h.s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cid ORDER BY a.vec_id) AS srank
+        FROM assigned a JOIN r1hot h USING (cid)
+    ) WHERE srank <= s
+),
+r1 AS MATERIALIZED (
+    SELECT vec_id, cid,
+           md5(CAST(cid AS VARCHAR) || '#' || CAST(seed AS VARCHAR)) AS ck
+    FROM (
+        SELECT a.vec_id, a.cid, s.seed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id, a.cid
+                   ORDER BY list_sum(list_transform(list_zip(qm.qv, qs.qv),
+                                     x -> x[1] * x[2])) DESC, s.seed
+               ) AS rn
+        FROM assigned a
+        JOIN r1seeds s USING (cid)
+        JOIN q qm ON qm.vec_id = a.vec_id
+        JOIN q qs ON qs.vec_id = s.seed
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT vec_id, cid, CAST(cid AS VARCHAR) AS ck
+    FROM assigned WHERE cid NOT IN (SELECT cid FROM r1hot)
+),
+r2c AS (
+    SELECT cid, ck, CAST(COUNT(*) AS BIGINT) AS n FROM r1 GROUP BY cid, ck
+),
+r2hot AS (
+    SELECT cid, ck, CAST(ceil(sqrt(n)) AS BIGINT) AS s
+    FROM r2c WHERE n > {_RSPLIT_CAP}
+),
+r2seeds AS (
+    SELECT cid, ck, seed FROM (
+        SELECT a.cid, a.ck, a.vec_id AS seed, h.s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cid, a.ck ORDER BY a.vec_id) AS srank
+        FROM r1 a JOIN r2hot h USING (cid, ck)
+    ) WHERE srank <= s
+),
+r2 AS (
+    SELECT vec_id, cid,
+           md5(old_ck || '#' || CAST(seed AS VARCHAR)) AS ck
+    FROM (
+        SELECT a.vec_id, a.cid, a.ck AS old_ck, s.seed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id, a.cid, a.ck
+                   ORDER BY list_sum(list_transform(list_zip(qm.qv, qs.qv),
+                                     x -> x[1] * x[2])) DESC,
+                            md5(CAST(a.vec_id AS VARCHAR) || '#'
+                                || CAST(s.seed AS VARCHAR))
+               ) AS rn
+        FROM r1 a
+        JOIN r2seeds s USING (cid, ck)
+        JOIN q qm ON qm.vec_id = a.vec_id
+        JOIN q qs ON qs.vec_id = s.seed
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT a.vec_id, a.cid, a.ck FROM r1 a
+    WHERE NOT EXISTS (SELECT 1 FROM r2hot h
+                      WHERE h.cid = a.cid AND h.ck = a.ck)
+)
+SELECT cid, ck, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM r2 GROUP BY cid, ck
+""",
+)
+def ivf_cell_split_recursive(spark, sf_dir):
+    """The recursive hot-cell split as a driver-checked entry — the
+    round-12 residual (one split round bounds Σ|cell|² at ~Σ|cell|^1.5,
+    but an adversarial cell can leave a sub-cell still hot) under its
+    own oracle, not just probe/pytest evidence. Two bounded rounds at
+    cap={cap}: at sf0.01 the IVF map's hot cells reach 116 members, the
+    first round's sub-cells still reach 31 > {cap}, so the SECOND round
+    provably executes at the checked scale (pytest-pinned), exercising
+    the md5 path-key chaining AND the md5 tie-spread rank — the full
+    iteration replayed by the oracle's two-round CTE unroll. Output is
+    the post-split cell map at cell grain: (cid, ck, n_members), the
+    artifact a reindex job persists.
+
+    Scale shape: per round — one map-side-combined census; hot keys +
+    seed lists centroid-sized and broadcast; members re-rank only
+    against their own cell's ≤ ceil(sqrt(n)) seeds via a Partial
+    WindowGroupLimit; lineage cut per round. See
+    `recursive_cell_split` for the unbounded-round operator and the
+    measured ×100 exact-copy probe (BASELINE.md round-12)."""
+    return (
+        recursive_cell_split(spark, sf_dir, cap=_RSPLIT_CAP, max_rounds=2)
+        .groupBy("cid", "ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+
+
+ivf_cell_split_recursive.__doc__ = ivf_cell_split_recursive.__doc__.format(
+    cap=_RSPLIT_CAP
+)
+
+
 def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
     """Iterated hot-cell split (round 12) — closes the one-round split's
     residual: splitting a mega-cell of n members into ceil(sqrt(n))
@@ -3270,21 +3384,29 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
     ~√n per round.
 
     Returns the member-grain final map (vec_id, cid, ck): ``ck`` is the
-    final sub-cell key — equal to cid for never-split members, else the
-    deterministic path hash xxhash64(parent_ck, chosen_seed).
+    final sub-cell key — cid rendered as a string for never-split
+    members, else the deterministic path hash
+    md5(parent_ck || '#' || chosen_seed). md5-over-string keys (rather
+    than xxhash64) keep every key and tie-break REPLAYABLE IN ANSI SQL,
+    so the bounded-round form carries its own DuckDB oracle
+    (`ivf_cell_split_recursive`).
 
     Tie handling is the load-bearing difference from the one-round
     split: EXACT-copy members have identical dots to every seed, so a
     (dot DESC, seed ASC) rank sends all copies to one seed and no
     amount of iteration can separate them. Rounds ≥ 2 therefore break
-    dot ties by the member-specific hash xxhash64(vec_id, seed) —
+    dot ties by the member-specific hash md5(vec_id || '#' || seed) —
     deterministic, content-respecting for distinct vectors (the dot
     still dominates), and uniformly spreading for exact ties, which is
     semantically free: exact duplicates are interchangeable candidates,
     any balanced partition of them preserves which NON-duplicate
-    neighbors each can reach. Round 1 keeps the (dot, seed) rank so the
-    first round matches `_cell_split_assign` / the ivf_cell_split
-    oracle exactly.
+    neighbors each can reach. (Two-column xxhash64 was measured
+    UNSUITABLE here: Spark chains multi-column xxhash64 through the
+    seed parameter, whose avalanche on 8-byte integer inputs is weak
+    enough that one seed won the argmin for every member of an
+    11-member cell — the split no-ops and the recursion stalls.)
+    Round 1 keeps the (dot, seed) rank so the first round matches
+    `_cell_split_assign` / the ivf_cell_split oracle exactly.
 
     Scale shape per round: census is one map-side-combined count; hot
     keys and their seed lists stay centroid-sized and broadcast;
@@ -3296,7 +3418,7 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
 
     q, assigned = _ivf_assign(spark, sf_dir, super_fac=_GIVF_SFAC)
     cur = assigned.join(q, "vec_id").select(
-        "vec_id", "cid", F.col("cid").alias("ck"), "qv"
+        "vec_id", "cid", F.col("cid").cast("string").alias("ck"), "qv"
     ).localCheckpoint(eager=False)
     for rnd in range(max_rounds):
         cells = cur.groupBy("cid", "ck").agg(
@@ -3325,19 +3447,10 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        # round 1: (dot DESC, seed ASC) — byte-compatible with the
-        # one-round split; later rounds: hash tie-spread (see docstring).
-        # The hash input is a CONCATENATED STRING, not the two-column
-        # xxhash64(vec_id, seed): Spark chains multi-column xxhash64
-        # through the seed parameter, whose avalanche on 8-byte integer
-        # inputs is weak enough that one seed can win the argmin for
-        # EVERY member of a cell (measured: an 11-member cell where all
-        # 11 argmins picked the same seed — the split no-ops and the
-        # recursion stalls above the cap). String-byte hashing mixes
-        # fully; the spread is deterministic either way.
+        # round 1: (dot DESC, seed ASC); later rounds: md5 tie-spread
         tiebreak = (
             F.asc("seed") if rnd == 0
-            else F.asc(F.xxhash64(F.concat_ws("#", "vec_id", "seed")))
+            else F.asc(F.md5(F.concat_ws("#", "vec_id", "seed")))
         )
         wr = Window.partitionBy("vec_id", "cid", "ck").orderBy(
             F.desc("sdot"), tiebreak
@@ -3350,7 +3463,7 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
             .filter(F.col("rn") == 1)
             .select(
                 "vec_id", "cid",
-                F.xxhash64("ck", "seed").alias("ck"), "qv",
+                F.md5(F.concat_ws("#", "ck", "seed")).alias("ck"), "qv",
             )
         )
         keep = cur.join(

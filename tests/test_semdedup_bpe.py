@@ -786,7 +786,42 @@ def test_recursive_cell_split_passthrough_when_no_hot_cells(spark):
     from gridiron_spark.queries.similarity import recursive_cell_split
 
     remap = recursive_cell_split(spark, "/root/testdata/sf0.001", cap=10**9)
-    assert remap.filter(F.col("ck") != F.col("cid")).count() == 0
+    assert remap.filter(
+        F.col("ck") != F.col("cid").cast("string")
+    ).count() == 0
+
+
+def test_recursive_split_entry_second_round_fires_at_oracle_sf(spark):
+    """ivf_cell_split_recursive's point is the SECOND round: its oracle
+    unrolls two rounds, so the entry must genuinely execute round 2 at
+    the driver's correctness scale — i.e. round 1 at cap=12 must leave
+    at least one sub-cell still hot, and round 2 must shrink it. Also
+    pins that the entry equals the operator at max_rounds=2 (cell-grain
+    aggregate of the same map)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries import catalog
+    from gridiron_spark.queries.similarity import (
+        _RSPLIT_CAP,
+        recursive_cell_split,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    r1 = recursive_cell_split(spark, sf_dir, cap=_RSPLIT_CAP, max_rounds=1)
+    r1_max = (
+        r1.groupBy("cid", "ck").count().agg(F.max("count")).first()[0]
+    )
+    assert r1_max > _RSPLIT_CAP, (r1_max, _RSPLIT_CAP)
+
+    entry = sorted(map(tuple, catalog()["ivf_cell_split_recursive"]
+                       .spark_fn(spark, sf_dir).collect()))
+    r2 = recursive_cell_split(spark, sf_dir, cap=_RSPLIT_CAP, max_rounds=2)
+    op = sorted(map(tuple, r2.groupBy("cid", "ck")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                    .collect()))
+    assert entry == op
+    r2_max = max(n for _, _, n in entry)
+    assert r2_max < r1_max, (r2_max, r1_max)
 
 
 def test_recursive_cell_split_caps_exact_copy_mega_cell(spark, tmp_path):
