@@ -75,11 +75,12 @@ _QUERY_MODULES = (
 # _EVIDENCE_R6 folded. Round 9: _EVIDENCE_R7 folded (identical r07/r08
 # windows). Round 10 fold: CORRECTNESS_r09's 50 rows became _EVIDENCE_R9.
 # Round 11 fold: CORRECTNESS_r10's 50/50-green rows became _EVIDENCE_R10.
-# Round 12 fold: CORRECTNESS_r11 was 50/50 green (rows+schema+hash, zero
-# err) → its 50 rows became _EVIDENCE_R11 — the 4 round-11 additions,
-# all 38 remaining round-5 entries (retiring _EVIDENCE_R5), and the 8
-# stalest round-6 entries — leaving 42 round-6 entries as the ring's
-# head for the round-12 window.
+# Round 12 fold: CORRECTNESS_r11's 50/50-green rows became _EVIDENCE_R11.
+# Round 13 fold: CORRECTNESS_r12 was 50/50 green (rows+schema+hash, zero
+# err) → its 50 rows became _EVIDENCE_R12 — the 3 round-12 additions,
+# all 42 remaining round-6 entries (retiring _EVIDENCE_R6 entirely), and
+# the 5 stalest round-7 entries — leaving 45 round-7 entries as the
+# ring's head for the round-13 window.
 
 # The rows-only trio (the seeded-JVM MLlib family — hash families DuckDB
 # cannot reproduce): the driver records the same weaker rows-only check
@@ -92,53 +93,25 @@ _ROWS_ONLY_MLLIB = frozenset(
     }
 )
 
-# Latest driver evidence row is from round 6 — the stalest tier: the 42
-# round-6 entries that did not fit the round-11 window.
-_EVIDENCE_R6 = frozenset(
-    {
-        "ann_ivf_kmeans_topk", "ann_pq_topk", "asof_join_events",
-        "bloom_prefilter_join", "cluster_split_assign",
-        "corpus_clean_pipeline", "corpus_rank_quality",
-        "decontaminate_ngram_overlap", "dedup_cdc_chunks",
-        "dedup_clusters_star", "dedup_keep_best", "dedup_ngram_prefix",
-        "doc_embedding_pool", "dsir_select_topk", "forecast_revenue_change",
-        "generator_outer_expand", "higher_order_functions",
-        "incremental_dedup_flags", "ingest_json_roundtrip",
-        "ingest_normalize_roundtrip", "kmeans_converged_assign",
-        "lsh_recall_curve",
-        "math_functions", "mixture_token_budget", "model_quality_score",
-        "multimodal_png_roundtrip", "multiset_ops", "null_functions",
-        "paginated_orders", "perplexity_filter", "pii_luhn_flags",
-        "pricing_summary_q1",
-        "ranged_global_sort", "resample_forward_fill",
-        "robust_outlier_flags", "scan_unified_drift_roundtrip",
-        "set_intersect_users", "shingle_novelty_score",
-        "stratified_sample_agg",
-        "streaming_late_data_e2e", "streaming_model_gate_e2e",
-        "unpivot_metrics",
-    }
-)
-
 # Latest driver evidence row is from rounds 7 AND 8 (the identical
-# 50/50-green window, re-run on unchanged code): the 40 round-7
-# additions + the two late-registered stragglers + 8 re-verified
-# round-3 entries. Freshest tier — re-verified last.
+# 50/50-green window, re-run on unchanged code): the 45 round-7-window
+# entries that did not fit the round-12 window. STALEST tier — the
+# ring's head for round 13.
 _EVIDENCE_R7 = frozenset(
     {
         "ann_recall_eval", "audio_energy_windows", "bm25_search_topk",
         "bucketed_join_roundtrip", "calibration_reliability_bins",
-        "cohort_retention", "containment_dup_pairs", "curriculum_schedule",
+        "cohort_retention", "curriculum_schedule",
         "data_quality_contract", "embedding_quantize", "eval_auc_ranksum",
         "eval_confusion_metrics", "event_funnel_analysis",
         "filter_funnel_report", "frame_nearest_defender",
         "grid_cell_neighbor_join", "hybrid_retrieval_fusion",
-        "image_dhash_neardup", "incremental_agg_maintenance",
+        "image_dhash_neardup",
         "interval_islands_merge", "interval_overlap_join_binned",
         "k_anonymity_audit", "kcore_decompose_knn", "key_skew_audit",
-        "keyed_dedup_earliest", "kmv_distinct_sketch", "knn_join_topk",
+        "keyed_dedup_earliest", "knn_join_topk",
         "l_diversity_audit", "markov_next_event", "ngram_lm_train_score",
         "pagerank_knn_centrality", "pmi_collocations",
-        "record_linkage_blocked", "recursive_cte_hierarchy",
         "scd2_dimension_build", "sequence_pack_bucketed",
         "session_stats_batch", "session_window_agg",
         "source_affinity_matrix", "streaming_cdc_upsert_e2e",
@@ -233,13 +206,39 @@ _EVIDENCE_R11 = frozenset(
     }
 )
 
-# Tier 1 = first-driver-row queue: the genuinely-new round-12 queries as
-# they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R12: tuple[str, ...] = (
-    "semdedup_capped_degrade",
-    "knn_graph_cellsplit_probe",
-    "ivf_cell_split_recursive",
+# Latest driver evidence row is from round 12 (CORRECTNESS_r12: 50/50
+# green): the 3 round-12 additions, all 42 retired round-6 entries, and
+# the 5 then-stalest round-7 entries. Freshest tier — re-verified last.
+_EVIDENCE_R12 = frozenset(
+    {
+        "ann_ivf_kmeans_topk", "ann_pq_topk", "asof_join_events",
+        "bloom_prefilter_join", "cluster_split_assign",
+        "containment_dup_pairs", "corpus_clean_pipeline",
+        "corpus_rank_quality", "decontaminate_ngram_overlap",
+        "dedup_cdc_chunks", "dedup_clusters_star", "dedup_keep_best",
+        "dedup_ngram_prefix", "doc_embedding_pool", "dsir_select_topk",
+        "forecast_revenue_change", "generator_outer_expand",
+        "higher_order_functions", "incremental_agg_maintenance",
+        "incremental_dedup_flags", "ingest_json_roundtrip",
+        "ingest_normalize_roundtrip", "ivf_cell_split_recursive",
+        "kmeans_converged_assign", "kmv_distinct_sketch",
+        "knn_graph_cellsplit_probe", "lsh_recall_curve", "math_functions",
+        "mixture_token_budget", "model_quality_score",
+        "multimodal_png_roundtrip", "multiset_ops", "null_functions",
+        "paginated_orders", "perplexity_filter", "pii_luhn_flags",
+        "pricing_summary_q1", "ranged_global_sort",
+        "record_linkage_blocked", "recursive_cte_hierarchy",
+        "resample_forward_fill", "robust_outlier_flags",
+        "scan_unified_drift_roundtrip", "semdedup_capped_degrade",
+        "set_intersect_users", "shingle_novelty_score",
+        "stratified_sample_agg", "streaming_late_data_e2e",
+        "streaming_model_gate_e2e", "unpivot_metrics",
+    }
 )
+
+# Tier 1 = first-driver-row queue: the genuinely-new round-13 queries as
+# they land (named for the round whose queries it contains — ADVICE r9).
+_NEW_R13: tuple[str, ...] = ()
 
 
 def register(name: str, *, oracle: str | None, survey: str):
@@ -258,30 +257,30 @@ def catalog() -> dict[str, CatalogEntry]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # stable rotation order (registration order within each tier):
-    #   1. first-driver-row queue (_NEW_R12)
+    #   1. first-driver-row queue (_NEW_R13)
     #   2. anything without an evidence row (safety net; empty by audit)
-    #   3. stalest evidence (round 6) — the ring's head
-    #   4. round-7/8 evidence — fills whatever window slots remain
-    #   5. round-9 evidence
-    #   6. round-10 evidence
-    #   7. round-11 evidence — freshest
+    #   3. stalest evidence (rounds 7/8) — the ring's head
+    #   4. round-9 evidence — fills whatever window slots remain
+    #   5. round-10 evidence
+    #   6. round-11 evidence
+    #   7. round-12 evidence — freshest
     #   8. rows-only MLlib trio (no hash to refresh) — always last
-    new_r12 = set(_NEW_R12)
+    new_r13 = set(_NEW_R13)
 
     def tier(name: str) -> int:
-        if name in new_r12:
+        if name in new_r13:
             return 1
         if name in _ROWS_ONLY_MLLIB:
             return 8
-        if name in _EVIDENCE_R6:
-            return 3
         if name in _EVIDENCE_R7:
-            return 4
+            return 3
         if name in _EVIDENCE_R9:
-            return 5
+            return 4
         if name in _EVIDENCE_R10:
-            return 6
+            return 5
         if name in _EVIDENCE_R11:
+            return 6
+        if name in _EVIDENCE_R12:
             return 7
         return 2
 

@@ -11,12 +11,12 @@ evidence at most ~3 rounds old.
 from __future__ import annotations
 
 from gridiron_spark.queries import (
-    _EVIDENCE_R6,
     _EVIDENCE_R7,
     _EVIDENCE_R9,
     _EVIDENCE_R10,
     _EVIDENCE_R11,
-    _NEW_R12,
+    _EVIDENCE_R12,
+    _NEW_R13,
     _ROWS_ONLY_MLLIB,
     catalog,
     oracle_sql,
@@ -25,14 +25,14 @@ from gridiron_spark.queries import (
 
 WINDOW = 50
 
-_TIERS_STALEST_FIRST = (_EVIDENCE_R6, _EVIDENCE_R7, _EVIDENCE_R9,
-                        _EVIDENCE_R10, _EVIDENCE_R11)
+_TIERS_STALEST_FIRST = (_EVIDENCE_R7, _EVIDENCE_R9, _EVIDENCE_R10,
+                        _EVIDENCE_R11, _EVIDENCE_R12)
 
 
 def test_ordering_sets_exist_in_catalog():
     """A typo in the ordering sets would silently misorder the window."""
     cat = set(catalog().keys())
-    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R12), _ROWS_ONLY_MLLIB):
+    for s in (*_TIERS_STALEST_FIRST, set(_NEW_R13), _ROWS_ONLY_MLLIB):
         missing = s - cat
         assert not missing, f"ordering-set names not in catalog: {missing}"
 
@@ -43,7 +43,7 @@ def test_ordering_sets_disjoint_and_complete():
     _ROWS_ONLY_MLLIB is a sub-tier of _EVIDENCE_R9, not a partition
     member."""
     assert _ROWS_ONLY_MLLIB <= _EVIDENCE_R9
-    tiers = [set(_NEW_R12), *_TIERS_STALEST_FIRST]
+    tiers = [set(_NEW_R13), *_TIERS_STALEST_FIRST]
     seen: set[str] = set()
     for t in tiers:
         assert not (t & seen), f"query in two tiers: {sorted(t & seen)}"
@@ -55,22 +55,22 @@ def test_ordering_sets_disjoint_and_complete():
 
 def test_tier_order():
     names = list(catalog().keys())
-    new_r12 = set(_NEW_R12)
+    new_r13 = set(_NEW_R13)
 
     def tier(n: str) -> int:
-        if n in new_r12:
+        if n in new_r13:
             return 1
         if n in _ROWS_ONLY_MLLIB:
             return 8
-        if n in _EVIDENCE_R6:
-            return 3
         if n in _EVIDENCE_R7:
-            return 4
+            return 3
         if n in _EVIDENCE_R9:
-            return 5
+            return 4
         if n in _EVIDENCE_R10:
-            return 6
+            return 5
         if n in _EVIDENCE_R11:
+            return 6
+        if n in _EVIDENCE_R12:
             return 7
         return 2
 
@@ -81,24 +81,24 @@ def test_tier_order():
 def test_window_rotation():
     """Every first-driver-row queue entry must be inside the driver's
     50-entry verification window; whatever slots remain go to the stalest
-    tiers in order (round-6 evidence, then round-7) — no fresher tier may
+    tiers in order (round-7 evidence, then round-9) — no fresher tier may
     leapfrog a staler one while its entries wait outside."""
     names = list(catalog().keys())
     window = set(names[:WINDOW])
-    assert set(_NEW_R12) <= window, "a new query missed its first-row slot"
-    filler = window - set(_NEW_R12)
-    stale_pool = _EVIDENCE_R6 | _EVIDENCE_R7
+    assert set(_NEW_R13) <= window, "a new query missed its first-row slot"
+    filler = window - set(_NEW_R13)
+    stale_pool = _EVIDENCE_R7 | _EVIDENCE_R9
     assert filler <= stale_pool, (
         "window filler must come from the stalest tiers: "
         f"{sorted(filler - stale_pool)}"
     )
-    # within the stale pool, round 6 strictly precedes round 7
-    if _EVIDENCE_R6 - window:
-        assert not (window & _EVIDENCE_R7), (
-            "round-7 entries in the window while stale round-6 entries "
-            f"wait outside: {sorted(window & _EVIDENCE_R7)}"
+    # within the stale pool, round 7 strictly precedes round 9
+    if _EVIDENCE_R7 - window:
+        assert not (window & _EVIDENCE_R9), (
+            "round-9 entries in the window while stale round-7 entries "
+            f"wait outside: {sorted(window & _EVIDENCE_R9)}"
         )
-    for fresher in (_EVIDENCE_R9, _EVIDENCE_R10, _EVIDENCE_R11):
+    for fresher in (_EVIDENCE_R10, _EVIDENCE_R11, _EVIDENCE_R12):
         if stale_pool - window:
             assert not (window & fresher), (
                 "fresh-evidence entries in the window while stale "
@@ -114,13 +114,13 @@ def test_queries_and_oracles_consistent():
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 
 
-def test_round11_catalog_freeze_counts():
+def test_round12_catalog_freeze_counts():
     """The counts SURVEY.md §8 and README assert — re-asserted against the
-    frozen round-11 catalog (242 queries; 239 oracles; 3 rows-only MLlib)
+    frozen round-12 catalog (245 queries; 242 oracles; 3 rows-only MLlib)
     so the docs can't drift from the code."""
     q = queries()
     o = oracle_sql()
-    assert len(q) == 242 + len(_NEW_R12), len(q)
+    assert len(q) == 245 + len(_NEW_R13), len(q)
     assert len(o) == len(q) - 3, (len(q), len(o))
     rows_only = set(q) - set(o)
     assert rows_only == {
