@@ -185,7 +185,17 @@ def _between_query_hygiene(spark) -> None:
         if tbl.isTemporary:
             spark.catalog.dropTempView(tbl.name)
     spark.streams.resetTerminated()
-    spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    # StateStore.stop() is a private JVM API (the class path moved across
+    # Spark versions before) and stopping the maintenance thread while a
+    # query is still active would unload live providers — so only call it
+    # when no stream is active, and degrade a rename/semantics change to
+    # a warning rather than aborting the bench run.
+    if not spark.streams.active:
+        try:
+            jvm_state = spark._jvm.org.apache.spark.sql.execution.streaming
+            jvm_state.state.StateStore.stop()
+        except Exception as exc:  # pragma: no cover - Spark-version drift
+            print(f"warn: StateStore.stop() unavailable: {exc}", file=sys.stderr)
     spark._jvm.System.gc()
 
 

@@ -566,7 +566,12 @@ def _batch_parts(
     statuses = fs.globStatus(pattern)
     out: list[tuple[int, str]] = []
     for st in statuses or []:
-        bid = int(st.getPath().getName().split("=", 1)[1])
+        suffix = st.getPath().getName().split("=", 1)[1]
+        if not suffix.isdigit():
+            # foreign dirs (a _temporary leftover, a hand-made batch=tmp)
+            # are ignored, not fatal to the drain
+            continue
+        bid = int(suffix)
         if before is None or bid < before:
             out.append((bid, st.getPath().toString()))
     return [p for _, p in sorted(out)]
@@ -707,6 +712,11 @@ def minhash_sidecar_dedup_available_now(
         else:
             probe = bb
         build = F.broadcast(bb) if broadcast_batch else bb
+        # dedup pairs FIRST, then score: a pair colliding in all `bands`
+        # bands would otherwise pay the 16-element signature-agreement
+        # aggregate once per colliding band row. est_jaccard is
+        # pair-deterministic (and symmetric in the two signatures), so
+        # scoring any one surviving row is identical.
         est = (
             probe.alias("p")
             .join(
@@ -718,10 +728,17 @@ def minhash_sidecar_dedup_available_now(
             .select(
                 F.least("p.doc_id", "b.doc_id").alias("pid"),
                 F.greatest("p.doc_id", "b.doc_id").alias("did"),
+                F.col("p.sig").alias("p_sig"),
+                F.col("b.sig").alias("b_sig"),
+            )
+            .dropDuplicates(["pid", "did"])
+            .select(
+                "pid",
+                "did",
                 (
                     F.aggregate(
                         F.zip_with(
-                            "p.sig", "b.sig", lambda x, y: (x == y).cast("int")
+                            "p_sig", "b_sig", lambda x, y: (x == y).cast("int")
                         ),
                         F.lit(0),
                         lambda acc, x: acc + x,
@@ -729,7 +746,6 @@ def minhash_sidecar_dedup_available_now(
                     / F.lit(float(num_hashes))
                 ).alias("est_jaccard"),
             )
-            .dropDuplicates(["pid", "did"])
         )
         hits = (
             est.filter(F.col("est_jaccard") >= threshold)
