@@ -708,6 +708,18 @@ def streaming_late_data_e2e(spark, sf_dir):
     agg, state bounded by the watermark horizon); the late-row drop is
     exactly WHY state stays bounded at 100 TB/day — without it every
     straggler would reopen and rewrite an arbitrarily old window.
+
+    state_partitions=4 (not the drain default 32): this entry pays the
+    per-trigger state-store fixed cost THREE times (maxFilesPerTrigger=1
+    semantics), and scripts/probe_late_data.py measured that cost
+    load-coupled — under a synthetic all-core load, 32 partitions x 3
+    triggers read 12-40 s (per-batch state commit sums to 23-93 s across
+    providers) while 4 partitions read 4.7-5.0 s with state commit at
+    ~0.8 s. ~39k tiny state rows need no more than 4 stores; on a real
+    cluster the knob is sized to load, which is precisely what
+    run_available_now exposes. (This was the round-12 "driver-box
+    inflation" weak: not session aging — trigger-count x loaded
+    state-store cost.)
     """
     import uuid
 
@@ -721,7 +733,10 @@ def streaming_late_data_e2e(spark, sf_dir):
     stream = stream_events(spark, stage, max_files_per_trigger=1)
     agg = tumbling_agg(stream, watermark="1 minute")
     result = run_available_now(
-        agg, f"late_{uuid.uuid4().hex[:8]}", output_mode="append"
+        agg,
+        f"late_{uuid.uuid4().hex[:8]}",
+        state_partitions=4,
+        output_mode="append",
     )
     return result.select("window_start", "event_type", "n", "sum_value")
 
