@@ -238,7 +238,9 @@ _EVIDENCE_R12 = frozenset(
 
 # Tier 1 = first-driver-row queue: the genuinely-new round-13 queries as
 # they land (named for the round whose queries it contains — ADVICE r9).
-_NEW_R13: tuple[str, ...] = ()
+_NEW_R13: tuple[str, ...] = (
+    "knn_graph_recursive_split",
+)
 
 
 def register(name: str, *, oracle: str | None, survey: str):

@@ -3263,10 +3263,11 @@ _RSPLIT_CAP = 12  # entry-scale cap: sf0.01 round-1 sub-cells reach 31, so
                   # the SECOND round provably fires at the checked scale
 
 
-@register(
-    "ivf_cell_split_recursive",
-    survey="NS-sim(ANN index maintenance: RECURSIVE hot-cell split — re-census after each round, re-split any sub-cell still past cap; bounded rounds, md5 path keys + md5 tie-spread so the whole iteration replays in ANSI SQL),J1,W1-W3,A6",
-    oracle=_GIVF_CAND_CTES + f""",
+# the two-round recursive-split CTE unroll (ends in CTE ``r2`` = the
+# member-grain post-split map (vec_id, cid, ck)); shared by the
+# cell-grain maintenance entry (ivf_cell_split_recursive) and the k-NN
+# graph composed over the recursive map (knn_graph_recursive_split)
+_RSPLIT_CTES = _GIVF_CAND_CTES + f""",
 r1c AS (
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY cid
 ),
@@ -3337,7 +3338,13 @@ r2 AS (
     SELECT a.vec_id, a.cid, a.ck FROM r1 a
     WHERE NOT EXISTS (SELECT 1 FROM r2hot h
                       WHERE h.cid = a.cid AND h.ck = a.ck)
-)
+)"""
+
+
+@register(
+    "ivf_cell_split_recursive",
+    survey="NS-sim(ANN index maintenance: RECURSIVE hot-cell split — re-census after each round, re-split any sub-cell still past cap; bounded rounds, md5 path keys + md5 tie-spread so the whole iteration replays in ANSI SQL),J1,W1-W3,A6",
+    oracle=_RSPLIT_CTES + """
 SELECT cid, ck, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM r2 GROUP BY cid, ck
 """,
@@ -3471,6 +3478,121 @@ def recursive_cell_split(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=4):
         ).select("vec_id", "cid", "ck", "qv")
         cur = split.unionByName(keep).localCheckpoint(eager=False)
     return cur.select("vec_id", "cid", "ck")
+
+
+def knn_graph_recursive_edges(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=2,
+                              k=_GIVF_K):
+    """Corpus k-NN graph whose candidate self-join keys on the RECURSIVE
+    post-split map (cid, ck) — the knn_graph_cellsplit shape riding
+    `recursive_cell_split` instead of the one-round `_cell_split_assign`,
+    so the candidate term is bounded by the FINAL (every sub-cell ≤ cap)
+    census, not the after-one-round census. With no hot cells the map is
+    the identity (ck = cid as a string) and the edges are byte-equal to
+    knn_graph_ivf's (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    rmap = recursive_cell_split(spark, sf_dir, cap=cap,
+                                max_rounds=max_rounds)
+    # both sides of the candidate self-join read the map — pin it once
+    a = rmap.localCheckpoint(eager=False)
+    # the quantized table for exact-dot scoring (the _ivf_assign metric)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+    cand = (
+        a.alias("a")
+        .join(
+            a.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    pdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(q.select(F.col("vec_id").alias("src"),
+                           F.col("qv").alias("qa")), "src")
+        .join(q.select(F.col("vec_id").alias("dst"),
+                       F.col("qv").alias("qb")), "dst")
+        .select("src", "dst", pdot.alias("dot"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "dot")
+    )
+
+
+@register(
+    "knn_graph_recursive_split",
+    survey="NS-sim(corpus k-NN graph over the RECURSIVE post-split cell map — candidates join on the final (cid, ck) path keys, so an adversarial mega-cell that survives one split round still contributes only ≤cap-bounded sub-cell² pairs),J1,W2",
+    oracle=_RSPLIT_CTES + f""",
+candr AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM r2 a JOIN r2 b
+      ON a.cid = b.cid AND a.ck = b.ck AND a.vec_id <> b.vec_id
+),
+scoredr AS (
+    SELECT c.src, c.dst,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                    x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM candr c
+    JOIN q qa ON qa.vec_id = c.src
+    JOIN q qb ON qb.vec_id = c.dst
+)
+SELECT src, dst, dot FROM (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scoredr
+) WHERE rk <= {_GIVF_K}
+""",
+)
+def knn_graph_recursive_split(spark, sf_dir):
+    """The round-12 residual closed: `recursive_cell_split` existed but no
+    k-NN consumer rode it, so an adversarial mega-cell in the GRAPH path
+    still paid sub-cell² above cap after the one split round
+    `knn_graph_cellsplit` keys on. This entry keys the candidate
+    self-join on the RECURSIVE map's final (cid, ck) path keys — every
+    sub-cell the iteration left is ≤ cap (or the bounded rounds ran
+    out), so the candidate term an exact-copy mega-cell contributes is
+    cap-bounded per sub-cell regardless of how adversarial the cell was
+    (measured through this graph path: scripts/probe_late_data.py's
+    sibling probe_r13_recursive_graph — ×100 exact-copy corpus,
+    BASELINE.md round-13). Same cap={cap}/max_rounds=2 operating point
+    as `ivf_cell_split_recursive`, so the two-round oracle unroll is
+    shared (`_RSPLIT_CTES`) and the SECOND round provably fires at the
+    checked scale. Degenerate case pytest-pinned: no hot cells ⇒
+    byte-equal to knn_graph_ivf.
+
+    Scale shape: inherits the recursive split's per-round audit
+    (map-side census, broadcast seeds, Partial WindowGroupLimit argmin,
+    per-round lineage cut); the candidate join is an equi-join on the
+    composite path key; exact-dot scoring joins are id-equi-joins; the
+    final top-{k} prunes map-side. The md5 ties ARE load-bearing here:
+    exact copies spread across sub-seeds, so copies of a flooded vector
+    meet only ≤cap siblings instead of the whole flood."""
+    return knn_graph_recursive_edges(spark, sf_dir, cap=_RSPLIT_CAP,
+                                     max_rounds=2)
+
+
+knn_graph_recursive_split.__doc__ = knn_graph_recursive_split.__doc__.format(
+    cap=_RSPLIT_CAP, k=_GIVF_K
+)
 
 
 _HNEG_K = 3  # hard negatives per anchor

@@ -849,3 +849,67 @@ def test_recursive_cell_split_caps_exact_copy_mega_cell(spark, tmp_path):
     # membership conserved: every (vec_id, cid) appears exactly once
     n_pairs = remap.count()
     assert remap.select("vec_id", "cid").distinct().count() == n_pairs
+
+
+def test_recursive_graph_no_hot_cells_degenerates_to_knn_graph_ivf(spark):
+    """knn_graph_recursive_split's contract (the same pin its one-round
+    sibling carries): with no cell over the cap the recursive map is the
+    identity, so the graph must be byte-equal to knn_graph_ivf."""
+    from gridiron_spark.queries.similarity import (
+        _GIVF_SFAC,
+        knn_graph_ivf_edges,
+        knn_graph_recursive_edges,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = knn_graph_recursive_edges(spark, sf_dir, cap=10**9, max_rounds=2)
+    want = knn_graph_ivf_edges(spark, sf_dir, super_fac=_GIVF_SFAC)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_recursive_graph_caps_mega_cell_candidates(spark, tmp_path):
+    """The graph-path closure of the round-12 residual: on a 100-copy
+    exact-duplicate corpus the ONE-round split leaves a 100-member
+    sub-cell (ties send every copy to one seed), so a graph keyed on
+    the one-round map still pays ~|cell|² candidate pairs — while the
+    recursive map's final census is cap-bounded, so the SAME graph
+    shape keyed on (cid, ck) pays at most #subcells * cap * (cap-1).
+    Also pins that the graph still yields edges (copies stay mutually
+    reachable within their sub-cell)."""
+    from pyspark.sql import functions as F
+
+    from gridiron_spark.queries.similarity import (
+        knn_graph_recursive_edges,
+        recursive_cell_split,
+    )
+
+    base = [float(i % 7) / 7.0 for i in range(16)]
+    rows = [(i, base, 0) for i in range(100)]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(corpus / "embeddings.parquet")
+    )
+
+    cap = 8
+    sizes = (
+        recursive_cell_split(spark, str(corpus), cap=cap, max_rounds=4)
+        .groupBy("cid", "ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cand_pairs = sum(r["n"] * (r["n"] - 1) for r in sizes)
+    n_total = sum(r["n"] for r in sizes)
+    assert max(r["n"] for r in sizes) <= cap
+    assert cand_pairs <= len(sizes) * cap * (cap - 1)
+    assert cand_pairs < n_total * (n_total - 1) / 4  # far under all-pairs
+    edges = knn_graph_recursive_edges(
+        spark, str(corpus), cap=cap, max_rounds=4
+    )
+    per_src = edges.groupBy("src").count().collect()
+    assert per_src, "copies in a shared sub-cell must yield edges"
+    assert all(r["count"] <= 3 for r in per_src)  # k bound holds
