@@ -3193,7 +3193,8 @@ SELECT src, dst, dot FROM (
 ) WHERE rk <= {_GIVF_K}
 """,
 )
-def knn_graph_cellsplit_probe(spark, sf_dir, cap=_SPLIT_CAP):
+def knn_graph_cellsplit_probe(spark, sf_dir, cap=_SPLIT_CAP,
+                              probes=_SPLIT_PROBES):
     """`knn_graph_cellsplit` with the sibling-probe recall knob SHIPPED —
     the round-11 docstring's "probe sibling sub-cells" option, measured
     instead of promised: each hot-cell member probes its top-{p}
@@ -3210,14 +3211,21 @@ def knn_graph_cellsplit_probe(spark, sf_dir, cap=_SPLIT_CAP):
     split distinct-content corpus in pytest and BASELINE.md round-12:
     probing recovers a strict superset of the home-only edges.
 
+    Operating point (BASELINE.md round-13 curve, probes ∈ 1..3 ×
+    cap ∈ 50/100/200 at sf0.01): cap=100/probes=2 = recall 0.632 at
+    43% of the unsplit candidate budget — the knee where the second
+    probe buys +0.10 recall for +7% budget while a third buys +0.08
+    for another +7%; at fixed cap each probe step is near-linear in
+    both axes, so probe width is the fine-grained recall knob (no
+    re-index), cap sets the floor.
+
     Scale shape: identical to knn_graph_cellsplit except the source
     side of the candidate equi-join carries ≤ {p} rows per hot-cell
     member (the probe fan-out is map-side, pruned by the same Partial
     WindowGroupLimit rank); the top-{k} per source is unchanged."""
     from pyspark.sql import Window
 
-    q, remap = _cell_split_assign(spark, sf_dir, cap=cap,
-                                  probes=_SPLIT_PROBES)
+    q, remap = _cell_split_assign(spark, sf_dir, cap=cap, probes=probes)
     # both sides of the candidate join read the remap — pin it once
     a = remap.localCheckpoint(eager=False)
     home = a.filter(F.col("home"))
