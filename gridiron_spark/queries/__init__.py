@@ -240,6 +240,7 @@ _EVIDENCE_R12 = frozenset(
 # they land (named for the round whose queries it contains — ADVICE r9).
 _NEW_R13: tuple[str, ...] = (
     "knn_graph_recursive_split",
+    "streaming_sidecar_pruned_read_e2e",
 )
 
 

@@ -249,6 +249,55 @@ def _stage_documents_sharded(spark, sf_dir, shards: int = 4) -> str:
     )
 
 
+def _stage_documents_mod_sharded(
+    spark, sf_dir, shards: int = 4, max_doc_id: int | None = None
+) -> str:
+    """Documents staged as ``shards`` single-file parquet shards by
+    ``doc_id % shards`` with strictly ascending mtimes — so the file
+    source serves shard 0, then 1, ... and micro-batch ``b`` contains
+    EXACTLY the docs with doc_id % shards == b. Unlike the
+    range-partitioned stage (whose boundaries come from Spark's
+    sampling-based range exchange), this composition is a pure
+    function of the data, so an ANSI-SQL oracle can replay
+    PER-BATCH observables (which bucket partitions each trigger
+    collides with, how many prior side-car files a pruned read
+    touches). Keyed through io/staging; published atomically."""
+    import glob
+    import os
+    import shutil
+
+    from gridiron_spark.io.staging import ensure_stage, stage_path
+
+    stage = stage_path(
+        sf_dir, f"stream_docs_modshard{shards}_v1", "documents",
+        params={"max_doc_id": max_doc_id},
+    )
+
+    def build(dst: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        if max_doc_id is not None:
+            # sf-independent demo bound: the consuming entry measures a
+            # LAYOUT property, so it caps the corpus to keep its bench
+            # cost flat across scale factors
+            docs = docs.filter(F.col("doc_id") < max_doc_id)
+        sides = f"{dst}/.sides"
+        for s in range(shards):
+            docs.filter(F.col("doc_id") % shards == s).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{sides}/{s}")
+        now = int(os.stat(dst).st_mtime)
+        for s in range(shards):
+            (part,) = glob.glob(f"{sides}/{s}/part-*.parquet")
+            out = f"{dst}/shard{s}.parquet"
+            shutil.copyfile(part, out)
+            mtime = now - 60 * (shards - s)
+            os.utime(out, (mtime, mtime))
+        shutil.rmtree(sides, ignore_errors=True)
+        open(f"{dst}/_SUCCESS", "w").close()
+
+    return ensure_stage(stage, build)
+
+
 @register(
     "streaming_session_e2e",
     survey="ST2 as real readStream session_window (availableNow), watermarked",
@@ -982,3 +1031,117 @@ def streaming_incremental_dedup_e2e(spark, sf_dir):
     final = final.localCheckpoint()
     shutil.rmtree(run, ignore_errors=True)
     return final
+
+
+_SPR_BUCKETS = 32  # demo-scale bucket count: with the doc cap below, no
+                   # shard's band keys cover every bucket, so pruning is
+                   # OBSERVABLE — files_read < files_prior_total on every
+                   # non-first batch, verified at sf0.001/0.01/0.1 in
+                   # DuckDB (the composition is deterministic per corpus)
+_SPR_MAX_DOC = 64  # sf-independent corpus cap — the entry measures a
+                   # layout property; bounded work at every sf
+
+
+@register(
+    "streaming_sidecar_pruned_read_e2e",
+    survey="ST-dedup(driver-visible bounded-read evidence for the banded side-car: per-trigger PHYSICAL pruned-file counts of the prior-state scan, hash-pinned against the ANSI-replayable md5 bucket layout),NS-dedup",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE doc_id < {_SPR_MAX_DOC})
+),
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(shingles, s -> md5(s || '|' || i)))) AS sig
+    FROM sh
+),
+bk AS (
+    SELECT DISTINCT doc_id % 4 AS shard,
+           CAST(('0x' || substring(md5(
+               md5(array_to_string(sig[ub.b*4+1 : ub.b*4+4], '|'))
+           ), 1, 8)) AS BIGINT) % {_SPR_BUCKETS} AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) ub
+)
+SELECT b.b AS batch_id,
+       (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM bk
+        WHERE shard = b.b) AS n_hot_buckets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bk e
+        WHERE e.shard < b.b
+          AND e.bucket IN (SELECT bucket FROM bk h WHERE h.shard = b.b))
+           AS files_read,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bk e WHERE e.shard < b.b)
+           AS files_prior_total
+FROM (SELECT unnest(range(0, 4)) AS b) b
+""",
+)
+def streaming_sidecar_pruned_read_e2e(spark, sf_dir):
+    """The round-12 bucket-pruning contract carried as DRIVER-CHECKABLE
+    evidence, not just a pytest pin: re-run the incremental side-car
+    dedup drain over a DETERMINISTIC batch composition (4 single-file
+    shards by doc_id % 4, mtime-ordered, so micro-batch b is exactly
+    the doc_id % 4 == b class) and emit, per trigger, the PHYSICAL
+    observables of the prior-state read — the number of side-car files
+    the pruned scan actually touched (``input_file_name`` distinct
+    count, post-PartitionFilters) against the full prior-file
+    population and the trigger's colliding-bucket footprint.
+
+    The oracle re-derives all three numbers from the data alone: the
+    side-car's bucket layout is the ANSI-replayable md5-conv idiom
+    (bucket = first-8-hex of md5(band_key) mod {nb}) and the writer
+    keys one file per (batch, bucket), so files_read must equal
+    Σ_(earlier batch e) |written-buckets(e) ∩ hot-buckets(b)|. If the
+    physical scan ever reads more than the semantic bound (pruning
+    regressed, layout drifted, listing leaked a later batch), the
+    driver hash breaks — the "bounded read" claim is now a green row,
+    not a promise. {nb} buckets (vs the production default 8) over the
+    doc_id < {md} demo corpus keep the footprint strictly partial so
+    the pruning is OBSERVABLE (files_read < files_prior_total on every
+    non-first batch) and the entry's cost flat across scale factors —
+    it measures a LAYOUT property, not corpus throughput (that is
+    streaming_incremental_dedup_e2e's job).
+
+    Scale shape: identical to streaming_incremental_dedup_e2e (same
+    drain, same merge plan) plus two bounded per-trigger counts (file
+    names of an already-pruned scan; ≤ |prior files| strings)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridiron_spark.streaming.pipelines import (
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    stage = _stage_documents_mod_sharded(spark, sf_dir,
+                                         max_doc_id=_SPR_MAX_DOC)
+    run = tempfile.mkdtemp(prefix=f"gridiron_spr_{uuid.uuid4().hex[:8]}_")
+    stream = stream_documents(spark, stage, max_files_per_trigger=1)
+    minhash_sidecar_dedup_available_now(
+        stream,
+        f"{run}/sigs",
+        f"{run}/flags",
+        f"{run}/ckpt",
+        n_buckets=_SPR_BUCKETS,
+        stats_dir=f"{run}/stats",
+    )
+    stats = (
+        spark.read.parquet(f"{run}/stats")
+        .select("batch_id", "n_hot_buckets", "files_read",
+                "files_prior_total")
+        .localCheckpoint()
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return stats
+
+
+streaming_sidecar_pruned_read_e2e.__doc__ = (
+    streaming_sidecar_pruned_read_e2e.__doc__.format(
+        nb=_SPR_BUCKETS, md=_SPR_MAX_DOC
+    )
+)

@@ -577,6 +577,122 @@ def _batch_parts(
     return [p for _, p in sorted(out)]
 
 
+def _fold_root(
+    spark: SparkSession, root: str, upto: int | None, bucketed: bool
+) -> int:
+    """Fold the ``batch=<id>`` dirs of one side-car root with id < upto
+    into the single dir ``batch=<max folded id>``. Returns the number of
+    dirs retired (0 = nothing to fold). See fold_sidecar_state."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = root.rstrip("/")
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath(base + "/batch=*"))
+    ids: dict[int, str] = {}
+    stale_tmp = []
+    for st in statuses or []:
+        suffix = st.getPath().getName().split("=", 1)[1]
+        if suffix.isdigit():
+            ids[int(suffix)] = st.getPath().toString()
+        elif suffix.endswith(".folding"):
+            stale_tmp.append(st.getPath())
+    # resume an interrupted fold: a COMPLETE tmp subsumes every live dir
+    # with id <= its target (batch ids only grow), so finishing is always
+    # safe — retire those dirs and publish; an incomplete tmp is garbage
+    for p in stale_tmp:
+        head = p.getName().rsplit(".folding", 1)[0]
+        if not fs.exists(hpath(p.toString() + "/_SUCCESS")):
+            fs.delete(p, True)
+            continue
+        target = int(head.split("=", 1)[1])
+        for bid in [b for b in ids if b <= target]:
+            fs.delete(hpath(ids.pop(bid)), True)
+        fs.rename(p, hpath(f"{base}/{head}"))
+        ids[target] = f"{base}/{head}"
+    if not ids:
+        return 0
+    w = upto if upto is not None else max(ids) + 1
+    fold = sorted(b for b in ids if b < w)
+    if len(fold) < 2:
+        return 0
+    target = fold[-1]
+    tmp = f"{base}/batch={target}.folding"
+    src = [ids[b] for b in fold]
+    if bucketed:
+        # banded signature rows: an append-only SET — fold is a pure
+        # union, rewritten bucket-partitioned so PartitionFilters
+        # pruning (and the one-file-per-(batch,bucket) invariant) holds
+        # on the folded dir exactly as on live batch dirs
+        (
+            spark.read.option("basePath", base).parquet(*src)
+            .select("doc_id", "sig", "band_idx", "band_key", "bucket")
+            .repartition("bucket")
+            .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        )
+    else:
+        # flag deltas: every aggregate is CONFLUENT (SUM/MIN/MAX), so the
+        # fold may pre-aggregate to doc grain — the drain-end aggregate
+        # over [folded snapshot + live deltas] is unchanged
+        (
+            spark.read.parquet(*src)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n_matches").cast("bigint").alias("n_matches"),
+                F.min("min_partner").alias("min_partner"),
+                F.max("max_est").alias("max_est"),
+            )
+            .write.mode("overwrite").parquet(tmp)
+        )
+    for b in fold:
+        fs.delete(hpath(ids[b]), True)
+    fs.rename(hpath(tmp), hpath(f"{base}/batch={target}"))
+    return len(fold)
+
+
+def fold_sidecar_state(
+    spark: SparkSession,
+    sig_dir: str,
+    flags_dir: str,
+    upto: int | None = None,
+) -> int:
+    """Compact the side-car's per-batch state: fold every committed
+    ``batch=<id>`` dir with id < ``upto`` (default: all of them) into the
+    single dir ``batch=<max folded id>`` per root — the maintenance pass
+    that bounds `_batch_parts`' per-trigger listing AND the accumulated
+    small-file population at O(live batches) instead of O(every batch
+    ever drained).
+
+    Correctness invariants, in order of importance:
+
+    - **Strictly-earlier semantics preserved by NAMING.** The folded dir
+      keeps the ``batch=`` layout under the LARGEST retired id, so to
+      every reader it is ordered exactly where its newest constituent
+      was: ``_batch_parts(before=b)`` includes it iff it included all
+      its constituents (any replayable batch b satisfies b > every
+      committed id < upto — the fold must only run between drains, when
+      all batch ids below ``upto`` are checkpoint-committed).
+    - **Layout-preserving.** Signature rows stay banded and
+      bucket-partitioned (same PartitionFilters pruning, same
+      one-file-per-(batch,bucket) shape); flag deltas pre-aggregate to
+      doc grain, which is exact because every flag aggregate is
+      confluent (SUM matches / MIN partner / MAX estimate).
+    - **Crash-resumable.** The fold writes a complete ``.folding`` tmp
+      sibling first (invisible to `_batch_parts` — non-numeric suffix),
+      then retires inputs, then renames. A crash leaves either a
+      harmless incomplete tmp (deleted on re-run) or a complete tmp
+      that subsumes every remaining dir ≤ its target (batch ids only
+      grow), which a re-run publishes.
+
+    Returns the total number of batch dirs retired across both roots.
+    Run it between drains (e.g. after each availableNow drain returns,
+    or from the maintenance CLI) — never concurrently with an active
+    drain on the same checkpoint.
+    """
+    n = _fold_root(spark, sig_dir, upto, bucketed=True)
+    n += _fold_root(spark, flags_dir, upto, bucketed=False)
+    return n
+
+
 _FLAG_SCHEMA = (
     "doc_id bigint, n_matches bigint, min_partner bigint, "
     "max_est double, keep bigint"
@@ -593,6 +709,7 @@ def minhash_sidecar_dedup_available_now(
     bands: int = 4,
     n_buckets: int = 8,
     broadcast_batch: bool = True,
+    stats_dir: str | None = None,
 ) -> DataFrame:
     """Streaming incremental near-dup screening — the arriving-shard dedup
     a 100 TB ingest actually runs, composing the batch
@@ -666,8 +783,19 @@ def minhash_sidecar_dedup_available_now(
                 "band_idx", "band_key"
             ),
         )
+        # bucket = first-8-hex-chars of md5(band_key) mod n_buckets — the
+        # repo's md5-conv idiom (operators/dedup.simhash) rather than
+        # xxhash64, so the LAYOUT itself is ANSI-replayable: a DuckDB
+        # oracle can derive which bucket partitions a batch collides
+        # with, which is what lets streaming_sidecar_pruned_read_e2e
+        # hash-pin the physical pruned-read file counts
         return b.withColumn(
-            "bucket", F.pmod(F.xxhash64("band_key"), F.lit(n_buckets))
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("band_key"), 1, 8), 16, 10)
+                .cast("bigint"),
+                F.lit(n_buckets),
+            ),
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -701,9 +829,18 @@ def minhash_sidecar_dedup_available_now(
         # rows AND any later batch's rows excluded), or a pair counted by
         # a later batch re-forms here and double-counts
         prior_dirs = _batch_parts(spark, sig_dir, before=batch_id)
+        # explicit schema (data + the batch/bucket partition columns) so
+        # the per-trigger prior read skips footer-based inference — with
+        # hundreds of accumulated (batch, bucket) files the inference
+        # scans were measured to dominate the trigger
+        prior_schema = (
+            "doc_id bigint, sig array<string>, band_idx int, "
+            "band_key string, batch int, bucket bigint"
+        )
         if prior_dirs:
             prior = (
                 spark.read.option("basePath", sig_dir)
+                .schema(prior_schema)
                 .parquet(*prior_dirs)
                 .filter(F.col("bucket").isin(hot_buckets))
                 .select("doc_id", "sig", "band_idx", "band_key", "bucket")
@@ -712,6 +849,39 @@ def minhash_sidecar_dedup_available_now(
         else:
             probe = bb
         build = F.broadcast(bb) if broadcast_batch else bb
+        if stats_dir is not None:
+            # driver-checkable bounded-read evidence: the PHYSICAL file
+            # count of the pruned prior scan (input_file_name reflects
+            # post-PartitionFilters scan input) vs the full prior
+            # side-car (a driver-side FS listing — no scan). One file
+            # per (batch, bucket) by construction (repartition("bucket")
+            # keys writer tasks to buckets), so a DuckDB oracle
+            # re-derives both counts from the md5 bucket layout alone —
+            # a physical/semantic divergence breaks the driver hash of
+            # the consuming entry.
+            files_read = files_total = 0
+            if prior_dirs:
+                files_read = (
+                    prior.select(F.input_file_name()).distinct().count()
+                )
+                jvm = spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path
+                fs = hpath(sig_dir).getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                for d in prior_dirs:
+                    it = fs.listFiles(hpath(d), True)
+                    while it.hasNext():
+                        name = it.next().getPath().getName()
+                        if name.startswith("part-"):
+                            files_total += 1
+            spark.createDataFrame(
+                [(batch_id, len(hot_buckets), files_read, files_total)],
+                "batch_id bigint, n_hot_buckets bigint, "
+                "files_read bigint, files_prior_total bigint",
+            ).write.mode("overwrite").parquet(
+                f"{stats_dir}/batch={batch_id}"
+            )
         # dedup pairs FIRST, then score: a pair colliding in all `bands`
         # bands would otherwise pay the 16-element signature-agreement
         # aggregate once per colliding band row. est_jaccard is

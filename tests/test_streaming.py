@@ -559,3 +559,154 @@ def test_minhash_sidecar_empty_drain_returns_empty_flags(spark, tmp_path):
     assert flags.columns == [
         "doc_id", "n_matches", "min_partner", "max_est", "keep"
     ]
+
+
+def _write_doc_file(spark, tmp_path, src, fname, rows):
+    import glob
+    import shutil
+
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_w"))
+    part = glob.glob(str(tmp_path / "_w" / "*.parquet"))[0]
+    shutil.copy(part, str(src / fname))
+
+
+def test_sidecar_fold_bounds_listing_and_preserves_flags(spark, tmp_path):
+    """The round-13 compaction fold: after fold_sidecar_state, the
+    side-car's batch listing is bounded (one folded dir + live dirs), a
+    drain CONTINUED on the same checkpoint sees exactly the
+    strictly-earlier state it would have seen unfolded (the folded dir
+    sorts where its newest constituent did), and the final flags equal
+    an unfolded reference drain on the same input."""
+    from gridiron_spark.streaming.pipelines import (
+        _batch_parts,
+        fold_sidecar_state,
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about streaming state machines"
+    third = "yet another unrelated document with its own vocabulary set"
+    files = [
+        ("a.parquet", [(9, dup)]),
+        ("b.parquet", [(7, other)]),
+        ("c.parquet", [(1, dup), (5, third)]),  # arrives AFTER the fold
+    ]
+
+    def mkrows(pairs):
+        return [(d, t, "en", "unit", len(t)) for d, t in pairs]
+
+    # reference: unfolded drain over all three files
+    ref_src = tmp_path / "ref_docs"
+    ref_src.mkdir()
+    for fname, pairs in files:
+        _write_doc_file(spark, tmp_path, ref_src, fname, mkrows(pairs))
+    ref = {
+        r["doc_id"]: r.asDict()
+        for r in minhash_sidecar_dedup_available_now(
+            stream_documents(spark, str(ref_src), max_files_per_trigger=1),
+            str(tmp_path / "ref_sigs"),
+            str(tmp_path / "ref_flags"),
+            str(tmp_path / "ref_ckpt"),
+        ).collect()
+    }
+
+    # folded run: drain a+b, fold, then c arrives and the SAME checkpoint
+    # continues
+    src = tmp_path / "docs"
+    src.mkdir()
+    for fname, pairs in files[:2]:
+        _write_doc_file(spark, tmp_path, src, fname, mkrows(pairs))
+    sig_dir, flags_dir = str(tmp_path / "sigs"), str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        sig_dir, flags_dir, ckpt,
+    )
+    assert len(_batch_parts(spark, sig_dir)) == 2
+    n = fold_sidecar_state(spark, sig_dir, flags_dir)
+    assert n == 4  # 2 sig dirs + 2 flag dirs retired
+    assert len(_batch_parts(spark, sig_dir)) == 1      # bounded listing
+    assert len(_batch_parts(spark, flags_dir)) == 1
+    # idempotent: nothing left to fold
+    assert fold_sidecar_state(spark, sig_dir, flags_dir) == 0
+
+    _write_doc_file(spark, tmp_path, src, files[2][0], mkrows(files[2][1]))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in minhash_sidecar_dedup_available_now(
+            stream_documents(spark, str(src), max_files_per_trigger=1),
+            sig_dir, flags_dir, ckpt,
+        ).collect()
+    }
+    assert got == ref
+    # the continued drain added exactly one live batch dir per root
+    assert len(_batch_parts(spark, sig_dir)) == 2
+    # layout preserved: folded sig dir still bucket-partitioned (pruning
+    # contract intact)
+    folded = _batch_parts(spark, sig_dir)[0]
+    pruned = (
+        spark.read.option("basePath", sig_dir).parquet(folded)
+        .filter(F.col("bucket") == 0)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_sidecar_fold_resume_and_stale_tmp(spark, tmp_path):
+    """Crash-window contracts: an INCOMPLETE .folding tmp (no _SUCCESS)
+    is deleted on the next fold; a COMPLETE tmp whose publish was
+    interrupted is finished (inputs <= its target retired, dir
+    renamed), with the folded rows intact."""
+    import os
+
+    from gridiron_spark.streaming.pipelines import (
+        _batch_parts,
+        fold_sidecar_state,
+        minhash_sidecar_dedup_available_now,
+        stream_documents,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    texts = ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+             "completely different words here now"]
+    for i, t in enumerate(texts):
+        _write_doc_file(spark, tmp_path, src, f"{i}.parquet",
+                        [(i * 2 + 1, t, "en", "unit", len(t))])
+    sig_dir, flags_dir = str(tmp_path / "sigs"), str(tmp_path / "flags")
+    minhash_sidecar_dedup_available_now(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        sig_dir, flags_dir, str(tmp_path / "ckpt"),
+    )
+    before = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*_batch_parts(spark, sig_dir))
+            .select("doc_id", "band_idx", "band_key").collect())
+    )
+    # stale incomplete tmp is swept, then the fold proceeds normally
+    os.makedirs(f"{sig_dir}/batch=1.folding/bucket=0", exist_ok=True)
+    assert fold_sidecar_state(spark, sig_dir, flags_dir) == 6
+    assert not os.path.exists(f"{sig_dir}/batch=1.folding")
+    after = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*_batch_parts(spark, sig_dir))
+            .select("doc_id", "band_idx", "band_key").collect())
+    )
+    assert after == before
+
+    # simulate the publish crash window: demote the folded dir back to a
+    # complete tmp — the next fold must finish the rename, not refold
+    folded = _batch_parts(spark, sig_dir)[0].removeprefix("file:")
+    os.rename(folded, folded + ".folding")
+    assert fold_sidecar_state(spark, sig_dir, flags_dir) == 0
+    assert os.path.exists(folded)
+    resumed = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*_batch_parts(spark, sig_dir))
+            .select("doc_id", "band_idx", "band_key").collect())
+    )
+    assert resumed == before
