@@ -241,6 +241,7 @@ _EVIDENCE_R12 = frozenset(
 _NEW_R13: tuple[str, ...] = (
     "knn_graph_recursive_split",
     "streaming_sidecar_pruned_read_e2e",
+    "knn_graph_ivf_hier3",
 )
 
 

@@ -1932,14 +1932,23 @@ _GIVF_SPROBES = 2   # branches probed per vector at the coarse level
 
 
 def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
-                super_fac=None, sprobes=_GIVF_SPROBES):
+                super_fac=None, sprobes=_GIVF_SPROBES,
+                super2_fac=None, sprobes2=_GIVF_SPROBES):
     """Shared IVF coarse-assignment stage: quantize the embeddings table
     (floor(x·64) integer vectors), assign every vector to its ``probes``
     nearest coarse cells (single-level n×C ranking, or two-level via
-    ``super_fac`` branches — see knn_graph_ivf_edges). Returns
-    ``(q, assigned)``: the quantized table (vec_id, qv) and the cell map
-    (vec_id, cid). Consumed by the k-NN graph builder and the semantic
-    decontamination screen."""
+    ``super_fac`` branches — see knn_graph_ivf_edges; or THREE-level via
+    ``super2_fac``: every ``stride·super_fac·super2_fac``-th vector
+    seeds a depth-2 branch, each super joins its top-dot depth-2
+    branch, and a vector descends the tree — rank ``sprobes2`` depth-2
+    branches, then ``sprobes`` supers inside them, then ``probes``
+    cells inside those — per-vector work ~|sup2| + sprobes2·s2 +
+    sprobes·s cents instead of C. Probing ALL depth-2 branches
+    degenerates to the two-level assignment exactly, pytest-pinned,
+    the same seam contract the two-level path keeps with
+    single-level). Returns ``(q, assigned)``: the quantized table
+    (vec_id, qv) and the cell map (vec_id, cid). Consumed by the k-NN
+    graph builders and the semantic decontamination screen."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1983,9 +1992,52 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
         # vector → its `sprobes` top-dot branches (n×√C map-side fan-out,
         # pruned by a Partial WindowGroupLimit before any exchange)
         vw = Window.partitionBy("vec_id").orderBy(F.desc("gdot"), F.asc("grp"))
+        if super2_fac is None:
+            vcand = q.withColumnRenamed("qv", "x").join(F.broadcast(sup))
+        else:
+            # depth-3 descent: seed depth-2 branches, attach each super
+            # to its top-dot depth-2 branch (super-side work only), and
+            # have each vector rank the |sup2| branch seeds, then only
+            # the probed branches' supers — the same √-move applied one
+            # level up, so per-vector branch work is ~|sup2| +
+            # sprobes2·(S/|sup2|) instead of S
+            sup2 = q.filter(
+                F.col("vec_id") % (stride * super_fac * super2_fac) == 0
+            ).select(F.col("vec_id").alias("g2"), F.col("qv").alias("qg2"))
+            g2dot = F.aggregate(
+                F.zip_with("qg", "qg2", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            s2w = Window.partitionBy("grp").orderBy(
+                F.desc("g2dot"), F.asc("g2")
+            )
+            s2mem = (
+                sup.join(F.broadcast(sup2))
+                .select("grp", "qg", "g2", g2dot.alias("g2dot"))
+                .withColumn("rn", F.row_number().over(s2w))
+                .filter(F.col("rn") == 1)
+                .select("grp", "qg", "g2")
+            )
+            v2dot = F.aggregate(
+                F.zip_with("x", "qg2", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            vw2 = Window.partitionBy("vec_id").orderBy(
+                F.desc("v2dot"), F.asc("g2")
+            )
+            vprobe2 = (
+                q.withColumnRenamed("qv", "x")
+                .join(F.broadcast(sup2))
+                .select("vec_id", "x", "g2", v2dot.alias("v2dot"))
+                .withColumn("rn", F.row_number().over(vw2))
+                .filter(F.col("rn") <= sprobes2)
+                .select("vec_id", "x", "g2")
+            )
+            vcand = vprobe2.join(F.broadcast(s2mem), "g2")
         vprobe = (
-            q.withColumnRenamed("qv", "x")
-            .join(F.broadcast(sup))
+            vcand
             .select("vec_id", F.col("x").alias("qv"), "grp",
                     gdot.alias("gdot"))
             .withColumn("rn", F.row_number().over(vw))
@@ -2009,6 +2061,7 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
 def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
                         probes=_GIVF_PROBES, k=_GIVF_K,
                         super_fac=None, sprobes=_GIVF_SPROBES,
+                        super2_fac=None, sprobes2=_GIVF_SPROBES,
                         label_mismatch_only=False):
     """Approximate k-NN graph over the WHOLE embeddings table (not the
     centrality panel): quantize (floor(x·64) — the _panel_knn_edges
@@ -2030,7 +2083,8 @@ def knn_graph_ivf_edges(spark, sf_dir, stride=_GIVF_STRIDE,
     from pyspark.sql import Window
 
     q, assigned = _ivf_assign(spark, sf_dir, stride=stride, probes=probes,
-                              super_fac=super_fac, sprobes=sprobes)
+                              super_fac=super_fac, sprobes=sprobes,
+                              super2_fac=super2_fac, sprobes2=sprobes2)
     cand = (
         assigned.alias("a")
         .join(
@@ -2205,6 +2259,157 @@ def knn_graph_ivf(spark, sf_dir):
 
 
 knn_graph_ivf.__doc__ = knn_graph_ivf.__doc__.format(p=_GIVF_PROBES, k=_GIVF_K, s=_GIVF_SFAC, sp=_GIVF_SPROBES)
+
+
+# depth-3 entry config: strides chosen so the hierarchy is REAL at the
+# driver's correctness scale (sf0.01 vec_ids 0..499 → 10 cents, 5 supers,
+# 3 depth-2 branches — every level has multiple members, so the descent
+# genuinely prunes rather than passing through a single branch)
+_H3_STRIDE = 50
+_H3_SFAC = 2      # supers = every 100th vector
+_H3_S2FAC = 2     # depth-2 branches = every 200th vector
+_H3_SPROBES = 2
+_H3_SPROBES2 = 2
+
+_HIER3_EDGE_CTES = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id % {_H3_STRIDE} = 0
+),
+sup AS (
+    SELECT vec_id AS grp, qv AS qg FROM q
+    WHERE vec_id % {_H3_STRIDE * _H3_SFAC} = 0
+),
+sup2 AS (
+    SELECT vec_id AS g2, qv AS qg2 FROM q
+    WHERE vec_id % {_H3_STRIDE * _H3_SFAC * _H3_S2FAC} = 0
+),
+s2mem AS (
+    SELECT grp, qg, g2 FROM (
+        SELECT s.grp, s.qg, t.g2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.grp
+                   ORDER BY list_sum(list_transform(list_zip(s.qg, t.qg2),
+                                     x -> x[1] * x[2])) DESC, t.g2
+               ) AS rn
+        FROM sup s CROSS JOIN sup2 t
+    ) WHERE rn = 1
+),
+cmem AS (
+    SELECT cid, qc, grp FROM (
+        SELECT c.cid, c.qc, s.grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cid
+                   ORDER BY list_sum(list_transform(list_zip(c.qc, s.qg),
+                                     x -> x[1] * x[2])) DESC, s.grp
+               ) AS rn
+        FROM cents c CROSS JOIN sup s
+    ) WHERE rn = 1
+),
+vprobe2 AS (
+    SELECT vec_id, qv, g2 FROM (
+        SELECT v.vec_id, v.qv, t.g2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(v.qv, t.qg2),
+                                     x -> x[1] * x[2])) DESC, t.g2
+               ) AS rn
+        FROM q v CROSS JOIN sup2 t
+    ) WHERE rn <= {_H3_SPROBES2}
+),
+vprobe AS (
+    SELECT vec_id, qv, grp FROM (
+        SELECT p.vec_id, p.qv, m.grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(p.qv, m.qg),
+                                     x -> x[1] * x[2])) DESC, m.grp
+               ) AS rn
+        FROM vprobe2 p JOIN s2mem m USING (g2)
+    ) WHERE rn <= {_H3_SPROBES}
+),
+assigned AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT p.vec_id, m.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(p.qv, m.qc),
+                                     x -> x[1] * x[2])) DESC, m.cid
+               ) AS rn
+        FROM vprobe p JOIN cmem m USING (grp)
+    ) WHERE rn <= {_GIVF_PROBES}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+scored AS (
+    SELECT c.src, c.dst,
+           CAST(list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                    x -> x[1] * x[2])) AS BIGINT) AS dot
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.src
+    JOIN q qb ON qb.vec_id = c.dst
+)"""
+
+
+@register(
+    "knn_graph_ivf_hier3",
+    survey="NS-sim(corpus k-NN graph over DEPTH-3 hierarchical IVF assignment — vectors descend branch seeds → supers → cells, per-vector coarse work ~|sup2| + sprobes2·s2 + sprobes·s instead of C; the 1000x branch-factor re-strike built behind the shared _ivf_assign seam),J1,W2",
+    oracle=_HIER3_EDGE_CTES + f"""
+SELECT src, dst, dot FROM (
+    SELECT src, dst, dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot DESC, dst) AS rk
+    FROM scored
+) WHERE rk <= {_GIVF_K}
+""",
+)
+def knn_graph_ivf_hier3(spark, sf_dir):
+    """The hierarchical-IVF re-strike (noted-not-built since round 9)
+    BUILT, behind the same `_ivf_assign` seam every IVF consumer rides:
+    a third assignment level. Two-level assignment made the n×C coarse
+    ranking n×(C/s + sprobes·s); at 1000× corpora the super table
+    itself grows past what each vector should rank, so depth-3 seeds
+    branch-of-branch vectors (every stride·s·s2-th), attaches each
+    super to its top-dot depth-2 branch (super-side work only,
+    broadcast), and a vector descends: rank |sup2| branch seeds, then
+    the probed branches' supers, then those supers' cells — per-vector
+    coarse work ~|sup2| + sprobes2·(S/|sup2|) + sprobes·(C/S), the √
+    move applied once more. Probing ALL depth-2 branches degenerates
+    to the two-level assignment EXACTLY (pytest-pinned on a synthetic
+    multi-branch corpus), so every downstream stage is shared.
+
+    The entry's strides (cents every {st}, supers every {s1}, branches
+    every {s12}) make the hierarchy REAL at the driver's correctness
+    scale — sf0.01 has 10 cents / 5 supers / 3 branches, so the
+    descent genuinely prunes (a vector ranks 3 branch seeds + ≤2·2
+    supers + ≤2·~2 cells instead of all 10 cents) rather than passing
+    through a degenerate single branch.
+
+    Scale shape: all three coarse tables are centroid-sized and
+    broadcast; every per-vector fan-out is pruned map-side by a
+    Partial WindowGroupLimit before its exchange (three in the
+    descent, one per level); the candidate/score/rank tail is the
+    knn_graph_ivf plan unchanged. At 100 TB the config re-strike is
+    now a stride triple, not an architecture change."""
+    return knn_graph_ivf_edges(
+        spark, sf_dir, stride=_H3_STRIDE, super_fac=_H3_SFAC,
+        sprobes=_H3_SPROBES, super2_fac=_H3_S2FAC, sprobes2=_H3_SPROBES2,
+    )
+
+
+knn_graph_ivf_hier3.__doc__ = knn_graph_ivf_hier3.__doc__.format(
+    st=_H3_STRIDE, s1=_H3_STRIDE * _H3_SFAC,
+    s12=_H3_STRIDE * _H3_SFAC * _H3_S2FAC,
+)
 
 
 _PCA_D = 64           # embedding dimensionality (TESTDATA.md)

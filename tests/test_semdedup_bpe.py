@@ -913,3 +913,44 @@ def test_recursive_graph_caps_mega_cell_candidates(spark, tmp_path):
     per_src = edges.groupBy("src").count().collect()
     assert per_src, "copies in a shared sub-cell must yield edges"
     assert all(r["count"] <= 3 for r in per_src)  # k bound holds
+
+
+def test_hier3_probe_all_branches_degenerates_to_two_level(spark, tmp_path):
+    """The depth-3 seam contract (same shape as two-level vs single-
+    level): probing ALL depth-2 branches must reproduce the two-level
+    assignment byte-for-byte — every super is reachable through its
+    top-1 branch exactly once, so the vector→super rank sees the same
+    candidate set with the same ordering. Synthetic corpus sized so
+    every level has multiple members (12 cents / 6 supers / 3 branches)
+    and the real (sprobes2=2) descent genuinely prunes."""
+    import math
+
+    from gridiron_spark.queries.similarity import _ivf_assign
+
+    rows = [
+        (i, [math.sin(0.7 * i + 1.3 * d) for d in range(16)], i % 5)
+        for i in range(600)
+    ]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(corpus / "embeddings.parquet")
+    )
+
+    _, two = _ivf_assign(spark, str(corpus), stride=50, probes=2,
+                         super_fac=2, sprobes=2)
+    _, all3 = _ivf_assign(spark, str(corpus), stride=50, probes=2,
+                          super_fac=2, sprobes=2,
+                          super2_fac=2, sprobes2=10**6)
+    assert sorted(map(tuple, all3.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+    # and the REAL descent differs somewhere (it prunes, not a no-op)
+    _, real3 = _ivf_assign(spark, str(corpus), stride=50, probes=2,
+                           super_fac=2, sprobes=2,
+                           super2_fac=2, sprobes2=1)
+    assert sorted(map(tuple, real3.collect())) != sorted(
+        map(tuple, two.collect())
+    )
