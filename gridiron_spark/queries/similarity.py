@@ -1931,6 +1931,21 @@ _GIVF_SFAC = 25     # two-level: supers = centroids with cid % (stride·25) == 0
 _GIVF_SPROBES = 2   # branches probed per vector at the coarse level
 
 
+def _quantized(spark, sf_dir):
+    """The IVF family's shared quantized table (vec_id, qv): floor(x·64)
+    integer vectors — the _panel_knn_edges metric. ONE definition: the
+    graph builders' degeneracy/byte-equality pins require every consumer
+    (assignment, recursive-split scoring) to quantize identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+        ).alias("qv"),
+    )
+
+
 def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
                 super_fac=None, sprobes=_GIVF_SPROBES,
                 super2_fac=None, sprobes2=_GIVF_SPROBES):
@@ -1951,14 +1966,7 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
     graph builders and the semantic decontamination screen."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
-        ).alias("qv"),
-    )
+    q = _quantized(spark, sf_dir)
     cents = q.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("qc")
     )
@@ -3708,15 +3716,8 @@ def knn_graph_recursive_edges(spark, sf_dir, cap=_SPLIT_CAP, max_rounds=2,
                                 max_rounds=max_rounds)
     # both sides of the candidate self-join read the map — pin it once
     a = rmap.localCheckpoint(eager=False)
-    # the quantized table for exact-dot scoring (the _ivf_assign metric)
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
-        ).alias("qv"),
-    )
+    # the shared quantized table for exact-dot scoring
+    q = _quantized(spark, sf_dir)
     cand = (
         a.alias("a")
         .join(
@@ -3784,9 +3785,10 @@ def knn_graph_recursive_split(spark, sf_dir):
     sub-cell the iteration left is ≤ cap (or the bounded rounds ran
     out), so the candidate term an exact-copy mega-cell contributes is
     cap-bounded per sub-cell regardless of how adversarial the cell was
-    (measured through this graph path: scripts/probe_late_data.py's
-    sibling probe_r13_recursive_graph — ×100 exact-copy corpus,
-    BASELINE.md round-13). Same cap={cap}/max_rounds=2 operating point
+    (pinned through this graph path by pytest
+    test_recursive_graph_caps_mega_cell_candidates: ×100 exact-copy
+    corpus, candidate pairs ≤ #subcells·cap·(cap−1) and far under
+    all-pairs). Same cap={cap}/max_rounds=2 operating point
     as `ivf_cell_split_recursive`, so the two-round oracle unroll is
     shared (`_RSPLIT_CTES`) and the SECOND round provably fires at the
     checked scale. Degenerate case pytest-pinned: no hot cells ⇒

@@ -635,6 +635,22 @@ _LATE_WM_US = 60 * 1_000_000        # 1-minute watermark delay (the SLA)
 _LATE_BEHIND_US = 600 * 1_000_000   # planted rows arrive ≥10 min behind max
 
 
+def _late_stage_key(sf_dir: str) -> str:
+    """The late-arrival stage's fully-keyed path — the ONE place its
+    kind/params live, so tooling that must invalidate the stage (e.g.
+    scripts/probe_late_data.py --cold-stage) can never drift from the
+    entry's own key."""
+    from gridiron_spark.io.staging import stage_path
+
+    return stage_path(
+        sf_dir,
+        "stream_late_v2",
+        "events",
+        params={"behind_us": _LATE_BEHIND_US, "late_mod": 97,
+                "carrier_mod": 1009},
+    )
+
+
 def _stage_late_arrival_events(spark, sf_dir) -> str:
     """Three-file stream stage with a controlled arrival order:
 
@@ -658,15 +674,9 @@ def _stage_late_arrival_events(spark, sf_dir) -> str:
     import os
     import shutil
 
-    from gridiron_spark.io.staging import ensure_stage, stage_path
+    from gridiron_spark.io.staging import ensure_stage
 
-    stage = stage_path(
-        sf_dir,
-        "stream_late_v2",
-        "events",
-        params={"behind_us": _LATE_BEHIND_US, "late_mod": 97,
-                "carrier_mod": 1009},
-    )
+    stage = _late_stage_key(sf_dir)
 
     def build(dst: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(

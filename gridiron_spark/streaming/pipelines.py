@@ -553,27 +553,71 @@ def cdc_upsert_available_now(
     return spark.read.parquet(state_dir)
 
 
+def _scan_batch_dirs(fs, hpath, base: str):
+    """Glob ``batch=*`` under ``base``: returns ``(ids, complete_tmps,
+    incomplete_tmps)`` — numeric batch dirs as {id: path}, plus any
+    ``.folding`` tmp dirs split by whether their ``_SUCCESS`` marker
+    exists. Other non-numeric suffixes (a ``_temporary`` leftover, a
+    hand-made dir) are ignored, not fatal."""
+    statuses = fs.globStatus(hpath(base + "/batch=*"))
+    ids: dict[int, str] = {}
+    complete, incomplete = [], []
+    for st in statuses or []:
+        suffix = st.getPath().getName().split("=", 1)[1]
+        if suffix.isdigit():
+            ids[int(suffix)] = st.getPath().toString()
+        elif suffix.endswith(".folding"):
+            if fs.exists(hpath(st.getPath().toString() + "/_SUCCESS")):
+                complete.append(st.getPath())
+            else:
+                incomplete.append(st.getPath())
+    return ids, complete, incomplete
+
+
+def _publish_pending_folds(fs, hpath, base: str, ids, complete_tmps) -> None:
+    """Finish interrupted folds: a COMPLETE ``.folding`` tmp subsumes
+    every live dir with id <= its target (batch ids only grow), so
+    retiring those dirs and renaming is always safe — and idempotent, so
+    both the fold path AND the read path may heal. ``ids`` is updated in
+    place."""
+    for p in complete_tmps:
+        head = p.getName().rsplit(".folding", 1)[0]
+        target = int(head.split("=", 1)[1])
+        for bid in [b for b in ids if b <= target]:
+            fs.delete(hpath(ids.pop(bid)), True)
+        fs.rename(p, hpath(f"{base}/{head}"))
+        ids[target] = f"{base}/{head}"
+
+
 def _batch_parts(
     spark: SparkSession, root: str, before: int | None = None
 ) -> list[str]:
     """List ``batch=<id>`` state subdirs via the Hadoop FS API (works on
     HDFS/S3/local alike — the state layout carries no local-FS
     assumption), optionally only those STRICTLY EARLIER than ``before``.
-    Returned id-sorted. Missing/empty root → []."""
+    Returned id-sorted. Missing/empty root → [].
+
+    HEALS an interrupted fold before listing: if a crash left a
+    complete ``.folding`` tmp whose inputs were (partially) retired but
+    whose publish rename never ran, listing without healing would
+    silently serve a side-car with those batches MISSING — a drain
+    would then screen against partial prior state and commit wrong
+    flags. Publishing first is safe from the read path too: the folded
+    dir is strictly earlier than any batch that can still replay, and
+    the publish is idempotent. Incomplete tmps are left alone (a
+    concurrent fold may still be writing them) — they are invisible to
+    the listing either way."""
     jvm = spark._jvm
-    pattern = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/batch=*")
-    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(pattern)
-    out: list[tuple[int, str]] = []
-    for st in statuses or []:
-        suffix = st.getPath().getName().split("=", 1)[1]
-        if not suffix.isdigit():
-            # foreign dirs (a _temporary leftover, a hand-made batch=tmp)
-            # are ignored, not fatal to the drain
-            continue
-        bid = int(suffix)
-        if before is None or bid < before:
-            out.append((bid, st.getPath().toString()))
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = root.rstrip("/")
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    ids, complete_tmps, _ = _scan_batch_dirs(fs, hpath, base)
+    _publish_pending_folds(fs, hpath, base, ids, complete_tmps)
+    out = [
+        (bid, path)
+        for bid, path in ids.items()
+        if before is None or bid < before
+    ]
     return [p for _, p in sorted(out)]
 
 
@@ -587,28 +631,12 @@ def _fold_root(
     hpath = jvm.org.apache.hadoop.fs.Path
     base = root.rstrip("/")
     fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(hpath(base + "/batch=*"))
-    ids: dict[int, str] = {}
-    stale_tmp = []
-    for st in statuses or []:
-        suffix = st.getPath().getName().split("=", 1)[1]
-        if suffix.isdigit():
-            ids[int(suffix)] = st.getPath().toString()
-        elif suffix.endswith(".folding"):
-            stale_tmp.append(st.getPath())
-    # resume an interrupted fold: a COMPLETE tmp subsumes every live dir
-    # with id <= its target (batch ids only grow), so finishing is always
-    # safe — retire those dirs and publish; an incomplete tmp is garbage
-    for p in stale_tmp:
-        head = p.getName().rsplit(".folding", 1)[0]
-        if not fs.exists(hpath(p.toString() + "/_SUCCESS")):
-            fs.delete(p, True)
-            continue
-        target = int(head.split("=", 1)[1])
-        for bid in [b for b in ids if b <= target]:
-            fs.delete(hpath(ids.pop(bid)), True)
-        fs.rename(p, hpath(f"{base}/{head}"))
-        ids[target] = f"{base}/{head}"
+    ids, complete_tmps, incomplete_tmps = _scan_batch_dirs(fs, hpath, base)
+    # an incomplete tmp is a dead write (folds never run concurrently
+    # with each other) — sweep it; then finish any interrupted publish
+    for p in incomplete_tmps:
+        fs.delete(p, True)
+    _publish_pending_folds(fs, hpath, base, ids, complete_tmps)
     if not ids:
         return 0
     w = upto if upto is not None else max(ids) + 1
@@ -693,6 +721,35 @@ def fold_sidecar_state(
     return n
 
 
+def _count_part_files(spark: SparkSession, dirs: list[str]) -> int:
+    """Driver-side recursive FS listing: part-file count under ``dirs``
+    (no scan, no schema inference)."""
+    if not dirs:
+        return 0
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(dirs[0]).getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    for d in dirs:
+        it = fs.listFiles(hpath(d), True)
+        while it.hasNext():
+            if it.next().getPath().getName().startswith("part-"):
+                n += 1
+    return n
+
+
+def _write_sidecar_stats(
+    spark: SparkSession, stats_dir: str, batch_id: int,
+    n_hot_buckets: int, files_read: int, files_total: int,
+) -> None:
+    """One bounded-read evidence row per trigger (replay overwrites its
+    own subdir, like every other per-batch state write)."""
+    spark.createDataFrame(
+        [(batch_id, n_hot_buckets, files_read, files_total)],
+        "batch_id bigint, n_hot_buckets bigint, "
+        "files_read bigint, files_prior_total bigint",
+    ).write.mode("overwrite").parquet(f"{stats_dir}/batch={batch_id}")
+
+
 _FLAG_SCHEMA = (
     "doc_id bigint, n_matches bigint, min_partner bigint, "
     "max_est double, keep bigint"
@@ -738,7 +795,11 @@ def minhash_sidecar_dedup_available_now(
       rewrite-everything overwrite would pay O(corpus) per batch.
     - **Bounded read I/O (round 12).** The side-car is persisted BANDED
       (one row per (doc, band), signature carried) and hash-partitioned
-      into ``bucket=<pmod(xxhash64(band_key), n_buckets)>`` subdirs, so
+      into ``bucket=<first-8-hex(md5(band_key)) mod n_buckets>`` subdirs
+      (layout v2, round 13 — v1 used xxhash64; a side-car written under
+      the v1 layout must be drained fresh or re-bucketed before a v2
+      merge reads it, since v2 hot-bucket pruning would partition-filter
+      v1 rows out silently), so
       the per-trigger candidate join (a) partition-prunes the side-car
       scan to the buckets the arriving batch actually collides with and
       (b) never RESHUFFLES the side-car: the batch side — bounded by the
@@ -816,6 +877,17 @@ def minhash_sidecar_dedup_available_now(
                 F.lit(None).cast("bigint").alias("min_partner"),
                 F.lit(None).cast("double").alias("max_est"),
             ).write.mode("overwrite").parquet(f"{flags_dir}/batch={batch_id}")
+            if stats_dir is not None:
+                # the stats contract is one row per trigger — the oracle
+                # emits a row for every shard, including an empty one
+                # (n_hot_buckets = 0, files_read = 0, full prior listed)
+                _write_sidecar_stats(
+                    spark, stats_dir, batch_id, 0, 0,
+                    _count_part_files(
+                        spark, _batch_parts(spark, sig_dir,
+                                            before=batch_id)
+                    ),
+                )
             return
         bb = banded(batch_sig).localCheckpoint()
         # the arriving batch's collision footprint: ≤ n_buckets ints — a
@@ -864,24 +936,9 @@ def minhash_sidecar_dedup_available_now(
                 files_read = (
                     prior.select(F.input_file_name()).distinct().count()
                 )
-                jvm = spark._jvm
-                hpath = jvm.org.apache.hadoop.fs.Path
-                fs = hpath(sig_dir).getFileSystem(
-                    spark._jsc.hadoopConfiguration()
-                )
-                for d in prior_dirs:
-                    it = fs.listFiles(hpath(d), True)
-                    while it.hasNext():
-                        name = it.next().getPath().getName()
-                        if name.startswith("part-"):
-                            files_total += 1
-            spark.createDataFrame(
-                [(batch_id, len(hot_buckets), files_read, files_total)],
-                "batch_id bigint, n_hot_buckets bigint, "
-                "files_read bigint, files_prior_total bigint",
-            ).write.mode("overwrite").parquet(
-                f"{stats_dir}/batch={batch_id}"
-            )
+                files_total = _count_part_files(spark, prior_dirs)
+            _write_sidecar_stats(spark, stats_dir, batch_id,
+                                 len(hot_buckets), files_read, files_total)
         # dedup pairs FIRST, then score: a pair colliding in all `bands`
         # bands would otherwise pay the 16-element signature-agreement
         # aggregate once per colliding band row. est_jaccard is

@@ -89,18 +89,12 @@ def main() -> None:
                 if args.cold_stage and run == 0:
                     import shutil
 
-                    from gridiron_spark.io.staging import stage_path
-
                     from gridiron_spark.queries.streaming_batch import (
-                        _LATE_BEHIND_US,
+                        _late_stage_key,
                     )
 
-                    sp = stage_path(
-                        args.sf, "stream_late_v2", "events",
-                        params={"behind_us": _LATE_BEHIND_US, "late_mod": 97,
-                                "carrier_mod": 1009},
-                    )
-                    shutil.rmtree(sp, ignore_errors=True)
+                    shutil.rmtree(_late_stage_key(args.sf),
+                                  ignore_errors=True)
                 stage = _stage_late_arrival_events(spark, args.sf)
                 t_stage = time.time() - t0
                 stream = stream_events(spark, stage, max_files_per_trigger=1)

@@ -411,7 +411,7 @@ def test_minhash_sidecar_dedup_stream_equals_batch(spark, tmp_path):
     # round-12 side-car layout: the per-trigger candidate join must
     # partition-prune the accumulated side-car to the arriving batch's
     # colliding band-key buckets — the banded state is written under
-    # bucket=<pmod(xxhash64(band_key), n_buckets)> subdirs, and the
+    # bucket=<first-8-hex(md5(band_key)) mod n_buckets> subdirs, and the
     # merge's prior read filters bucket IN (batch's buckets). Re-create
     # that read here and pin the filter lands as a PartitionFilter on
     # the scan (pruned at planning, not post-scan).
@@ -710,3 +710,18 @@ def test_sidecar_fold_resume_and_stale_tmp(spark, tmp_path):
             .select("doc_id", "band_idx", "band_key").collect())
     )
     assert resumed == before
+
+    # and the READ path heals too: with the inputs retired and only the
+    # complete tmp on disk (the worst crash window — a drain here would
+    # otherwise see an EMPTY side-car and commit wrong flags), a plain
+    # _batch_parts listing publishes the pending fold before serving
+    os.rename(folded, folded + ".folding")
+    parts = _batch_parts(spark, sig_dir)
+    assert parts and parts[0].removeprefix("file:") == folded
+    assert os.path.exists(folded)
+    healed = sorted(
+        map(tuple, spark.read.option("basePath", sig_dir)
+            .parquet(*parts)
+            .select("doc_id", "band_idx", "band_key").collect())
+    )
+    assert healed == before
