@@ -117,6 +117,12 @@ _BNLJ_OK = {
                                  # boundedness as the kmeans/lloyd assign
                                  # fan-out), pruned to `probes` rows/vector
                                  # by a Partial WindowGroupLimit
+    "knn_graph_ivf_hier3",       # same fan-out one level up: the broadcast
+                                 # build sides are the depth-2 branch seeds
+                                 # (corpus/(stride·s·s2) rows) and the
+                                 # branch-pruned super/cell tables — every
+                                 # descent level is pruned map-side by its
+                                 # own Partial WindowGroupLimit
     "pagerank_ivf_centrality",   # same IVF broadcast centroid fan-out as
     "harmonic_centrality_ivf",   # knn_graph_ivf (their shared edge
     "kcore_decompose_ivf",       # generator); rounds are equi-joins
