@@ -159,6 +159,10 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     cluster parallelism, and non-local lakes (estimate unavailable) skip
     the repartition entirely.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FAN_OUT") == "0":  # measurement toggle
+        return df
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(df)

@@ -37,9 +37,14 @@ SENTINEL = "¤"
 
 def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq): the corpus→vocabulary collapse (lower, split on space).
-    Map-side combined; the one corpus-sized aggregation of the whole loop."""
+    Map-side combined; the one corpus-sized aggregation of the whole loop.
+    fan_out: split+explode+partial-agg are narrow, so a single-file scan
+    would tokenize on ONE core (guide §2.4; no-op at scale)."""
+    from gridiron_spark.io.tables import fan_out
+
     return (
-        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("word"))
+        fan_out(docs)
+        .select(F.explode(F.split(F.lower(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

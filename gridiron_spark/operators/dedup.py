@@ -89,10 +89,17 @@ def shingle_rows(
        re-runs split(lower(text)) for every shingle (~50× per doc — 6.1s vs
        1.5s on the sf0.1 corpus). The window shuffles token rows by doc_id —
        linear, partial-agg-friendly, and skew-free (docs are bounded).
+
+    fan_out (round 13): split + posexplode are narrow, so a single-file
+    document scan tokenizes the whole corpus on ONE core before the window
+    shuffle spreads it (guide §2.4); the round-robin of the compact
+    pre-explode rows is a no-op at scale (io.tables.fan_out guard).
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from gridiron_spark.io.tables import fan_out
+
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("toks"),
     )
@@ -779,10 +786,13 @@ def positional_grams(
     position (shingle_rows drops positions; substring-level dedup needs
     them to reconstruct coverage intervals). Same plan as shingle_rows:
     posexplode + lead window, one linear by-doc_id shuffle; docs shorter
-    than k contribute no spans (there is no k-token substring to match)."""
+    than k contribute no spans (there is no k-token substring to match).
+    fan_out as in shingle_rows: parallelize the narrow tokenize+explode."""
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from gridiron_spark.io.tables import fan_out
+
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), " ").alias("toks"),
     )

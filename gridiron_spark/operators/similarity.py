@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gridiron_spark.functions.vectors import cosine, dot, norm2
+from gridiron_spark.io.tables import fan_out
 
 
 def srp_signs(planes: int, dims: int) -> list[list[float]]:
@@ -75,7 +76,10 @@ def embedding_near_pairs(
     """
     signs = srp_signs(planes, dims)
     # norms precomputed per vector (not per pair): same float expression as
-    # cosine()'s denominator, evaluated n times instead of n²/buckets times
+    # cosine()'s denominator, evaluated n times instead of n²/buckets times.
+    # fan_out: the per-vector SRP projection (planes × dims dots) is narrow
+    # over the scan — single-file scans would hash on ONE core (guide §2.4).
+    emb = fan_out(emb)
     bucketed = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -134,8 +138,9 @@ def ivf_topk(
         F.col(vec_col).alias("qvec")
     )
     # norms per vector/centroid, not per (vector, centroid) pair — the
-    # assignment pass is n × centroids cosines, its one optimizable constant
-    pairs = emb.select(
+    # assignment pass is n × centroids cosines, its one optimizable constant.
+    # fan_out: that n×C fan-out is narrow over the scan (guide §2.4).
+    pairs = fan_out(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         norm2(F.col(vec_col)).alias("vnrm"),
@@ -206,7 +211,10 @@ def lloyd_assign(
     """
     from pyspark.sql import Window
 
-    d = emb.crossJoin(F.broadcast(centroids)).select(
+    # fan_out: the ×k distance fan-out is narrow over the scan — a
+    # single-file scan would compute every distance on ONE core (§2.4);
+    # no-op on well-partitioned or non-stat-able inputs.
+    d = fan_out(emb).crossJoin(F.broadcast(centroids)).select(
         id_col,
         "embedding",
         "cluster",
@@ -440,9 +448,10 @@ def two_level_assign(
         .select("grp", F.col("dv.val").alias("gvec"))
     )
     # level 1: probe the `probes` nearest branches per vector
+    # (fan_out: the ×g fan-out is narrow over the scan, guide §2.4)
     pw = Window.partitionBy(id_col).orderBy("gdist2", "grp")
     probed = (
-        emb.crossJoin(F.broadcast(sup))
+        fan_out(emb).crossJoin(F.broadcast(sup))
         .select(
             id_col,
             "embedding",
@@ -553,25 +562,32 @@ def semdedup_flags(
             .filter(F.col("rk") <= prune_rank_window)
             .drop("rk")
         )
+    # norms attached per SIDE ROW (Σ|cluster| evaluations), not per pair
+    # (Σ|cluster|²): dot/(na·nb) is the exact expression cosine() builds —
+    # norm2(a)*norm2(b) — so values are bit-identical while the pairwise
+    # stage pays 1 array fold per pair instead of 3 (guide §2.3; round 13)
     left = left.select(
         "cluster",
         F.col(id_col).alias("va"),
         F.col("dist2").alias("da"),
         F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("na"),
     )
     right = a.select(
         "cluster",
         F.col(id_col).alias("vb"),
         F.col("dist2").alias("db"),
         F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("nb"),
     )
     ranked_before = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("va") < F.col("vb"))
     )
+    pair_cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     dropped = (
         left.join(right, "cluster")
         .filter(ranked_before)
-        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select(F.col("vb").alias(id_col))
         .distinct()
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.queries import register
 
 # Ordering key includes event_id: ts alone can tie, and window determinism
@@ -684,7 +684,10 @@ def grid_cell_neighbor_join(spark, sf_dir):
     360x180 probe grows superlinearly in SF by construction (density^2
     candidate term), the same honestly-measured caveat as the pagerank
     panel's alpha=2."""
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out: the md5 coordinate hash and the ×9 neighborhood explode are
+    # narrow — a single-file orders scan would run both on ONE core before
+    # the cell-key join's exchange (guide §2.4; no-op at scale)
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     h = F.conv(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
     ).cast("bigint")

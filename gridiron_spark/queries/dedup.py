@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.operators.dedup import (
     containment_prefix_pairs,
     minhash_lsh_pairs,
@@ -1048,7 +1048,10 @@ def dedup_cdc_chunks(spark, sf_dir):
     re-agg. Same skeleton as shingle_novelty_score; no pair fan-out
     anywhere.
     """
-    doc = load_table(spark, sf_dir, "documents")
+    # fan_out: the per-CHAR gear hash + chunk slicing are narrow — a
+    # single-file scan would roll-hash the whole corpus on ONE core
+    # before the first (chunk-hash) shuffle (guide §2.4; no-op at scale)
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
     gm = doc.select(
         "doc_id", "text", cdc_char_gears(F.col("text")).alias("g")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.operators.dedup import shingle_rows
 from gridiron_spark.operators.profile import profile
 from gridiron_spark.queries import register
@@ -372,7 +372,9 @@ def table_profile(spark, sf_dir):
     Expand (×|cols|), and the wide→long reshape happens on the one
     aggregated row. See operators/profile.py for the approx_count_distinct
     variant that drops the Expand at 100 TB."""
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out: the multi-distinct Expand (×|cols| row fan-out feeding the
+    # partial aggregate) is narrow over the scan (guide §2.4; no-op at scale)
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     return profile(o, _PROFILE_COLS)
 
 
@@ -702,7 +704,11 @@ def filter_funnel_report(spark, sf_dir):
         model_weights,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the three gates are narrow per-row algebra (one md5 fold
+    # per token/bigram) over the scan — a single-file scan would hash the
+    # whole corpus on ONE core before the per-source aggregate's exchange
+    # (guide §2.4; no-op at scale via the io.tables.fan_out guard)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     rawtoks = F.split(F.lower("text"), " ")
     toks = qm_tokens_expr()
     # The unigram buckets feed BOTH the classifier fold and the LM fold —
@@ -852,25 +858,36 @@ def _anchor_assigned(spark, sf_dir):
     drops cs) and calibration_reliability_bins (which bins it)."""
     from pyspark.sql import Window
 
-    from gridiron_spark.functions.vectors import cosine
+    from gridiron_spark.functions.vectors import dot, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % _EVAL_ANCHOR_MOD == 0).select(
         F.col("vec_id").alias("aid"),
         F.col("label").alias("pred_label"),
         F.col("embedding").alias("a_embedding"),
+        # anchor norm once per anchor, not per (vector, anchor) pair
+        norm2(F.col("embedding")).alias("a_nrm"),
     )
     rn = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "aid")
     )
+    # cs = dot/(v_nrm·a_nrm) is cosine()'s exact expression with the two
+    # norm folds hoisted per side (bit-identical values, 3× fewer array
+    # folds in the n×anchors stage); fan_out parallelizes the narrow
+    # fan-out over a single-file scan (guide §2.3/§2.4)
     return (
-        emb.crossJoin(F.broadcast(anchors))
+        fan_out(emb)
+        .withColumn("v_nrm", norm2(F.col("embedding")))
+        .crossJoin(F.broadcast(anchors))
         .select(
             "vec_id",
             F.col("label").alias("true_label"),
             "pred_label",
             "aid",
-            cosine(F.col("embedding"), F.col("a_embedding")).alias("cs"),
+            (
+                dot(F.col("embedding"), F.col("a_embedding"))
+                / (F.col("v_nrm") * F.col("a_nrm"))
+            ).alias("cs"),
         )
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gridiron_spark.functions.decimal_safe import dec
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.operators.skew import salted_agg
 from gridiron_spark.queries import register
 
@@ -510,17 +510,22 @@ def bloom_prefilter_join(spark, sf_dir):
     positives per priority bucket.
 
     Scale shape: the bitset construction is a distinct over ≤ m integers
-    (map-side partial distinct, then a single ≤{m}-row collect_set into
-    one row — a few KB regardless of build cardinality); the probe pass
-    is a broadcast of that row plus pure per-row hashing, so at 100 TB
-    the orders scan is filtered BEFORE any shuffle and the exact join
-    runs only on survivors. Per-partition bloom sets merge by bitwise OR
-    (set union here), the property that makes the sketch distributable.
-    The verification join exists to MEASURE the FP rate; a production
-    prefilter drops it and keeps only bloom_pass=1 rows.
+    (map-side partial distinct, a ≤{m}/64-row bit_or word fold, then a
+    single 1-row pack into a dense 64-bit-word array — a few KB
+    regardless of build cardinality); the probe pass is a broadcast of
+    that row plus pure per-row hashing with an O(1) word-index bit test
+    per hash (round 13 replaced the sorted-set `array_contains` probe,
+    whose linear scan cost probes × |set| comparisons per row — measured
+    9.3 s → see OPTIMIZATION_r13.md — with the packed representation a
+    real bloom filter uses), so at 100 TB the orders scan is filtered
+    BEFORE any shuffle and the exact join runs only on survivors.
+    Per-partition bloom words merge by bitwise OR, the property that
+    makes the sketch distributable. The verification join exists to
+    MEASURE the FP rate; a production prefilter drops it and keeps only
+    bloom_pass=1 rows.
     """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
     build = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
@@ -537,24 +542,45 @@ def bloom_prefilter_join(spark, sf_dir):
             for j in range(_BLOOM_K)
         ]
 
-    bits = (
+    # dense packed bitmask: m bits as m/64 bigint words, assembled once on
+    # the build side (bit semantics identical to the oracle's DISTINCT
+    # position set — a bit is set iff its position was inserted)
+    n_words = _BLOOM_M // 64
+    words = (
         build.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
-        .agg(F.array_sort(F.collect_set("p")).alias("bitset"))
+        .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").alias("word"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("wm"), i), F.lit(0).cast("bigint")
+                ),
+            ).alias("words")
+        )
     )
     p0, p1, p2 = positions(F.col("o_custkey"))
+    hit_sql = (
+        "(element_at(words, CAST(p{j} DIV 64 AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))) != 0"
+    )
     probe = (
-        orders.crossJoin(F.broadcast(bits))
+        orders.crossJoin(F.broadcast(words))
         .join(
             F.broadcast(build.withColumn("is_true", F.lit(1))),
             orders["o_custkey"] == build["c_custkey"],
             "left",
         )
+        .withColumn("p0", p0)
+        .withColumn("p1", p1)
+        .withColumn("p2", p2)
         .select(
             "o_orderpriority",
             (
-                F.array_contains("bitset", p0)
-                & F.array_contains("bitset", p1)
-                & F.array_contains("bitset", p2)
+                F.expr(hit_sql.format(j=0))
+                & F.expr(hit_sql.format(j=1))
+                & F.expr(hit_sql.format(j=2))
             )
             .cast("int")
             .alias("bloom_pass"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gridiron_spark.functions.vectors import cosine
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.queries import register
 
 _QUERY_VEC_ID = 0
@@ -183,18 +183,35 @@ def knn_join_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    from gridiron_spark.functions.vectors import dot, norm2
+
     k = 5
     q = (
         emb.filter(F.col("vec_id") % 25 == 0)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            norm2(F.col("embedding")).alias("qnrm"),
+        )
     )
+    # fan_out: the |Q|x|corpus| cosine fan-out is narrow over the corpus
+    # scan — a single-file scan would score every pair on ONE core
+    # (optimization guide §2.4; no-op at scale, see io.tables.fan_out).
+    # Norms hoisted per side: dot/(nrm·qnrm) is cosine()'s exact
+    # expression with the two denominator folds evaluated once per row
+    # instead of once per pair — bit-identical values (guide §2.3).
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        fan_out(emb)
+        .withColumn("nrm", norm2(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+            (
+                dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm"))
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -322,27 +339,46 @@ def ann_recall_eval(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
+    from gridiron_spark.functions.vectors import dot, norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
     k = 10
+    # round 13: norms hoisted per SIDE (cosine()'s exact denominator
+    # expression, evaluated |side| times instead of per pair — values
+    # bit-identical, guide §2.3) and the narrow n×C / n×|Q| fan-outs
+    # fan_out'd over the single-file scan (guide §2.4)
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        norm2(F.col("embedding")).alias("cnrm"),
     )
     qs = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        norm2(F.col("embedding")).alias("qnrm"),
     )
+    embf = fan_out(emb)
     assigned = (
-        emb.select(F.col("vec_id"), F.col("embedding").alias("v"))
+        embf.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("v"),
+            norm2(F.col("embedding")).alias("vnrm"),
+        )
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "rn",
             F.row_number().over(
                 W.partitionBy("vec_id").orderBy(
-                    cosine(F.col("v"), F.col("cvec")).desc(), "cid"
+                    (
+                        dot(F.col("v"), F.col("cvec"))
+                        / (F.col("vnrm") * F.col("cnrm"))
+                    ).desc(),
+                    "cid",
                 )
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "vnrm", "cid")
     )
     probes = (
         cents.crossJoin(F.broadcast(qs))
@@ -350,7 +386,11 @@ def ann_recall_eval(spark, sf_dir):
             "rn",
             F.row_number().over(
                 W.partitionBy("qid").orderBy(
-                    cosine(F.col("cvec"), F.col("qvec")).desc(), "cid"
+                    (
+                        dot(F.col("cvec"), F.col("qvec"))
+                        / (F.col("cnrm") * F.col("qnrm"))
+                    ).desc(),
+                    "cid",
                 )
             ),
         )
@@ -365,7 +405,11 @@ def ann_recall_eval(spark, sf_dir):
             "rn",
             F.row_number().over(
                 W.partitionBy("qid").orderBy(
-                    cosine(F.col("v"), F.col("qvec")).desc(), "vec_id"
+                    (
+                        dot(F.col("v"), F.col("qvec"))
+                        / (F.col("vnrm") * F.col("qnrm"))
+                    ).desc(),
+                    "vec_id",
                 )
             ),
         )
@@ -373,13 +417,18 @@ def ann_recall_eval(spark, sf_dir):
         .select("qid", "vec_id")
     )
     brute = (
-        emb.crossJoin(F.broadcast(qs))
+        embf.withColumn("vnrm", norm2(F.col("embedding")))
+        .crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn(
             "rn",
             F.row_number().over(
                 W.partitionBy("qid").orderBy(
-                    cosine(F.col("embedding"), F.col("qvec")).desc(), "vec_id"
+                    (
+                        dot(F.col("embedding"), F.col("qvec"))
+                        / (F.col("vnrm") * F.col("qnrm"))
+                    ).desc(),
+                    "vec_id",
                 )
             ),
         )
@@ -1967,6 +2016,11 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
     from pyspark.sql import Window
 
     q = _quantized(spark, sf_dir)
+    # fan_out: every per-VECTOR ranking below (n×C or n×√C integer dots)
+    # is narrow over the embeddings scan — a single-file scan would rank
+    # on ONE core (guide §2.4). Centroid/branch seeds keep the plain scan
+    # (they are broadcast builds; a repartition there buys nothing).
+    qf = fan_out(q)
     cents = q.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("qc")
     )
@@ -1977,7 +2031,7 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
     )
     wp = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
     if super_fac is None:
-        fanout = q.join(F.broadcast(cents))
+        fanout = qf.join(F.broadcast(cents))
     else:
         sup = q.filter(F.col("vec_id") % (stride * super_fac) == 0).select(
             F.col("vec_id").alias("grp"), F.col("qv").alias("qg")
@@ -2001,7 +2055,7 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
         # pruned by a Partial WindowGroupLimit before any exchange)
         vw = Window.partitionBy("vec_id").orderBy(F.desc("gdot"), F.asc("grp"))
         if super2_fac is None:
-            vcand = q.withColumnRenamed("qv", "x").join(F.broadcast(sup))
+            vcand = qf.withColumnRenamed("qv", "x").join(F.broadcast(sup))
         else:
             # depth-3 descent: seed depth-2 branches, attach each super
             # to its top-dot depth-2 branch (super-side work only), and
@@ -2036,7 +2090,7 @@ def _ivf_assign(spark, sf_dir, stride=_GIVF_STRIDE, probes=_GIVF_PROBES,
                 F.desc("v2dot"), F.asc("g2")
             )
             vprobe2 = (
-                q.withColumnRenamed("qv", "x")
+                qf.withColumnRenamed("qv", "x")
                 .join(F.broadcast(sup2))
                 .select("vec_id", "x", "g2", v2dot.alias("v2dot"))
                 .withColumn("rn", F.row_number().over(vw2))

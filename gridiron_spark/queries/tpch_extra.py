@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from gridiron_spark.functions.decimal_safe import dec, dmean, dsum
 from gridiron_spark.functions.partitions import range_parts as _range_parts
-from gridiron_spark.io.tables import load_table
+from gridiron_spark.io.tables import fan_out, load_table
 from gridiron_spark.queries import register
 
 def _revenue():
@@ -721,8 +721,10 @@ def unpivot_metrics(spark, sf_dir):
     four measure columns become (metric, val) rows in one narrow Expand —
     a single scan, NOT four self-unions — then a 4-group aggregate. The
     oracle is the UNION ALL formulation; the unpivot plan reads the fact
-    once where the UNION form would scan it four times."""
-    li = load_table(spark, sf_dir, "lineitem")
+    once where the UNION form would scan it four times.
+    fan_out: the ×4 Expand + decimal partial-agg are narrow over the scan
+    (guide §2.4; single-file scans otherwise melt on ONE core)."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     long = li.unpivot(
         ids=["l_orderkey"],
         values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -458,10 +458,14 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
 
 
 def test_bloom_bitset_is_tiny_and_broadcast(spark):
-    """The sketch the probe side consumes must be ONE row of ≤ m sorted
-    positions (a few KB regardless of build cardinality) and must reach
-    the probe via broadcast — the property that makes the prefilter free
-    of any probe-side shuffle."""
+    """The sketch the probe side consumes must be ONE row holding the
+    m/64 packed 64-bit words (a few KB regardless of build cardinality)
+    and must reach the probe via broadcast — the property that makes the
+    prefilter free of any probe-side shuffle. Round 13 swapped the sorted
+    position-set (O(|set|) array_contains per probe hash) for the packed
+    word array (O(1) element_at + bit test per probe hash); this pins the
+    packed representation and the unchanged probe-side-never-shuffles
+    contract."""
     from tests.conftest import SF_ORACLE as _SF
 
     from gridiron_spark.queries import catalog as _cat
@@ -469,15 +473,21 @@ def test_bloom_bitset_is_tiny_and_broadcast(spark):
     df = _cat()["bloom_prefilter_join"].spark_fn(spark, _SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
-    # probe-side agg is the only hash shuffle: priority-keyed final agg
+    # the packed-word fold is in the plan (bit_or of shifted bits), and
+    # the probe is an O(1) word lookup, not a set scan
+    assert "bit_or" in plan, plan
+    assert "array_contains" not in plan, plan
+    # probe-side agg is the only probe hash shuffle: priority-keyed final
     import re
 
     shuffles = re.findall(
         r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
     )
     # build-side only: the custkey distinct (×2 — bitset build + the FP
-    # verification join's broadcast side) + the ≤m-row SinglePartition
-    # collect_set + the final priority agg. The ORDERS probe side must
-    # never shuffle before its own aggregation — pinned by the count cap,
-    # since an orders-side join shuffle would add two more exchanges.
-    assert len(shuffles) <= 4, (shuffles, plan)
+    # verification join's broadcast side) + the word-index bit_or fold +
+    # the 1-row SinglePartition pack + the final priority agg. The ORDERS
+    # probe side must never shuffle before its own aggregation — pinned
+    # by the count cap, since an orders-side join shuffle would add two
+    # more exchanges (the probe-side fan_out is a round-robin exchange,
+    # deliberately outside this regex: it moves no data to a key).
+    assert len(shuffles) <= 5, (shuffles, plan)
