@@ -31,6 +31,26 @@ TABLES = (
 # us without controlling session construction.
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Raw parquet schema per (sf_dir, table): plain metadata, memoized so
+# repeated load_table calls (a bench run issues thousands) skip the
+# per-call footer-based schema inference — guide §6 (repeated
+# listing/planning cost), never result caching: every read still scans
+# the parquet data. Keyed on the resolved path; an sf_dir whose files
+# change between calls is not a supported layout (the driver's lakes are
+# immutable per run).
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp.
@@ -40,10 +60,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB timestamps are µs so nanos are not oracle-representable) and
     ``ts_ts`` (TimestampType, µs precision) for window/streaming operators.
     """
-    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set(_NANOS_AS_LONG, "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, sf_dir, name)
         if dict(df.dtypes)["ts"] == "bigint":
             # integer div, not `/1000`: double division rounds at int64 scale
             ts_us = F.expr("ts div 1000")
@@ -59,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn("ts_us", ts_us).withColumn(
             "ts_ts", F.timestamp_micros(F.col("ts_us"))
         )
-    return spark.read.parquet(path)
+    return _read_parquet(spark, sf_dir, name)
 
 
 def _size_conf(spark: SparkSession, key: str, default: int) -> int:

@@ -1006,7 +1006,13 @@ def winnow_overlap_pairs(spark, sf_dir):
     excluded up front). Fingerprinting itself is the audited
     winnow_fingerprint plan: one explode + one windowed min per doc.
     """
-    wf = winnow_fingerprint(spark, sf_dir)
+    # the fingerprint frame feeds BOTH the DF-cap aggregate and the kept
+    # join — without a lineage cut the char-gram explode + windowed-min
+    # pipeline runs twice per invocation (round 13; the mllib entries'
+    # measured no-CSE-under-reuse pattern). localCheckpoint materializes
+    # it once; the fingerprint table is corpus-linear, the same artifact
+    # a production MOSS index persists anyway.
+    wf = winnow_fingerprint(spark, sf_dir).localCheckpoint(eager=False)
     freq = (
         wf.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
