@@ -31,19 +31,22 @@ TABLES = (
 # us without controlling session construction.
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
-# Raw parquet schema per (sf_dir, table): plain metadata, memoized so
-# repeated load_table calls (a bench run issues thousands) skip the
-# per-call footer-based schema inference — guide §6 (repeated
+# Raw parquet schema per (resolved sf_dir, table): plain metadata,
+# memoized so repeated load_table calls (a bench run issues thousands)
+# skip the per-call footer-based schema inference — guide §6 (repeated
 # listing/planning cost), never result caching: every read still scans
-# the parquet data. Keyed on the resolved path; an sf_dir whose files
-# change between calls is not a supported layout (the driver's lakes are
-# immutable per run).
+# the parquet data. Keyed on os.path.realpath(sf_dir) so relative paths
+# under cwd changes and symlink aliases of the same lake share one entry
+# (round-13 advice); an sf_dir whose files change between calls is not a
+# supported layout (the driver's lakes are immutable per run).
 _SCHEMA_MEMO: dict[tuple[str, str], object] = {}
 
 
 def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name)
+    key = (os.path.realpath(sf_dir), name)
     schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
@@ -99,13 +102,12 @@ def _size_conf(spark: SparkSession, key: str, default: int) -> int:
         return default
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Estimate the scan's partition count WITHOUT materializing the plan as
-    an RDD, replaying Spark's own FilePartition.maxSplitBytes formula over
-    the scan's listed input files. ``df.inputFiles()`` reads the relation's
-    file index (a listing, no job); sizes come from a local stat. Returns
-    None when the inputs aren't stat-able local files (remote lakes — where
-    scans are big and fan_out should no-op anyway)."""
+def _scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """Stat the scan's listed input files. ``df.inputFiles()`` reads the
+    relation's file index (a listing, no job); sizes come from a local
+    stat. Returns None when the inputs aren't stat-able local files
+    (remote lakes — where scans are big and fan_out should no-op
+    anyway)."""
     import os
 
     try:
@@ -120,6 +122,20 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         if not os.path.isfile(p):
             return None
         sizes.append(os.path.getsize(p))
+    return sizes
+
+
+def _estimated_scan_partitions(
+    df: DataFrame, sizes: list[int] | None = None
+) -> int | None:
+    """Estimate the scan's partition count WITHOUT materializing the plan as
+    an RDD, replaying Spark's own FilePartition.maxSplitBytes formula over
+    the scan's listed input files (``sizes`` may be passed in when the
+    caller already statted them)."""
+    if sizes is None:
+        sizes = _scan_file_sizes(df)
+    if sizes is None:
+        return None
     spark = df.sparkSession
     max_part = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
@@ -159,9 +175,27 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, parts)
 
 
+# Round-robin width sizing: one fan_out task per this many INPUT bytes
+# (compressed parquet). Round-14 sweep on the heavy fan_out consumers
+# (OPTIMIZATION_r14.md): compressed bytes UNDER-represent per-row compute
+# — at 96 KB/task the text/embedding entries lost 1.5-3x (filter_funnel
+# 1.63→4.67 s at 7 tasks; dedup_embedding_cosine 0.80→1.38 at 9) because
+# their fan-out stages are compute-bound, not byte-bound, so the default
+# is deliberately small: 20 KB/task keeps every sf0.1 table at full
+# cluster width (all measured r13 wins intact, probe-verified flat) and
+# only bounds genuinely tiny scans — the sub-100 KB inputs whose 32-way
+# round-robin paid more in task scheduling than the work itself (the
+# driver's 8-core bench beat its 32-core bench on exactly those stages).
+_FAN_OUT_TARGET_ENV = "SPARK_GRAFT_FAN_OUT_TARGET_BYTES"
+_FAN_OUT_TARGET_DEFAULT = 20 << 10
+
+_warned_fan_out_off = False
+
+
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition a *pre-fan-out* input so a downstream explode
-    parallelizes — only when the scan is under-partitioned.
+    parallelizes — only when the scan is under-partitioned, and only as
+    wide as the input size justifies.
 
     A small parquet file scans as one partition, and explode/posexplode is a
     narrow transformation, so a k-gram fan-out (×300 rows) inherits the
@@ -170,21 +204,47 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     costs one shuffle of the raw text bytes — tiny relative to the exploded
     output — and buys full-cluster parallelism for the generation stage.
 
-    The under-partitioned check is a plan-free file-size estimate
-    (:func:`_estimated_scan_partitions`) — the previous
-    ``df.rdd.getNumPartitions()`` probe forced an RDD conversion of the
-    query plan, a pointless analysis pass on a large table. At 100 TB the
-    guard makes this a no-op twice over: big scans estimate well above
-    cluster parallelism, and non-local lakes (estimate unavailable) skip
-    the repartition entirely.
+    Width = min(cluster parallelism, max(scan estimate, input bytes /
+    target)): a genuinely tiny input stops paying full-cluster scheduling
+    for kilobytes of work (the round-13 driver's 8-core bench BEAT its
+    32-core bench on exactly these stages), while any input big enough to
+    use the cluster still gets it — the target (see
+    ``_FAN_OUT_TARGET_DEFAULT``) is sized so the sf0.1 bench tables all
+    keep full width. The under-partitioned check is a
+    plan-free file-size estimate (:func:`_estimated_scan_partitions`) — the
+    previous ``df.rdd.getNumPartitions()`` probe forced an RDD conversion
+    of the query plan, a pointless analysis pass on a large table. At
+    100 TB the guard makes this a no-op twice over: big scans estimate
+    well above cluster parallelism, and non-local lakes (estimate
+    unavailable) skip the repartition entirely.
     """
     import os
 
     if os.environ.get("SPARK_GRAFT_FAN_OUT") == "0":  # measurement toggle
+        global _warned_fan_out_off
+        if not _warned_fan_out_off:  # round-13 advice: never silently off
+            import sys
+
+            print(
+                "gridiron_spark: WARNING SPARK_GRAFT_FAN_OUT=0 — fan_out "
+                "disabled, heavy pre-exchange stages will run serially "
+                "(measurement toggle, not a production setting)",
+                file=sys.stderr,
+            )
+            _warned_fan_out_off = True
         return df
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(df)
+    sizes = _scan_file_sizes(df)
+    if sizes is None:
+        return df
+    est = _estimated_scan_partitions(df, sizes=sizes)
     if est is None or est >= parallelism:
         return df
-    return df.repartition(parallelism)
+    target = int(
+        os.environ.get(_FAN_OUT_TARGET_ENV, str(_FAN_OUT_TARGET_DEFAULT))
+    )
+    width = min(parallelism, max(est, -(-sum(sizes) // max(target, 1))))
+    if width <= est:
+        return df
+    return df.repartition(width)

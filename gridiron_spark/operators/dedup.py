@@ -169,46 +169,69 @@ def pair_intersection_counts(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle.
 
-    Count-based: |A∩B| is the row count of the inverted-index self-join per
-    pair, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes — shingle sets never
-    travel through the pair shuffle (carrying the arrays and deduplicating
-    wide rows was the measured bottleneck). The unrestricted variant indexes
+    Unrestricted variant: count-based — |A∩B| is the row count of the
+    inverted-index self-join per pair, |A∪B| = |A|+|B|-|A∩B| from per-doc
+    sizes; shingle sets never travel through the pair shuffle (carrying
+    the arrays and deduplicating wide rows was the measured bottleneck
+    when the PAIR SET itself comes from the exploded join). It indexes
     every shingle (hot shingles fan out quadratically — AQE skew-join
     territory); at scale generate candidates with
     :func:`prefix_filtered_pairs` instead, which indexes only each doc's
     globally-rarest shingles with identical output.
 
-    With ``candidates`` (doc_a, doc_b), only those pairs are scored: the
-    candidate list drives the join, so verification cost follows the (small)
-    candidate count, not the all-sharing-pairs count — this is what makes an
-    LSH candidate generator actually pay off downstream.
+    With ``candidates`` (doc_a, doc_b), only those pairs are scored, and
+    the verifier switches to set form: re-assemble each doc's (distinct)
+    shingle array once and score candidates with ``array_intersect`` —
+    two attach joins and zero aggregations, vs the count-based form's
+    candidate×shingle explode + pair aggregate + two size joins (round
+    14, guide §2.3/§2.4: 3.70 s → 2.53 s on the prefix entry, bit-equal
+    jaccard since both divide the same exact integers). Every current
+    generator (LSH band collision, AllPairs prefix) guarantees a shared
+    shingle, so the count form's implicit drop of zero-intersection
+    pairs is vacuous — the jaccard-0 rows the set form keeps are
+    filtered by every caller's threshold.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        pair_counts = (
+        sets = shingles.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("arr")
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        return (
             candidates.select("doc_a", "doc_b")
-            .join(shingles.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
             .join(
-                shingles.alias("b"),
-                (F.col("doc_b") == F.col("b.doc_id"))
-                & (F.col("a.shingle") == F.col("b.shingle")),
+                sets.select(
+                    F.col("doc_id").alias("doc_a"), F.col("arr").alias("sa")
+                ),
+                "doc_a",
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-    else:
-        pair_counts = (
-            shingles.alias("a")
             .join(
-                shingles.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                sets.select(
+                    F.col("doc_id").alias("doc_b"), F.col("arr").alias("sb")
+                ),
+                "doc_b",
             )
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    inter.cast("double")
+                    / (F.size("sa") + F.size("sb") - inter)
+                ).alias("jaccard"),
             )
-            .agg(F.count(F.lit(1)).alias("c"))
         )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pair_counts = (
+        shingles.alias("a")
+        .join(
+            shingles.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
         pair_counts.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
@@ -298,7 +321,7 @@ def prefix_filtered_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_k: int = 3,
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via AllPairs/PPJoin prefix filtering —
     the 100 TB form of :func:`ngram_jaccard_pairs`, identical output.
@@ -320,20 +343,23 @@ def prefix_filtered_pairs(
     verification. Extra cost: one global frequency aggregate (map-side
     combinable) and one rank window per doc — both linear.
 
-    ``materialize`` persists the exploded shingle rows, which this DAG
-    references ~5× (sizes, frequencies, prefix ranking, verification ×2).
-    Measured at sf0.1 recomputing the codegen'd shingle pipeline per
-    reference BEATS the persist round-trip (5.3 s vs 6.7 s), so the
-    default is off; flip it when the shingle derivation dominates
-    (long documents / large k at full corpus scale, where 5× recompute
-    means 5× the corpus scan).
+    ``materialize`` pins the exploded shingle rows (lazy localCheckpoint),
+    which this DAG references ~6× (sizes, frequencies, prefix ranking,
+    verification). Round 12 measured a MEMORY_AND_DISK persist LOSING to
+    recompute at sf0.1 (6.7 s vs 5.3 s); round 14 re-measured under the
+    64k AQE floor + fan_out with a localCheckpoint instead and the trade
+    flipped hard (full pipeline solo medians at sf0.1: 8.20 s unpinned →
+    4.09 s pinned — each of the 6 shingle re-derivations paid a scan +
+    window + distinct), so the default is ON. At 100 TB the pin is
+    |corpus|×~shingles rows of (id, 3-gram) — the thing a production run
+    materializes to a staged side-car anyway; pass False to keep the
+    zero-storage form.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     sh = shingle_rows(docs, id_col, text_col, shingle_k)
     if materialize:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -889,6 +915,7 @@ def containment_prefix_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact shingle-set CONTAINMENT pairs: every ordered (contained,
     container) pair with |A∩B| / |A| ≥ threshold, A ≠ B.
@@ -909,10 +936,16 @@ def containment_prefix_pairs(
     ~(1−t) of each doc's RAREST shingles, so hot-shingle buckets fan out
     as (tiny prefix count) × (full count) — linear in the full index, not
     quadratic in it.
+
+    ``materialize`` pins the exploded shingle rows once (lazy
+    localCheckpoint) for the ~5 references below — the same round-14
+    re-measured trade as :func:`prefix_filtered_pairs`.
     """
     from pyspark.sql import Window
 
     sh = shingle_rows(docs, id_col, text_col, shingle_k)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -950,30 +983,34 @@ def containment_prefix_pairs(
         .select("doc_in", "doc_out")
         .dropDuplicates(["doc_in", "doc_out"])
     )
-    inter = (
-        cand.join(sh.alias("a"), F.col("doc_in") == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (F.col("doc_out") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_in", "doc_out")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
+    # set-form verification (round 14, guide §2.3/§2.4): re-assemble each
+    # doc's distinct shingle array once and score candidates with
+    # array_intersect — two attach joins, no candidate×shingle explode, no
+    # pair aggregate, and sizes come free as size(arr). Exact integers
+    # either way, and every candidate shares ≥1 prefix shingle, so the
+    # exploded form's implicit drop of zero-intersection pairs is vacuous.
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("arr"))
     return (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_in"),
-                F.col("sz").cast("bigint").alias("sz_in"),
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_in"), F.col("arr").alias("_sa")
             ),
             "doc_in",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_out"),
-                F.col("sz").cast("bigint").alias("sz_out"),
+            sets.select(
+                F.col("doc_id").alias("doc_out"), F.col("arr").alias("_sb")
             ),
             "doc_out",
+        )
+        .select(
+            "doc_in",
+            "doc_out",
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("bigint")
+            .alias("inter"),
+            F.size("_sa").cast("bigint").alias("sz_in"),
+            F.size("_sb").cast("bigint").alias("sz_out"),
         )
         .withColumn("cont_pct", F.expr("inter * 100 div sz_in"))
         .filter(F.col("cont_pct") >= F.lit(int(round(threshold * 100))))

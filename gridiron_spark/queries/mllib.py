@@ -27,6 +27,39 @@ from gridiron_spark.queries import register
 _SEED = 42
 
 
+def _shingled(spark, doc):
+    """(doc_id, shingles): distinct word 3-grams per document, as the array
+    HashingTF consumes. Tokens are materialized in their OWN projection
+    before the gram transform (round 14, guide §4/§2.3): codegen does no
+    common-subexpression elimination inside higher-order-lambda bodies, so
+    the inline form re-ran split(lower(text)) for every element_at — three
+    per gram, ~300 per doc (measured 5.15 s → 0.52 s for the shingle
+    stage at sf0.1; the same pathology shingle_rows note 2 and
+    model_gate_agg document). CollapseProject keeps the barrier because
+    the split alias is referenced more than once and is non-cheap."""
+    toksed = doc.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return toksed.select("doc_id", grams.alias("shingles")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _vectors(spark, sf_dir):
     from pyspark.ml.functions import array_to_vector
 
@@ -103,30 +136,22 @@ def mllib_minhash_sim_join(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     doc = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    shingled = doc.select("doc_id", grams.alias("shingles")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    shingled = _shingled(spark, doc)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
     # the barrier: without it, approxSimilarityJoin's internal posexplode
-    # re-evaluates the whole shingle→TF→minhash chain per exploded row
-    feats = tf.transform(shingled).localCheckpoint(eager=False)
+    # re-evaluates the whole shingle→TF→minhash chain per exploded row.
+    # Project to (doc_id, features) FIRST (guide §2.3): a checkpoint pins
+    # every column it carries and approxSimilarityJoin ships whole rows
+    # through its exploded candidate shuffle — without the select, each
+    # side's shingle arrays (the widest column, unused downstream) ride
+    # both the checkpoint and the hash-bucket exchange.
+    feats = (
+        tf.transform(shingled)
+        .select("doc_id", "features")
+        .localCheckpoint(eager=False)
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", seed=_SEED, numHashTables=8
     )
@@ -169,28 +194,9 @@ def mllib_minhash_banded(spark, sf_dir):
     from pyspark.ml.functions import vector_to_array
 
     doc = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
     # one materialization of the shingle derivation feeds BOTH the hash
     # pipeline and the verification joins below (it is referenced 3×)
-    shingled = (
-        doc.select("doc_id", grams.alias("shingles"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
-    )
+    shingled = _shingled(spark, doc).localCheckpoint(eager=False)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -198,16 +204,22 @@ def mllib_minhash_banded(spark, sf_dir):
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", seed=_SEED, numHashTables=8
     ).fit(feats)
-    # barrier before the posexplode below — see mllib_minhash_sim_join
-    hashed = model.transform(feats).localCheckpoint(eager=False)
+    # barrier before the posexplode below — see mllib_minhash_sim_join.
+    # Project to (doc_id, hashes) first (guide §2.3): the banding below
+    # needs neither the 2^18-dim sparse vectors nor the shingle arrays,
+    # and a checkpoint pins every column it carries — without the select
+    # both rode the pinned blocks and the explode.
+    hashed = (
+        model.transform(feats)
+        .select("doc_id", "hashes")
+        .localCheckpoint(eager=False)
+    )
     # hashes: array of 8 one-element vectors -> 8 bigints, banded 2×4
     hv = hashed.select(
         "doc_id",
-        "shingles",
         F.posexplode("hashes").alias("pos", "h"),
     ).select(
         "doc_id",
-        "shingles",
         (F.col("pos") / 4).cast("int").alias("band_idx"),
         "pos",
         vector_to_array(F.col("h")).getItem(0).cast("bigint").alias("hval"),
