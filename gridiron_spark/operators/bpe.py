@@ -60,7 +60,11 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
         F.regexp_replace("word", "(.)", SENTINEL + "$1" + SENTINEL).alias(
             "seg"
         ),
-    )
+        # pinned: seg0 is the corpus-sized word_freq aggregate — round 1's
+        # pair count AND the round-1 re-segmentation both consume it, and
+        # without the pin each ran the corpus tokenize+agg separately
+        # (round 14, guide §5 recompute)
+    ).localCheckpoint(eager=False)
     merge_steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         syms = seg.select(
@@ -85,7 +89,13 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("n"))
         )
-        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1)
+        # pinned: the ≤1-row winner feeds BOTH this step's output row and
+        # the re-segmentation's broadcast build below — unpinned, each
+        # consumer re-ran the round's explode+aggregate (round 14: the
+        # per-round pair count was computed twice; guide §5)
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).localCheckpoint(
+            eager=False
+        )
         merge_steps.append(
             best.select(
                 F.lit(step).alias("step"),

@@ -742,11 +742,16 @@ def _write_sidecar_stats(
     n_hot_buckets: int, files_read: int, files_total: int,
 ) -> None:
     """One bounded-read evidence row per trigger (replay overwrites its
-    own subdir, like every other per-batch state write)."""
-    spark.createDataFrame(
-        [(batch_id, n_hot_buckets, files_read, files_total)],
-        "batch_id bigint, n_hot_buckets bigint, "
-        "files_read bigint, files_prior_total bigint",
+    own subdir, like every other per-batch state write). Built from
+    ``spark.range(1)`` + literals rather than ``createDataFrame`` — the
+    values are four driver-known ints, and the range form skips the
+    Python→JVM row serialization and schema plumbing that made this
+    one-row write a measurable per-trigger fixed cost (round-14 probe)."""
+    spark.range(1).select(
+        F.lit(batch_id).cast("bigint").alias("batch_id"),
+        F.lit(n_hot_buckets).cast("bigint").alias("n_hot_buckets"),
+        F.lit(files_read).cast("bigint").alias("files_read"),
+        F.lit(files_total).cast("bigint").alias("files_prior_total"),
     ).write.mode("overwrite").parquet(f"{stats_dir}/batch={batch_id}")
 
 
@@ -860,10 +865,23 @@ def minhash_sidecar_dedup_available_now(
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        batch_sig = minhash_signature_df(
-            shingle_rows(batch_df), num_hashes
+        # ONE eager checkpoint per trigger, at BAND grain (round 14, guide
+        # §1.1 fixed-cost decomposition: the previous doc-grain checkpoint
+        # + take(1) + band-grain checkpoint were three driver-blocking
+        # jobs per trigger whose scheduling overhead dominated the probe's
+        # phase timings at demo scale). Everything downstream derives from
+        # bb: the doc-grain base rows are the band_idx == 0 slice (every
+        # non-empty doc emits bands 0..bands-1), and batch emptiness falls
+        # out of the hot-bucket collect below.
+        bb = banded(
+            minhash_signature_df(shingle_rows(batch_df), num_hashes)
         ).localCheckpoint()
-        if not batch_sig.take(1):
+        # the arriving batch's collision footprint: ≤ n_buckets ints — a
+        # bounded driver collect that turns into partition pruning below
+        hot_buckets = [
+            r["bucket"] for r in bb.select("bucket").distinct().collect()
+        ]
+        if not hot_buckets:
             # zero-row micro-batch (e.g. an empty source file): write a
             # schema-carrying empty flags delta and NO sig subdir — a
             # partitionBy write of an empty frame emits no part files,
@@ -871,7 +889,7 @@ def minhash_sidecar_dedup_available_now(
             # schema inference on the prior read. An absent subdir is
             # equivalent state (the batch contributes nothing) and the
             # replay contract holds vacuously.
-            batch_sig.select(
+            bb.select(
                 "doc_id",
                 F.lit(0).cast("bigint").alias("n_matches"),
                 F.lit(None).cast("bigint").alias("min_partner"),
@@ -889,12 +907,6 @@ def minhash_sidecar_dedup_available_now(
                     ),
                 )
             return
-        bb = banded(batch_sig).localCheckpoint()
-        # the arriving batch's collision footprint: ≤ n_buckets ints — a
-        # bounded driver collect that turns into partition pruning below
-        hot_buckets = [
-            r["bucket"] for r in bb.select("bucket").distinct().collect()
-        ]
         # prior side-car = the batch partitions STRICTLY EARLIER than this
         # id — not merely "all other subdirs": a replayed batch must see
         # exactly the state it saw the first time (its own half-written
@@ -921,7 +933,8 @@ def minhash_sidecar_dedup_available_now(
         else:
             probe = bb
         build = F.broadcast(bb) if broadcast_batch else bb
-        if stats_dir is not None:
+
+        def stats_pass() -> None:
             # driver-checkable bounded-read evidence: the PHYSICAL file
             # count of the pruned prior scan (input_file_name reflects
             # post-PartitionFilters scan input) vs the full prior
@@ -939,6 +952,7 @@ def minhash_sidecar_dedup_available_now(
                 files_total = _count_part_files(spark, prior_dirs)
             _write_sidecar_stats(spark, stats_dir, batch_id,
                                  len(hot_buckets), files_read, files_total)
+
         # dedup pairs FIRST, then score: a pair colliding in all `bands`
         # bands would otherwise pay the 16-element signature-agreement
         # aggregate once per colliding band row. est_jaccard is
@@ -987,21 +1001,51 @@ def minhash_sidecar_dedup_available_now(
                 "n_matches", "min_partner", "max_est",
             )
         )
-        base = batch_sig.select(
+        # doc-grain base rows from the checkpointed band rows: band 0 is
+        # one row per doc by construction (posexplode emits every band)
+        base = bb.filter(F.col("band_idx") == 0).select(
             "doc_id",
             F.lit(0).cast("bigint").alias("n_matches"),
             F.lit(None).cast("bigint").alias("min_partner"),
             F.lit(None).cast("double").alias("max_est"),
         )
         delta = base.unionByName(hits)
-        # deterministic per-batch partitions: a replay overwrites ITS OWN
-        # subdir and leaves every other batch's state untouched
-        delta.write.mode("overwrite").parquet(f"{flags_dir}/batch={batch_id}")
-        # banded side-car state: one file per bucket per batch (the
-        # repartition keys writer tasks to buckets)
-        bb.repartition("bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(f"{sig_dir}/batch={batch_id}")
+
+        def delta_pass() -> None:
+            # deterministic per-batch partitions: a replay overwrites ITS
+            # OWN subdir and leaves every other batch's state untouched
+            delta.write.mode("overwrite").parquet(
+                f"{flags_dir}/batch={batch_id}"
+            )
+
+        def sig_pass() -> None:
+            # banded side-car state: one file per bucket per batch — the
+            # hash repartition keys every bucket's rows to ONE task, and
+            # the explicit width (= hot-bucket count, known from the
+            # collect above) keeps the exchange at exactly as many tasks
+            # as output files instead of spark.sql.shuffle.partitions
+            # mostly-empty ones
+            bb.repartition(len(hot_buckets), "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+
+        # The three tails are mutually independent (three disjoint output
+        # dirs; every input — checkpointed bb, read-only prior dirs — is
+        # already fixed), so submit them concurrently (guide §2.6:
+        # actions are only sequential because driver code calls them
+        # sequentially). At demo scale this collapses three
+        # driver-blocking job latencies into max(...); at 100 TB the
+        # later jobs back-fill executors freed by the earlier jobs' task
+        # tails. Any failure propagates before the trigger commits, so
+        # at-least-once replay semantics are untouched.
+        from concurrent.futures import ThreadPoolExecutor
+
+        passes = [delta_pass, sig_pass]
+        if stats_dir is not None:
+            passes.append(stats_pass)
+        with ThreadPoolExecutor(max_workers=len(passes)) as pool:
+            for fut in [pool.submit(p) for p in passes]:
+                fut.result()
 
     q = (
         docs.writeStream.foreachBatch(merge)
