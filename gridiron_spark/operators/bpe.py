@@ -51,9 +51,18 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
+def _run_bpe(
+    wc: DataFrame, n_merges: int, pin: bool = True
+) -> tuple[list[DataFrame], DataFrame]:
     """The shared merge loop: returns (per-step 1-row winner frames, the
-    final per-word segmentation (word, freq, seg))."""
+    final per-word segmentation (word, freq, seg)).
+
+    ``pin`` materializes each round's ≤1-row winner and the seg0 corpus
+    aggregate with lazy localCheckpoints so no consumer pair recomputes
+    them (round 14, guide §5). It truncates the STATIC plan at the
+    checkpoints, so the plan-shape guard builds with pin=False to assert
+    the per-round operator structure on the untruncated dataflow — the
+    pins change only where lineage is cut, never which operators run."""
     seg = wc.select(
         "word",
         "freq",
@@ -64,7 +73,9 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
         # pair count AND the round-1 re-segmentation both consume it, and
         # without the pin each ran the corpus tokenize+agg separately
         # (round 14, guide §5 recompute)
-    ).localCheckpoint(eager=False)
+    )
+    if pin:
+        seg = seg.localCheckpoint(eager=False)
     merge_steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         syms = seg.select(
@@ -93,9 +104,9 @@ def _run_bpe(wc: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
         # the re-segmentation's broadcast build below — unpinned, each
         # consumer re-ran the round's explode+aggregate (round 14: the
         # per-round pair count was computed twice; guide §5)
-        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).localCheckpoint(
-            eager=False
-        )
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1)
+        if pin:
+            best = best.localCheckpoint(eager=False)
         merge_steps.append(
             best.select(
                 F.lit(step).alias("step"),

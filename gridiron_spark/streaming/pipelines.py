@@ -290,7 +290,7 @@ def attribution_join(
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
-    state_partitions: int | None = 32,
+    state_partitions: int | None = 8,
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a streaming aggregation to a memory sink (complete mode) with
@@ -308,6 +308,18 @@ def run_available_now(
     ``state_partitions`` pins a sane count at query start (state partitioning
     is frozen into the checkpoint on first run — size it for the target
     load, not the first batch). The session conf is restored afterwards.
+
+    The default is 8 (round-14 audit, the late-data entry's round-13
+    sizing rule applied family-wide): every complete-mode drain in the
+    catalog aggregates to BOUNDED state — |windows × event types|,
+    |sources|, |types × bins| — a few KB of state per run, for which each
+    extra store only adds a per-trigger commit file and an idle task
+    (guide §5: more partitions = smaller per-task state, but these states
+    are already tiny). Measured family-wide at sf0.1: 17.5 s → 13.3 s
+    solo with no entry regressing. A deployment whose state scales with
+    the corpus (e.g. key-grain dedup over an unbounded id space) passes
+    an explicit count sized to peak state, exactly as before — the
+    parameter, not the default, is the contract.
     """
     spark = stream_df.sparkSession
     conf_key = "spark.sql.shuffle.partitions"

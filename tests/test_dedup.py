@@ -515,6 +515,13 @@ def test_cdc_chunks_concatenation_is_lossless(spark):
     from gridiron_spark.queries.dedup import cdc_char_gears, cdc_chunks
     from tests.conftest import SF_SMALL
 
+    # Checked via ONE aggregate, not filter().count(): under count,
+    # PushDownPredicate substitutes `joined`'s definition into the filter
+    # and the pruned `g` projection is inlined into each of the gear
+    # hash's 8 element_at references — the per-char transform re-ran
+    # per reference (O(n²)/doc; this single test was 162 s of the suite's
+    # wall time). The aggregate keeps `g` a multi-referenced projection
+    # barrier, so the chunking evaluates once per row (3.9 s).
     bad = (
         load_table(spark, SF_SMALL, "documents")
         .withColumn("g", cdc_char_gears(F.col("text")))
@@ -522,7 +529,7 @@ def test_cdc_chunks_concatenation_is_lossless(spark):
             F.concat_ws("", cdc_chunks(F.col("text"), F.col("g"))).alias("joined"),
             F.col("text"),
         )
-        .filter(F.col("joined") != F.col("text"))
-        .count()
+        .agg(F.sum((F.col("joined") != F.col("text")).cast("int")).alias("bad"))
+        .collect()[0]["bad"]
     )
     assert bad == 0

@@ -102,6 +102,45 @@ def _duck_output_types(con, sql):
     return {r[0]: r[1] for r in rows}  # column -> duckdb type string
 
 
+_SPARK_SCHEMA_CACHE: dict[str, dict] = {}
+
+
+@pytest.mark.parametrize("name", _ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck):
+    entry = _CATALOG[name]
+    sdf = entry.spark_fn(spark, SF_ORACLE)
+    # cache the Spark output schema for test_oracle_types (defined BELOW so
+    # it runs after this parametrization): constructing an eager entry
+    # (streaming drains, staged miners, checkpointed graph chains) executes
+    # real jobs, and the types audit only needs the schema — building every
+    # entry twice cost the suite minutes (round 14).
+    _SPARK_SCHEMA_CACHE[name] = {
+        f.name: f.dataType.simpleString() for f in sdf.schema.fields
+    }
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(entry.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column sets differ\n spark={sorted(spark_cols)}\n duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    _, s_canon = _canon(spark_rows, spark_cols)
+    _, d_canon = _canon(duck_rows, duck_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
 @pytest.mark.parametrize("name", _ORACLE_QUERIES)
 def test_oracle_types(name, spark, duck):
     """Column-by-column dtype compatibility audit (no data movement).
@@ -117,8 +156,10 @@ def test_oracle_types(name, spark, duck):
     """
     entry = _CATALOG[name]
     duck_types = _duck_output_types(duck, entry.oracle)
-    spark_types = {f.name: f.dataType.simpleString() for f in entry.spark_fn(
-        spark, SF_ORACLE).schema.fields}
+    spark_types = _SPARK_SCHEMA_CACHE.get(name)
+    if spark_types is None:  # parity deselected (-k) — construct directly
+        spark_types = {f.name: f.dataType.simpleString() for f in entry.spark_fn(
+            spark, SF_ORACLE).schema.fields}
     assert set(duck_types) == set(spark_types), (
         f"{name}: column sets differ\n duck={sorted(duck_types)}\n"
         f" spark={sorted(spark_types)}"
@@ -150,34 +191,6 @@ def test_oracle_types(name, spark, duck):
         elif st not in allowed:
             bad.append((col, dt, st, "dtype mismatch → driver hash-fail"))
     assert not bad, f"{name}: incompatible output types: {bad}"
-
-
-@pytest.mark.parametrize("name", _ORACLE_QUERIES)
-def test_oracle_parity(name, spark, duck):
-    entry = _CATALOG[name]
-    sdf = entry.spark_fn(spark, SF_ORACLE)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
-
-    res = duck.execute(entry.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = [tuple(r) for r in res.fetchall()]
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column sets differ\n spark={sorted(spark_cols)}\n duck={sorted(duck_cols)}"
-    )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row counts differ spark={len(spark_rows)} duck={len(duck_rows)}"
-    )
-
-    _, s_canon = _canon(spark_rows, spark_cols)
-    _, d_canon = _canon(duck_rows, duck_cols)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
-    ]
-    assert not mismatches, (
-        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
-    )
 
 
 def test_every_query_has_rows(spark):
